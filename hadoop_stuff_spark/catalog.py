@@ -1,0 +1,83 @@
+"""Table catalog over the driver-generated parquet testdata.
+
+Tables (TESTDATA.md): TPC-H-ish star schema + an ``events`` stream table +
+``documents``/``embeddings`` for the LLM-pipeline operators. The reference
+had no catalog at all — records were opaque strings addressed by path
+(SURVEY.md §1.3); here every table is a typed DataFrame and partition/column
+pruning come from Catalyst.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any scale factor (region ~5
+# rows, nation ~25 rows even at 100 TB TPC-H scale).
+BROADCAST_DIMS = {"region", "nation"}
+
+
+@functools.lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
+    reader refuses them (PARQUET_TYPE_ILLEGAL), so we read them as longs
+    (`spark.sql.legacy.parquet.nanosAsLong`) and convert back to
+    TimestampType. Footer inspected once, driver-side, via pyarrow."""
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not parts:
+            return ()
+        target = os.path.join(path, parts[0])
+    schema = pq.read_schema(target)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return tuple(out)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    nano_cols = _nano_ts_columns(path)
+    if not nano_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # nanos → micros (floor division; all testdata epochs are positive),
+        # matching DuckDB's micro-precision truncation of the same files.
+        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` works directly —
+    the SQL passthrough surface (SURVEY.md §2.6) the reference lacked."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

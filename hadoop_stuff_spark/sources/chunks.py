@@ -1,0 +1,132 @@
+"""Legacy gzip-chunk storage format — parity with the reference's ingest
+pipeline (SURVEY.md S3/S4/S8, T1/T3, P5).
+
+The reference's unit of storage *and* of map-task work is an N-line gzip
+chunk appended to a SequenceFile under a constant key
+(IngestTest.java:74-76,130-148; chunk sizes 200/1,000/10,000 —
+TailFTest.java:179-183). Parquet row-groups + codec supersede this layout
+(SURVEY.md P5/P10), so the chunked format here exists to *read and write
+legacy-shaped data*, stored as parquet[key: long, value: binary] — the
+DataFrame image of SequenceFile[LongWritable, BytesWritable].
+
+Two chunkers:
+
+- :func:`chunk_lines` — deterministic global order (row_number over a sort).
+  Costs a global sort; use for tests/small parity data only.
+- :func:`chunk_lines_partitionwise` — the 100 TB path: chunks are formed
+  within each input partition (mapInPandas, zero shuffle), chunk ids are
+  (partition, local) pairs. Exactly the reference's "virtual writer" model
+  (CompressedSequenceFile.java:64-81): one writer per partition, no
+  cross-partition coordination.
+
+Skew note (SURVEY.md §7 "legacy chunk granularity"): one chunk is
+indivisible until decoded, so after :func:`explode_chunks` callers should
+let AQE rebalance or `repartition` before heavy downstream work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from hadoop_stuff_spark.functions.codecs import gzip_compress, gzip_decompress_str
+
+CHUNK_SCHEMA = StructType(
+    [StructField("key", LongType()), StructField("value", BinaryType())]
+)
+
+
+def chunk_lines(df: DataFrame, line_col: str, order_col: str, chunk_size: int) -> DataFrame:
+    """Deterministically pack lines into gzip chunks of ``chunk_size``.
+
+    Returns DataFrame[key: long, value: binary] — key is the chunk ordinal
+    (the reference never meaningfully set the key, IngestTest.java:76,89; we
+    at least make it the chunk id). Global row_number ⇒ single-partition
+    window: fine for parity fixtures, use the partitionwise variant at scale.
+    """
+    w = Window.orderBy("_ord")
+    packed = (
+        df.select(F.col(line_col).alias("line"), F.col(order_col).alias("_ord"))
+        .withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("key", (F.col("_rn") / F.lit(chunk_size)).cast(LongType()))
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list(F.struct("_rn", "line"))).alias("_rows"))
+        .select(
+            "key",
+            F.array_join(F.transform("_rows", lambda r: r["line"]), "\n").alias("text"),
+        )
+    )
+    return packed.select("key", gzip_compress("text").alias("value"))
+
+
+def chunk_lines_partitionwise(
+    df: DataFrame, line_col: str, chunk_size: int
+) -> DataFrame:
+    """Scale-path chunker: gzip chunks formed inside each partition, no
+    shuffle. key = partition_id * 2^32 + local_chunk_index (unique, stable
+    for a fixed partitioning)."""
+    import gzip as _gzip
+
+    col = line_col
+
+    def pack(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        buf: list[str] = []
+        chunk_idx = 0
+
+        def flush():
+            nonlocal chunk_idx
+            data = _gzip.compress("\n".join(buf).encode("utf-8"), 6, mtime=0)
+            out = pd.DataFrame({"key": [(pid << 32) | chunk_idx], "value": [data]})
+            chunk_idx += 1
+            buf.clear()
+            return out
+
+        for pdf in iterator:
+            for line in pdf[col]:
+                buf.append("" if line is None else str(line))
+                if len(buf) >= chunk_size:
+                    yield flush()
+        if buf:
+            yield flush()
+
+    return df.select(col).mapInPandas(pack, CHUNK_SCHEMA)
+
+
+def explode_chunks(chunks: DataFrame, line_name: str = "line") -> DataFrame:
+    """chunk[key, value] -> one row per record line (reference T1+T3:
+    gunzip then tokenize on \\n — RecordCount.java:41-42)."""
+    return chunks.select(
+        "key",
+        F.explode(F.split(gzip_decompress_str("value"), "\n")).alias(line_name),
+    )
+
+
+def write_chunked(
+    df: DataFrame,
+    line_col: str,
+    path: str,
+    chunk_size: int = 1000,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Chunked-ingest sink: partitionwise gzip chunks persisted as parquet.
+
+    ``partition_cols`` mirrors the reference's date/host directory layout
+    (IngestTest.java:58,68) → Catalyst partition pruning on read."""
+    chunks = chunk_lines_partitionwise(df, line_col, chunk_size)
+    writer = chunks.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def read_chunked(spark: SparkSession, path: str, line_name: str = "line") -> DataFrame:
+    """Read a chunked store back to one-row-per-record."""
+    return explode_chunks(spark.read.parquet(path), line_name)
