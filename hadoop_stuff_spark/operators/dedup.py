@@ -1,0 +1,332 @@
+"""Deduplication operators (SURVEY.md §2.7 N1): exact, n-gram Jaccard,
+MinHash+LSH, SimHash — over the ``documents`` table.
+
+Scale design:
+- exact dedup: hash-aggregate on the dedup key (fingerprint), partial
+  map-side — the only shuffle carries (key, min_id, count).
+- n-gram Jaccard: the exact pairwise verifier. Inverted-index self-join on
+  shingles (explode → join on shingle → count) — correct but quadratic in
+  docs-per-shingle; at 100 TB use it only on LSH candidate pairs.
+- MinHash+LSH: the scale path. Deterministic signature (xxhash64 seeded per
+  permutation — no random coefficients, reproducible across runs), banded
+  into buckets; candidate pairs = bucket join; verified by signature
+  agreement (estimated Jaccard). Shuffle carries (band_hash, doc_id) pairs
+  only, never text.
+- SimHash: 64-bit signatures via one Arrow-batched pandas UDF (hashlib
+  md5 per token — no JVM equivalent); near-dup = small Hamming distance,
+  which is a cheap bucketed self-join on rotated prefixes at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.functions import text as T
+from hadoop_stuff_spark.functions.text import fingerprint_md5
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by normalized-text fingerprint: canonical
+    (min) doc_id + group size per distinct content."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS canonical_doc_id, count(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def drop_exact_duplicates(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Engine API: keep one row per distinct normalized content."""
+    return df.withColumn("_fp", fingerprint_md5(content_col)).dropDuplicates(["_fp"]).drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# word-shingle helpers
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column. Pure Catalyst:
+    transform over token index sequence, then array_distinct."""
+    toks = T.tokens(col)
+    count = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty
+    joined = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return F.array_distinct(joined)
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, similarity
+    >= threshold) via inverted-index self-join — no cartesian product; the
+    join key is the shingle, so only docs sharing a shingle ever meet."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return out
+
+
+NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS sh_list
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+MINHASH_PERMS = 64  # signature length
+LSH_BANDS = 16  # bands of 4 rows → catches jaccard ≳ 0.5 with high prob
+
+
+def minhash_signature(col: Column | str, n: int = 3, perms: int = MINHASH_PERMS) -> Column:
+    """Deterministic MinHash signature: perm i = min over shingles of
+    xxhash64(shingle, i). No random hyperplanes/coefficients — the hash
+    family is seeded by the permutation index, so signatures are stable
+    across runs, sessions, and cluster sizes."""
+    sh = shingles(col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(perms)
+        ]
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) with estimated Jaccard from
+    signature agreement. Plan shape: one scan computing signatures →
+    explode to (band_hash, id) → self-join per bucket → dedup pairs.
+    The shuffle never carries document text."""
+    rows = perms // bands
+    sigs = docs.select(
+        F.col(id_col).alias("id"), minhash_signature(text_col, n, perms).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(perms * 1.0),
+        6,
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def minhash_near_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over documents (est Jaccard >=
+    threshold). Driver records rows-only (approximate op — no SQL oracle);
+    tests/test_dedup.py checks recall/precision against the exact
+    ngram_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_candidates(docs)
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+@pandas_udf(LongType())
+def _simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, md5-based (engine-independent,
+    deterministic). Arrow-batched; ~1e5 docs/s/core."""
+
+    def simhash(text: str | None) -> int | None:
+        if text is None:
+            return None
+        acc = [0] * 64
+        for tok in text.split(" "):
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+            )
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        v = 0
+        for j in range(64):
+            if acc[j] > 0:
+                v |= 1 << j
+        # to signed 64-bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(simhash)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash (rows-only check; properties tested in
+    tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _simhash64_udf(F.col("text")).alias("simhash"))
+
+
+def simhash_near_dups(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs via banded prefix blocking: split the 64-bit
+    signature into 4 × 16-bit blocks; pairs within max_hamming<=... must
+    share at least one exact block (pigeonhole for hamming < 4 blocks).
+    Bucketed self-join — no cartesian product."""
+    sigs = simhash_signatures(spark, sf_dir)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.block", "bk.key")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing (SURVEY.md §2.7 N4): image/audio/video
+treated as opaque ``binary`` columns + typed metadata, processed via
+Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(deterministic fake features derived from the bytes — clearly marked); the
+Spark-side plumbing is real and tested: schema, binary column handling,
+mapInPandas batch shape, partitioning. Swapping the stub for PIL/librosa
+changes ONE function.
+
+The testdata has no binary table, so :func:`synthesize_blobs` derives a
+binary column from ``documents.text`` (utf-8 bytes) — the same shape a real
+media column would have (binary payload + metadata columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from hadoop_stuff_spark.catalog import load_table
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → binary payload + metadata (media-table shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[list[float], int, int]:
+    """STUB decode/feature-extract. Real impl would be e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload)); ...
+
+    Here: deterministic fake — byte-histogram moments as an
+    ``FEATURE_DIM``-dim feature and fake dimensions from the length. Raises
+    nothing; a genuinely unsupported codec should raise NotImplementedError.
+    """
+    n = len(payload)
+    buckets = [0] * FEATURE_DIM
+    for i, byte in enumerate(payload):
+        buckets[byte % FEATURE_DIM] += 1
+    feats = [b / n if n else 0.0 for b in buckets]
+    return feats, int(n % 1024), int(n // 1024 + 1)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas over binary payloads → feature vectors + dims. Arrow
+    moves the binary column in batches; one Python worker per partition —
+    this is the pattern for any heavy per-blob decode at scale (partition
+    count controls parallelism; no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, widths, heights = [], [], []
+            for payload in pdf["payload"]:
+                f, w, h = _decode_stub(bytes(payload) if payload is not None else b"")
+                feats.append(f)
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def media_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable slice of the multimodal path: byte lengths + sha256
+    content hash of the binary payload (no stubbed features involved)."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    return blobs.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.sha2(F.col("payload"), 256).alias("sha"),
+    )
+
+
+MEDIA_META_SQL = """
+SELECT doc_id, 'text/plain' AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
+FROM documents
+"""

@@ -1,0 +1,334 @@
+"""Relational query surface — SURVEY.md §2.6.
+
+The reference has NO joins, sorts, set ops, windows, grouping sets, or SQL
+(queries are hard-coded Java, DistributedGrep.java / RecordCount.java).
+Spark SQL provides the whole category; these queries *demonstrate and
+certify* it against the DuckDB oracle on the TPC-H-ish testdata.
+
+Scale notes baked into each query:
+- dimension joins broadcast (region/nation always; customer/supplier under
+  the 64 MiB threshold at small SF, AQE decides at large SF)
+- aggregates rely on partial→final HashAggregate (no raw-row shuffle)
+- top-k = TakeOrderedAndProject (no global sort materialization)
+- every float aggregate is rounded identically to the oracle so the
+  driver's value-hash is stable across summation orders
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from hadoop_stuff_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation over lineitem.
+    One scan, partial agg map-side; shuffle carries 4 groups only."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10
+    (ordered on the ROUNDED revenue, tie-broken by key, so engine summation
+    order cannot flip the selection)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dims (region/nation tiny at
+    ANY scale — SURVEY.md catalog.BROADCAST_DIMS), revenue per nation."""
+    region = broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS). Spark plans broadcast/shuffled hash anti."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def window_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (ranking): top-3 customers by account balance per
+    nation. row_number with a unique tiebreak (c_custkey) ⇒ deterministic.
+    c_acctbal is raw data (no arithmetic) so both engines order identical
+    doubles."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = broadcast(_t(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_name", "c_acctbal", "rk")
+    )
+
+
+WINDOW_SQL = """
+SELECT n_name, c_name, c_acctbal, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT n_name, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rk <= 3
+"""
+
+
+def rollup_acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / ROLLUP: account-balance totals at (region, nation),
+    (region), and grand-total levels."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = broadcast(_t(spark, sf_dir, "nation"))
+    region = broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_acctbal,
+       count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def setops_customer_vs_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations that have customers but no suppliers
+    (EXCEPT), plus shared ones (INTERSECT), tagged and unioned."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    cust_nations = nation.join(
+        cust, nation.n_nationkey == cust.c_nationkey, "left_semi"
+    ).select("n_name")
+    sup_nations = nation.join(
+        sup, nation.n_nationkey == sup.s_nationkey, "left_semi"
+    ).select("n_name")
+    only_cust = cust_nations.exceptAll(sup_nations).distinct().select(
+        F.lit("customers_only").alias("kind"), "n_name"
+    )
+    both = cust_nations.intersect(sup_nations).select(
+        F.lit("both").alias("kind"), "n_name"
+    )
+    return only_cust.unionByName(both)
+
+
+SETOPS_SQL = """
+WITH cust_nations AS (
+  SELECT DISTINCT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
+), sup_nations AS (
+  SELECT DISTINCT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey
+)
+SELECT 'customers_only' AS kind, n_name FROM (SELECT n_name FROM cust_nations EXCEPT SELECT n_name FROM sup_nations)
+UNION ALL
+SELECT 'both' AS kind, n_name FROM (SELECT n_name FROM cust_nations INTERSECT SELECT n_name FROM sup_nations)
+"""
+
+
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — partial+final aggregate on the distinct keys."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heap + merge
+    of k rows, never a full sort, at any scale. Tiebreak on o_orderkey."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+def orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date functions + aggregation (the scalar-function library the
+    reference lacks, §2.6)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+YEAR_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+
+def json_props_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull k out of the JSON props string with
+    a regex (portable to the oracle), bucket it, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        ev.withColumn("k_bucket", F.floor(k / 10).cast("int"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+JSON_SQL = """
+SELECT CAST(floor(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""

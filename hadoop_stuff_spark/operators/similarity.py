@@ -1,0 +1,192 @@
+"""Embedding similarity search (SURVEY.md §2.7 N2) over the ``embeddings``
+table (64-dim array<float>).
+
+Two paths:
+- :func:`topk_cosine_bruteforce` — the exact baseline: broadcast the (small)
+  query set against a single scan of the corpus; per-query top-k via window
+  row_number. Work is O(|corpus| × |queries|) but embarrassingly parallel
+  and shuffle-light (only (query_id, k) rows move). This is also the recall
+  oracle for the approximate path.
+- :func:`topk_cosine_lsh` — the 100 TB path: deterministic random-hyperplane
+  LSH (sign sketches). Hyperplane matrix is derived from a seeded NumPy
+  generator and embedded as literals (no state, reproducible); candidates =
+  bucket join on any matching band, then exact cosine re-rank. Corpus side
+  is hashed in the same scan that computes norms; shuffle carries
+  (bucket, id, vec) only for bucketed candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.functions.vectors import as_double, cosine
+
+DIM = 64
+
+
+def topk_cosine_bruteforce(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    (vec_id < n_queries), self-matches excluded. Deterministic: similarity
+    rounded to 6 dp before ranking, ties broken by vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    corpus = emb.select("vec_id", "embedding")
+    scored = (
+        corpus.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("qvec", "embedding"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+TOPK_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, sim, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+  FROM scored
+)
+WHERE rk <= 10
+"""
+
+
+def _hyperplanes(n_planes: int, dim: int = DIM, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _sign_bucket(vec_col, planes: np.ndarray) -> "F.Column":
+    """LSH bucket id = bit-packed signs of <vec, plane_i> for each plane of
+    one band. Pure expression over literal plane coefficients."""
+    bits = []
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                as_double(vec_col),
+                F.array(*[F.lit(float(c)) for c in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def topk_cosine_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates must share >=1 of ``bands`` sign-sketch
+    buckets with the query, then exact cosine re-rank. Recall vs the
+    brute-force oracle is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(bands * bits_per_band, seed=seed)
+
+    def with_buckets(df: DataFrame, vec: str, id_alias: str) -> DataFrame:
+        bucket_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                _sign_bucket(vec, planes[b * bits_per_band : (b + 1) * bits_per_band]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col(vec).alias(f"{id_alias}_vec"),
+            F.explode(F.array(*bucket_structs)).alias("bb"),
+        ).select(id_alias, f"{id_alias}_vec", "bb.band", "bb.bucket")
+
+    queries = broadcast(
+        with_buckets(emb.filter(F.col("vec_id") < n_queries), "embedding", "query_id")
+    )
+    corpus = with_buckets(emb, "embedding", "vec_id")
+    cands = (
+        corpus.join(queries, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "query_id_vec", "vec_id", "vec_id_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine("query_id_vec", "vec_id_vec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats — exercises array aggregation lanes
+    (F.aggregate fold) with a SQL-expressible oracle."""
+    from hadoop_stuff_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", l2_norm("embedding").alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+NORM_STATS_SQL = """
+WITH t AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(avg(norm), 4) AS avg_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM t GROUP BY label
+"""

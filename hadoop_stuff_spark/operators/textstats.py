@@ -1,0 +1,126 @@
+"""Text-analysis queries over the ``documents`` table (SURVEY.md §2.7 N3):
+token counting, quality scoring, language ID, fingerprinting. All built on
+hadoop_stuff_spark.functions.text — pure Catalyst expressions, one scan per
+query, no shuffle except the final (tiny) aggregate where present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.functions import text as T
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + composite score (rounded for the
+    oracle's value-hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.avg_token_length("text"), 4).alias("avg_token_len"),
+        F.round(T.distinct_token_ratio("text"), 4).alias("distinct_ratio"),
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         (n_chars - (len(toks) - 1)) * 1.0 / len(toks) AS avg_token_len,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) * 1.0 / len(toks) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       round(avg_token_len, 4) AS avg_token_len,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(0.5 * distinct_ratio
+             + 0.3 * least(avg_token_len / 8.0, 1.0)
+             + 0.2 * (1.0 - stopword_ratio), 4) AS quality
+FROM m
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID per document, with per-language hit scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        *[score.alias(f"score_{lang}") for lang, score in sorted(scores.items())],
+        T.lang_id("text").alias("pred_lang"),
+    )
+
+
+LANGUAGE_ID_SQL = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(toks, ['der','die','und','von','ist'])) AS INTEGER) AS score_de,
+    CAST(len(list_intersect(toks, ['the','a','of','and','is'])) AS INTEGER) AS score_en,
+    CAST(len(list_intersect(toks, ['el','la','y','de','es'])) AS INTEGER) AS score_es,
+    CAST(len(list_intersect(toks, ['le','la','et','de','est'])) AS INTEGER) AS score_fr
+  FROM t
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM (
+    SELECT doc_id, 'de' AS lang, score_de AS score FROM s
+    UNION ALL SELECT doc_id, 'en', score_en FROM s
+    UNION ALL SELECT doc_id, 'es', score_es FROM s
+    UNION ALL SELECT doc_id, 'fr', score_fr FROM s
+  )
+)
+SELECT s.doc_id, s.score_de, s.score_en, s.score_es, s.score_fr,
+       CASE WHEN r.score <= 0 THEN 'und' ELSE r.lang END AS pred_lang
+FROM s JOIN ranked r ON s.doc_id = r.doc_id AND r.rn = 1
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text) + per-source
+    distinct-fingerprint counts — the exact-dedup building block."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.fingerprint_md5("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+    )
+
+
+FINGERPRINTS_SQL = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS n_distinct
+FROM documents GROUP BY source
+"""

@@ -1,0 +1,137 @@
+"""Real-time wiretap with dynamic regex subscriptions (SURVEY.md ST2/ST3,
+S7; reference RealTimeCdrWiretap.java:30-86).
+
+The reference registers a query "<regex> <host>:<port>" by reflecting into
+a live Spring router's private fields — runtime plan mutation with no
+defined epoch. Here the control plane is a *table*: each micro-batch
+re-reads the subscriptions table and fans the batch out with a
+broadcast-join + rlike. Registration = append a row; takes effect at the
+next micro-batch boundary (defined, testable semantics — SURVEY.md §7
+"genuinely hard" #1). No reflection, no restart, and the subscription set
+scales to thousands because it rides a broadcast join instead of N
+sequential selectors.
+
+Delivery (S7): pluggable sink per matched (subscriber, record) group. The
+default TCP sink opens one socket per subscriber per micro-batch
+(at-least-once; reconnect-per-batch keeps executor state trivial). Tests
+use a collecting sink.
+"""
+
+from __future__ import annotations
+
+import re
+import socket as socketlib
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SUBSCRIPTION_SCHEMA = StructType(
+    [
+        StructField("sub_id", LongType()),
+        StructField("regex", StringType()),
+        StructField("host", StringType()),
+        StructField("port", IntegerType()),
+    ]
+)
+
+# the reference's query grammar: "<regex> <host>:<port>"
+# (RealTimeCdrWiretap.java:32-38 — regex first, endpoint last)
+_QUERY_RE = re.compile(r"^(?P<regex>.+)\s+(?P<host>[^\s:]+):(?P<port>\d+)$")
+
+
+def parse_subscription(query: str, sub_id: int) -> dict:
+    """Parse the reference's wire format into a subscriptions row."""
+    m = _QUERY_RE.match(query.strip())
+    if not m:
+        raise ValueError(f"bad subscription (want '<regex> <host>:<port>'): {query!r}")
+    return {
+        "sub_id": sub_id,
+        "regex": m.group("regex"),
+        "host": m.group("host"),
+        "port": int(m.group("port")),
+    }
+
+
+def subscriptions_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(rows, SUBSCRIPTION_SCHEMA)
+
+
+def route_batch(batch: DataFrame, subs: DataFrame, record_col: str = "value") -> DataFrame:
+    """One micro-batch of the wiretap fan-out: every record tested against
+    every subscription's regex (content-based multicast, ST3 — a record can
+    match several subscribers). Broadcast nested-loop join: the subs table
+    is tiny; the stream side streams through codegen."""
+    return batch.join(
+        F.broadcast(subs), F.regexp_like(F.col(record_col), F.col("regex")), "inner"
+    )
+
+
+@dataclass
+class TcpSink:
+    """Per-subscriber TCP delivery (reference S7). One connection per
+    (subscriber, micro-batch); records newline-framed."""
+
+    timeout_s: float = 1.0  # the reference's 1 s send timeout (TailF.java:132)
+
+    def __call__(self, host: str, port: int, records: list[str]) -> None:
+        with socketlib.create_connection((host, port), timeout=self.timeout_s) as sock:
+            payload = ("\n".join(records) + "\n").encode("utf-8")
+            sock.sendall(payload)
+
+
+def start_wiretap(
+    stream: DataFrame,
+    get_subscriptions: Callable[[SparkSession], DataFrame],
+    deliver: Callable[[str, int, list[str]], None] | None = None,
+    record_col: str = "value",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Run the wiretap: per micro-batch, re-read subscriptions (dynamic
+    registration — rows added between batches take effect next batch),
+    match, group by subscriber, deliver.
+
+    ``deliver(host, port, records)`` defaults to :class:`TcpSink`.
+    Returns the StreamingQuery.
+    """
+    sink = deliver or TcpSink()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        subs = get_subscriptions(spark)
+        matched = batch.join(
+            F.broadcast(subs), F.regexp_like(F.col(record_col), F.col("regex")), "inner"
+        )
+        grouped = (
+            matched.groupBy("sub_id", "host", "port")
+            .agg(F.collect_list(record_col).alias("records"))
+            .collect()
+        )
+        for row in grouped:
+            sink(row["host"], row["port"], list(row["records"]))
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def wiretap_batch_shape(
+    records: DataFrame, subs: DataFrame, record_col: str = "value", *, keep: list[str] | None = None
+) -> DataFrame:
+    """The wiretap's per-micro-batch computation as a pure batch query
+    (what `process` above runs each trigger): (sub_id, record) matches.
+    Oracle-checkable — see plans/registry."""
+    matched = route_batch(records, subs, record_col)
+    return matched.select("sub_id", *(keep or [record_col]))
