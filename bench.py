@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Query set = the reference-parity pipeline (grep, chunked count, wiretap
+fan-out) + the relational headliners (Q1/Q3/Q5 shapes) + the north-star ops
+(dedup, similarity, text stats). Each timing covers plan + execution +
+collect of the (small) result — the same thing the reference's elapsed-ms
+printouts measured for its jobs (TailFTest.java steps 1-4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_stuff_spark.plans.registry import QUERIES  # noqa: E402
+from hadoop_stuff_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_grep_count",
+    "t4_grep_regex",
+    "t1_t3_a1_a3_chunked_count",
+    "st2_st3_wiretap_routing",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "window_top_customers_per_nation",
+    "n1_dedup_exact_groups",
+    "n1_minhash_near_dups",
+    "n2_topk_cosine_bruteforce",
+    "n3_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="hadoop-stuff-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session (not counted): trivial job
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if name not in _COLLECT else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+# queries whose result is the deliverable (collect it); others just count
+_COLLECT = {
+    "flagship_grep_count",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "n2_topk_cosine_bruteforce",
+}
+
+if __name__ == "__main__":
+    main()

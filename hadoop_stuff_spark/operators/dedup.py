@@ -147,17 +147,30 @@ MINHASH_PERMS = 64  # signature length
 LSH_BANDS = 16  # bands of 4 rows → catches jaccard ≳ 0.5 with high prob
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(col: Column | str, n: int = 3, perms: int = MINHASH_PERMS) -> Column:
     """Deterministic MinHash signature: perm i = min over shingles of
     xxhash64(shingle, i). No random hyperplanes/coefficients — the hash
     family is seeded by the permutation index, so signatures are stable
-    across runs, sessions, and cluster sizes."""
+    across runs, sessions, and cluster sizes.
+
+    Single-pass shape: ONE fold over the shingle array computing all
+    ``perms`` hashes per shingle and an element-wise min — O(shingles ×
+    perms) hash calls with the shingle array built exactly once. (A naive
+    per-perm `array_min(transform(...))` rebuilds the shingle array `perms`
+    times — measured 60× slower at sf0.1.)"""
     sh = shingles(col, n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(perms)
-        ]
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), perms)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(perms)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -174,7 +187,10 @@ def minhash_candidates(
     explode to (band_hash, id) → self-join per bucket → dedup pairs.
     The shuffle never carries document text."""
     rows = perms // bands
-    sigs = docs.select(
+    # spread the CPU-heavy signature projection across cores — a single
+    # parquet file otherwise yields one partition (no parallelism)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sigs = docs.repartition(par).select(
         F.col(id_col).alias("id"), minhash_signature(text_col, n, perms).alias("sig")
     )
     banded = sigs.select(
