@@ -1,0 +1,108 @@
+"""Codec correctness (SURVEY.md §5.2 golden/self-oracle tests):
+- gzip/base64 round-trip properties, including the >32 KiB regression for
+  the reference's truncating single-read bug (SampleMapRed.java:39-41)
+- count invariance across chunk sizes (the P5 knob: 200/1,000/10,000)
+- needle grep recall (ghost-record injection, IngestTest.java:114-123)
+"""
+
+import gzip
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from hadoop_stuff_spark.functions.codecs import (
+    b64_gzip_decode_str,
+    b64_gzip_encode,
+    gzip_compress,
+    gzip_decompress_str,
+)
+from hadoop_stuff_spark.operators.counts import chunked_record_count
+from hadoop_stuff_spark.operators.grep import grep
+from hadoop_stuff_spark.sources.chunks import (
+    chunk_lines,
+    chunk_lines_partitionwise,
+    explode_chunks,
+)
+
+
+def _lines_df(spark, lines):
+    return spark.createDataFrame(
+        [(l,) for l in lines], StructType([StructField("line", StringType())])
+    )
+
+
+def test_gzip_roundtrip_small(spark):
+    df = _lines_df(spark, ["hello", "world", "ünïcødé ✓"])
+    out = df.select(gzip_decompress_str(gzip_compress("line")).alias("back"), "line")
+    assert all(r.back == r.line for r in out.collect())
+
+
+def test_gzip_roundtrip_over_32k(spark):
+    """Regression for the reference's 32 KiB truncation bug: a payload
+    whose decompressed size far exceeds one read buffer must come back
+    byte-identical."""
+    big = "x" * 200_000 + "END"
+    df = _lines_df(spark, [big])
+    [r] = df.select(gzip_decompress_str(gzip_compress("line")).alias("back")).collect()
+    assert len(r.back) == len(big)
+    assert r.back == big
+
+
+def test_gzip_matches_python_gzip(spark):
+    """Engine-independent determinism: our compress bytes decode with
+    stock python gzip and vice versa."""
+    df = _lines_df(spark, ["abc 123"])
+    [r] = df.select(gzip_compress("line").alias("gz")).collect()
+    assert gzip.decompress(bytes(r.gz)).decode() == "abc 123"
+    pre = gzip.compress(b"from python", mtime=0)
+    df2 = spark.createDataFrame([(bytearray(pre),)], "gz: binary")
+    [r2] = df2.select(gzip_decompress_str("gz").alias("s")).collect()
+    assert r2.s == "from python"
+
+
+def test_b64_envelope_roundtrip(spark):
+    """S8: base64-of-gzip text-safe envelope (TailFTest.java:412-422)."""
+    chunk = "\n".join(f"record {i}" for i in range(5000))  # > 32 KiB decoded
+    df = _lines_df(spark, [chunk])
+    out = df.select(b64_gzip_decode_str(b64_gzip_encode("line")).alias("back"))
+    [r] = out.collect()
+    assert r.back == chunk
+
+
+def test_count_invariance_across_chunk_sizes(spark, sf_dir):
+    """A1-A3 invariant: chunked count == plain count for every chunk size
+    in the reference's sweep (TailFTest.java:179-183)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    expected = docs.count()
+    for chunk_size in (200, 1000, 10000):
+        chunks = chunk_lines_partitionwise(docs, "text", chunk_size)
+        [row] = chunked_record_count(chunks).collect()
+        assert row.record_count == expected, f"chunk_size={chunk_size}"
+
+
+def test_ordered_chunker_preserves_content(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_lines(docs, "text", "doc_id", 64)
+    back = explode_chunks(chunks, "text").select("text")
+    orig = docs.select("text")
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+
+def test_needle_grep_recall(spark):
+    """Ghost-record needles (T8): plant k marker records among noise;
+    grep through the full chunk→decode→explode pipeline must find exactly
+    k — no more, no less."""
+    noise = [f"flow record {i} src=10.0.0.{i % 256}" for i in range(20_000)]
+    needle = "GHOST RECORD OLEG ZHURAKOUSKY"
+    k = 7
+    lines = list(noise)
+    step = len(lines) // k
+    for j in range(k):
+        lines[j * step] = f"{needle} #{j}"
+    df = _lines_df(spark, lines).repartition(8)
+    chunks = chunk_lines_partitionwise(df, "line", 512)
+    records = explode_chunks(chunks, "line")
+    found = grep(records, "OLEG ZHURAKOUSKY", "line")
+    assert found.count() == k
+    assert grep(records, "NO SUCH NEEDLE", "line").count() == 0

@@ -1,0 +1,122 @@
+"""Dedup operator properties (SURVEY.md §5.2): MinHash/SimHash checked
+against exact oracles (n-gram Jaccard computed in plain Python), since the
+approximate ops have no SQL oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, LongType
+
+from hadoop_stuff_spark.operators.dedup import (
+    dedup_exact_groups,
+    drop_exact_duplicates,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    shingles,
+)
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), DOC_SCHEMA)
+
+
+def _py_shingles(text, n=3):
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_jaccard(a, b):
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
+FAR = "completely different words appear in this sentence about spark engines"
+
+
+def test_exact_dedup_drops_normalized_duplicates(spark):
+    df = _docs(spark, [BASE, BASE, "  THE quick brown fox jumps over the lazy dog near the river bank today ", FAR])
+    # rows 0,1,2 normalize to the same fingerprint
+    assert drop_exact_duplicates(df).count() == 2
+
+
+def test_exact_dedup_groups_shape(spark, sf_dir):
+    out = dedup_exact_groups(spark, sf_dir)
+    assert out.columns == ["fp", "canonical_doc_id", "group_size"]
+    total = out.agg(F.sum("group_size")).collect()[0][0]
+    assert total == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_shingles_match_python(spark):
+    df = _docs(spark, [BASE, "a b", ""])
+    rows = df.select("doc_id", shingles("text", 3).alias("sh")).collect()
+    by_id = {r.doc_id: set(r.sh) for r in rows}
+    assert by_id[0] == _py_shingles(BASE)
+    assert by_id[1] == set()  # fewer tokens than n → empty, not garbage
+    assert by_id[2] == set()
+
+
+def test_ngram_jaccard_exact_values(spark, tmp_path):
+    """ngram_jaccard_pairs must reproduce plain-Python Jaccard exactly."""
+    docs = _docs(spark, [BASE, NEAR, FAR])
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = ngram_jaccard_pairs(spark, str(tmp_path), threshold=0.0)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    expected = round(_py_jaccard(BASE, NEAR), 6)
+    assert got[(0, 1)] == expected
+    # FAR shares no shingle with BASE/NEAR → pair absent from inverted index
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """Every exact near-dup pair (jaccard >= 0.5) must be a MinHash-LSH
+    candidate with estimated jaccard close to truth."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(spark, sf_dir, threshold=0.5).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_candidates(docs).collect()
+    }
+    assert exact, "testdata should contain near-dup documents"
+    missing = [p for p in exact if p not in cand]
+    assert not missing, f"LSH missed exact pairs: {missing}"
+    for pair, true_j in exact.items():
+        assert abs(cand[pair] - true_j) < 0.25, (pair, cand[pair], true_j)
+
+
+def test_simhash_properties(spark):
+    from hadoop_stuff_spark.operators.dedup import _simhash64_udf
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    df = _docs(spark, [BASE, BASE, NEAR, FAR])
+    sigs = {
+        r.doc_id: r.simhash
+        for r in df.select("doc_id", _simhash64_udf(F.col("text")).alias("simhash")).collect()
+    }
+    # identical text → identical signature
+    assert sigs[0] == sigs[1]
+    # near-dup → much closer than unrelated text
+    near_d = hamming(sigs[0], sigs[2])
+    far_d = hamming(sigs[0], sigs[3])
+    assert near_d < far_d
+    assert near_d <= 12
+    assert far_d > 16
+
+
+def test_simhash_signatures_table(spark, sf_dir):
+    out = simhash_signatures(spark, sf_dir)
+    n = out.count()
+    assert n == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert out.filter(F.col("simhash").isNull()).count() == 0

@@ -1,0 +1,64 @@
+"""Similarity-search properties: exact cosine against NumPy, LSH recall
+against the brute-force oracle (SURVEY.md §7: approximate ops get a
+recall@k threshold, not hash equality)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.functions.vectors import cosine, l2_norm
+from hadoop_stuff_spark.operators.similarity import (
+    embedding_norm_stats,
+    topk_cosine_bruteforce,
+    topk_cosine_lsh,
+)
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(64).astype("float32")
+    b = rng.standard_normal(64).astype("float32")
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist())], "a: array<float>, b: array<float>"
+    )
+    [row] = df.select(cosine("a", "b").alias("c"), l2_norm("a").alias("na")).collect()
+    ad, bd = a.astype("float64"), b.astype("float64")
+    expected = float(ad @ bd / (np.linalg.norm(ad) * np.linalg.norm(bd)))
+    assert row.c == pytest.approx(expected, abs=1e-12)
+    assert row.na == pytest.approx(float(np.linalg.norm(ad)), abs=1e-12)
+
+
+def test_bruteforce_topk_is_exact(spark, sf_dir):
+    """Spark brute-force top-k vs a NumPy full-similarity computation."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb}
+    got = topk_cosine_bruteforce(spark, sf_dir, n_queries=3, k=5).collect()
+    for qid in range(3):
+        q = vecs[qid]
+        sims = {
+            vid: round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6)
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        mine = [(r.vec_id, r.sim) for r in sorted(got, key=lambda r: r.rk) if r.query_id == qid]
+        assert mine == expect, f"query {qid}"
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Recall@10 of the LSH path vs the exact oracle must clear 0.6 on
+    average (4 bands × 8 bits on 64-dim random data)."""
+    exact = topk_cosine_bruteforce(spark, sf_dir, n_queries=5, k=10).collect()
+    approx = topk_cosine_lsh(spark, sf_dir, n_queries=5, k=10).collect()
+    recalls = []
+    for qid in range(5):
+        e = {r.vec_id for r in exact if r.query_id == qid}
+        a = {r.vec_id for r in approx if r.query_id == qid}
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_norm_stats_counts(spark, sf_dir):
+    out = embedding_norm_stats(spark, sf_dir)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
