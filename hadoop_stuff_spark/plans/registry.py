@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.catalog import load_table
-from hadoop_stuff_spark.operators import dedup, multimodal, relational, similarity, textstats
+from hadoop_stuff_spark.operators import (
+    dedup,
+    logs,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
 from hadoop_stuff_spark.operators.counts import chunked_record_count
 from hadoop_stuff_spark.plans.flagship import FLAGSHIP_PATTERN, flagship
 from hadoop_stuff_spark.sources.chunks import chunk_lines_partitionwise, explode_chunks
@@ -172,6 +179,10 @@ QUERIES: dict[str, QuerySpec] = {
     "t1_t2_gzip_roundtrip": QuerySpec(t1_t2_gzip_roundtrip, GZIP_ROUNDTRIP_SQL),
     "a5_grouped_count": QuerySpec(a5_grouped_count, A5_SQL),
     "st2_st3_wiretap_routing": QuerySpec(st2_st3_wiretap_routing, ST2_SQL),
+    "t9_flow_log_roundtrip": QuerySpec(logs.t9_flow_log_roundtrip, logs.FLOW_ROUNDTRIP_SQL),
+    "t9_cdr_parse_agg": QuerySpec(logs.t9_cdr_parse_agg, logs.CDR_PARSE_SQL),
+    "u2_grouped_custom_agg": QuerySpec(logs.u2_grouped_custom_agg, logs.U2_SQL),
+    "u3_expression_predicate": QuerySpec(logs.u3_expression_predicate, logs.U3_SQL),
     # §2.6 relational surface (free in Spark SQL, certified via oracle)
     "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_SQL),
     "q3_top_revenue_orders": QuerySpec(relational.q3_top_revenue_orders, relational.Q3_SQL),
