@@ -67,8 +67,10 @@ def chunk_lines_partitionwise(
     df: DataFrame, line_col: str, chunk_size: int
 ) -> DataFrame:
     """Scale-path chunker: gzip chunks formed inside each partition, no
-    shuffle. key = partition_id * 2^32 + local_chunk_index (unique, stable
-    for a fixed partitioning)."""
+    shuffle. key = (partition_id + 1) * 2^32 + local_chunk_index (unique,
+    stable for a fixed partitioning; uniformly >= 2^32 so every key
+    converts to the same Writable class when exported to SequenceFile —
+    pyspark's converter picks Int vs LongWritable by magnitude)."""
     import gzip as _gzip
 
     col = line_col
@@ -83,7 +85,7 @@ def chunk_lines_partitionwise(
         def flush():
             nonlocal chunk_idx
             data = _gzip.compress("\n".join(buf).encode("utf-8"), 6, mtime=0)
-            out = pd.DataFrame({"key": [(pid << 32) | chunk_idx], "value": [data]})
+            out = pd.DataFrame({"key": [((pid + 1) << 32) | chunk_idx], "value": [data]})
             chunk_idx += 1
             buf.clear()
             return out
