@@ -274,6 +274,17 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count — the
+    sketch the reference's ecosystem lacked entirely. No SQL oracle (HLL
+    estimates are engine-specific); tests assert <5% relative error."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k: Spark plans TakeOrderedAndProject — per-partition heap + merge
     of k rows, never a full sort, at any scale. Tiebreak on o_orderkey."""

@@ -203,6 +203,7 @@ QUERIES: dict[str, QuerySpec] = {
         relational.setops_customer_vs_supplier_nations, relational.SETOPS_SQL
     ),
     "distinct_event_types": QuerySpec(relational.distinct_event_types, relational.DISTINCT_SQL),
+    "approx_distinct_users": QuerySpec(relational.approx_distinct_users, None),
     "topk_orders_by_price": QuerySpec(relational.topk_orders_by_price, relational.TOPK_SQL),
     "orders_by_year": QuerySpec(relational.orders_by_year, relational.YEAR_SQL),
     "json_props_bucketed": QuerySpec(relational.json_props_bucketed, relational.JSON_SQL),
