@@ -47,8 +47,10 @@ def main() -> None:
     spark = get_spark(app_name="hadoop-stuff-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session (not counted): trivial job
+    # warm the JVM/session (not counted): one trivial job + one parquet
+    # scan so datasource init isn't billed to the first query
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -92,7 +92,8 @@ def t1_t3_a1_a3_chunked_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals count(*) of the source regardless of chunk size (SURVEY.md §5.2
     count-invariance)."""
     docs = load_table(spark, sf_dir, "documents")
-    chunks = chunk_lines_partitionwise(docs, "text", chunk_size=97)
+    par = spark.sparkContext.defaultParallelism
+    chunks = chunk_lines_partitionwise(docs.repartition(par), "text", chunk_size=97)
     return chunked_record_count(chunks)
 
 
@@ -105,7 +106,8 @@ def t1_t2_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SampleMapRed.java:39-41, would fail this): counts and char sums match
     the uncompressed source."""
     docs = load_table(spark, sf_dir, "documents")
-    chunks = chunk_lines_partitionwise(docs, "text", chunk_size=211)
+    par = spark.sparkContext.defaultParallelism
+    chunks = chunk_lines_partitionwise(docs.repartition(par), "text", chunk_size=211)
     lines = explode_chunks(chunks, "text")
     return lines.agg(
         F.count(F.lit(1)).alias("n_records"),
