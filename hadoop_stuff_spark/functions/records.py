@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FLOW_PATTERN = (
-    r"^<(\d+)> (\S+) \{([^}]*)\}\[([^\]]*)\]: (\w+): "
+    r"^<(\d+)> (\S+) \{([^}]*)\}\[([^\]]*)\]: ([^:]+): "
     r"proto (\d+) \(([^)]*)\) application: ([^,]*), "
     r"([^:]+):(\d+\.\d+\.\d+\.\d+):(\d+) -> (\d+\.\d+\.\d+\.\d+):(\d+), "
     r"(.*?) ; source address and port translate to (\d+\.\d+\.\d+\.\d+):(\d+)$"

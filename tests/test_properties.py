@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis — SURVEY.md §5.2 #4): parser fuzz for
+the flow/CDR record grammars and codec round-trips. Each example set runs
+as ONE Spark job (lists of rows per example) to keep wall time sane."""
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.functions.codecs import (
+    b64_gzip_decode_str,
+    b64_gzip_encode,
+    gzip_compress,
+    gzip_decompress_str,
+)
+from hadoop_stuff_spark.functions.records import (
+    format_flow_log,
+    parse_cdr,
+    parse_flow_log,
+)
+
+# grammar-safe field alphabets (the reference's format is delimiter-based;
+# fields cannot contain their own delimiters — same constraint the real
+# devices had)
+name_st = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-", min_size=1, max_size=12)
+word_st = st.text(alphabet="abcdefghijklmnopqrstuvwxyz ", min_size=1, max_size=30).map(
+    lambda s: " ".join(s.split()) or "x"
+)
+ip_st = st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t)))
+port_st = st.integers(1, 65535)
+ts_st = st.datetimes(
+    min_value=datetime.datetime(1995, 1, 1), max_value=datetime.datetime(2030, 1, 1)
+).map(lambda d: d.replace(microsecond=0))
+
+flow_row_st = st.fixed_dictionaries(
+    {
+        "pri": st.integers(0, 191),
+        "ts": ts_st,
+        "set_name": name_st,
+        "user": name_st,
+        "event": name_st,
+        "proto": st.integers(0, 255),
+        "proto_name": name_st,
+        "application": name_st,
+        "interface": name_st.map(lambda s: f"ge-{s}"),
+        "src_ip": ip_st,
+        "src_port": port_st,
+        "dst_ip": ip_st,
+        "dst_port": port_st,
+        "message": word_st,
+        "nat_ip": ip_st,
+        "nat_port": port_st,
+    }
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(flow_row_st, min_size=1, max_size=25))
+def test_flow_log_format_parse_roundtrip(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "pri int, ts timestamp, set_name string, user string, event string, "
+        "proto int, proto_name string, application string, interface string, "
+        "src_ip string, src_port int, dst_ip string, dst_port int, "
+        "message string, nat_ip string, nat_port int",
+    )
+    line = format_flow_log(*[F.col(c) for c in df.columns])
+    parsed = df.select(line.alias("raw")).select(*parse_flow_log("raw", keep_raw=False))
+    got = [r.asDict() for r in parsed.collect()]
+    # order-insensitive compare on all 16 fields
+    key = lambda d: tuple(str(d[k]) for k in sorted(d))
+    assert sorted(map(key, got)) == sorted(map(key, rows))
+
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=4000
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=20))
+def test_gzip_and_b64_roundtrip_any_text(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t: string")
+    out = df.select(
+        "t",
+        gzip_decompress_str(gzip_compress("t")).alias("gz"),
+        b64_gzip_decode_str(b64_gzip_encode("t")).alias("b64"),
+    ).collect()
+    for r in out:
+        assert r.gz == r.t
+        assert r.b64 == r.t
+
+
+cdr_tail_st = st.lists(st.one_of(st.none(), st.integers(0, 99)), min_size=25, max_size=25)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 10**10 - 1), ts_st, cdr_tail_st),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cdr_parse_fuzz(spark, rows):
+    """CDR lines with arbitrary int tails incl. empty fields parse to the
+    exact typed values (empty → null)."""
+    lines = []
+    for rec_type, phone, ts, tail in rows:
+        start = ts.strftime("%Y%m%d%H%M%S")
+        fields = [
+            str(rec_type), f"1{phone:010d}", "7", start, start, start + "30", "2",
+            "10.0.0.1", "10.0.0.2",
+        ] + ["" if v is None else str(v) for v in tail]
+        lines.append(",".join(fields))
+    df = spark.createDataFrame([(l,) for l in lines], "raw: string")
+    parsed = df.select(*parse_cdr("raw")).collect()
+    got = sorted(
+        (r.record_type, r.phone, r.start_ts, tuple(r[f"f{10+j}"] for j in range(25)))
+        for r in parsed
+    )
+    want = sorted(
+        (rec_type, f"1{phone:010d}", ts, tuple(tail))
+        for rec_type, phone, ts, tail in rows
+    )
+    assert got == want
