@@ -262,6 +262,100 @@ def minhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup (N1, embedding flavor)
+
+
+def embedding_cosine_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
+    threshold, rounded 6 dp before the filter so the DuckDB oracle applies
+    the identical predicate). O(n²) pairwise — this is the *baseline/oracle*;
+    the 100 TB path is :func:`embedding_cosine_dups_lsh`, which prunes pairs
+    through sign-sketch buckets before the exact re-rank."""
+    from hadoop_stuff_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine("va", "vb"), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+EMBEDDING_COSINE_SQL = """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+
+def embedding_cosine_dups_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    bands: int = 16,
+    bits_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate embedding-cosine near-dup: candidate pairs must share at
+    least one random-hyperplane sign-sketch bucket (same deterministic
+    seeded hyperplanes as similarity.topk_cosine_lsh), then exact cosine
+    re-rank + threshold. The self-join key is (band, bucket) — an equi-join
+    Catalyst hashes, never a cartesian product; at scale the shuffle carries
+    (bucket, id, vec) rows where vec is the only wide payload. Rows-only
+    check; recall vs :func:`embedding_cosine_dups` asserted in
+    tests/test_dedup.py."""
+    from hadoop_stuff_spark.functions.vectors import cosine
+    from hadoop_stuff_spark.operators.similarity import _hyperplanes, _sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(bands * bits_per_band, seed=seed)
+    bucket_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            _sign_bucket(
+                "embedding", planes[bnd * bits_per_band : (bnd + 1) * bits_per_band]
+            ).alias("bucket"),
+        )
+        for bnd in range(bands)
+    ]
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*bucket_structs)).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.embedding").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = F.round(cosine("va", "vb"), 6)
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 

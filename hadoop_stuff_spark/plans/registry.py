@@ -214,6 +214,10 @@ QUERIES: dict[str, QuerySpec] = {
     "n1_ngram_jaccard_pairs": QuerySpec(dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     "n1_minhash_near_dups": QuerySpec(dedup.minhash_near_dups, None),
     "n1_simhash_near_dups": QuerySpec(dedup.simhash_near_dups, None),
+    "n1_embedding_cosine_dups": QuerySpec(
+        dedup.embedding_cosine_dups, dedup.EMBEDDING_COSINE_SQL
+    ),
+    "n1_embedding_cosine_dups_lsh": QuerySpec(dedup.embedding_cosine_dups_lsh, None),
     # §2.7 north-star: similarity
     "n2_topk_cosine_bruteforce": QuerySpec(
         similarity.topk_cosine_bruteforce, similarity.TOPK_COSINE_SQL

@@ -115,6 +115,54 @@ def test_simhash_properties(spark):
     assert far_d > 16
 
 
+def test_embedding_cosine_dups_exact_vs_numpy(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs must match a NumPy pairwise
+    computation over the same parquet (pair set + similarity values)."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_stuff_spark.operators.dedup import embedding_cosine_dups
+
+    out = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in embedding_cosine_dups(spark, sf_dir, threshold=0.4).collect()
+    }
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    want = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = round(float(sims[i, j]), 6)
+            if s >= 0.4:
+                a, b = int(ids[i]), int(ids[j])
+                want[(min(a, b), max(a, b))] = s
+    assert want, "testdata should contain cosine pairs above threshold"
+    assert set(out) == set(want)
+    for pair, s in want.items():
+        assert abs(out[pair] - s) <= 2e-6, (pair, out[pair], s)
+
+
+def test_embedding_cosine_lsh_recall_and_precision(spark, sf_dir):
+    """Sign-sketch LSH near-dup: every reported pair is a true pair (exact
+    re-rank ⇒ precision 1.0) and recall vs the exact op is high. Seeded
+    hyperplanes make this deterministic."""
+    from hadoop_stuff_spark.operators.dedup import (
+        embedding_cosine_dups,
+        embedding_cosine_dups_lsh,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in embedding_cosine_dups(spark, sf_dir).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in embedding_cosine_dups_lsh(spark, sf_dir).collect()}
+    assert exact
+    assert approx <= exact  # precision 1.0 after exact re-rank
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.75, f"recall {recall:.3f} over {len(exact)} true pairs"
+
+
 def test_simhash_signatures_table(spark, sf_dir):
     out = simhash_signatures(spark, sf_dir)
     n = out.count()
