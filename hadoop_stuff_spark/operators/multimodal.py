@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -102,6 +103,99 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize. Real impl::
+
+        img = PIL.Image.open(io.BytesIO(payload)).resize((width, height))
+
+    Here: deterministic fake — payload truncated/cycled to width*height
+    bytes, so output size is exactly the 'pixel count' and content is a
+    pure function of the input."""
+    target = width * height
+    if not payload:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """1→1 mapInPandas resize stage: binary in, binary out, fixed target
+    dims. At scale this is pure map work — no shuffle; parallelism = input
+    partitions; Arrow batches bound Python memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _resize_stub(bytes(p) if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+FRAME_SIZE = 256  # stub "frame" = 256-byte slice of the payload
+
+
+def _frames_stub(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """STUB frame sampler. Real impl would decode the container (e.g.
+    PyAV) and emit every ``every_n``-th frame. Here: the payload is cut
+    into FRAME_SIZE-byte 'frames'; every n-th is kept — deterministic,
+    and the 1→N row-expansion shape is identical to the real thing."""
+    n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+    out = []
+    for idx in range(0, n_frames, every_n):
+        out.append((idx, payload[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]))
+    return out
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """1→N mapInPandas frame-sampling stage (UDTF shape — one input blob
+    yields many frame rows). Output rows stay in the producing partition;
+    downstream repartition() is the knob if frame counts skew."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, frame in _frames_stub(
+                    bytes(payload) if payload is not None else b"", every_n
+                ):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    frames.append(frame)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable slice of the multimodal path: byte lengths + sha256
     content hash of the binary payload (no stubbed features involved)."""
@@ -112,6 +206,26 @@ def media_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.sha2(F.col("payload"), 256).alias("sha"),
     )
+
+
+def frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling certification query: sampled-frame count per doc
+    through the real mapInPandas path; the oracle recomputes the count
+    arithmetically from byte lengths (ceil(ceil(bytes/256)/4))."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    return (
+        sample_frames(blobs, every_n=4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(ceil(ceil(strlen(text) / {FRAME_SIZE}.0) / 4.0) AS BIGINT) AS n_frames
+FROM documents
+WHERE strlen(text) > 0
+"""
 
 
 MEDIA_META_SQL = """

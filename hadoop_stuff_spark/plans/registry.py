@@ -235,6 +235,9 @@ QUERIES: dict[str, QuerySpec] = {
     "n4_media_metadata": QuerySpec(
         multimodal.media_metadata_summary, multimodal.MEDIA_META_SQL
     ),
+    "n4_frame_sample_counts": QuerySpec(
+        multimodal.frame_sample_counts, multimodal.FRAME_SAMPLE_SQL
+    ),
 }
 
 

@@ -1,8 +1,15 @@
 """Multimodal plumbing tests (N4): binary columns through mapInPandas."""
 
+import math
+
+from pyspark.sql import functions as F
+
 from hadoop_stuff_spark.operators.multimodal import (
     FEATURE_DIM,
+    FRAME_SIZE,
     extract_media_features,
+    resize_media,
+    sample_frames,
     synthesize_blobs,
 )
 
@@ -23,6 +30,46 @@ def test_feature_extraction_shapes(spark, sf_dir):
         assert len(r.feature) == FEATURE_DIM
         assert abs(sum(r.feature) - 1.0) < 1e-6  # histogram normalized
         assert r.width is not None and r.height is not None
+
+
+def test_resize_fixed_output_size(spark, sf_dir):
+    """Resize stage: every output payload is exactly width*height bytes,
+    deterministic in the input, schema carries the new dims."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    out = resize_media(blobs, width=16, height=8)
+    rows = out.collect()
+    assert len(rows) == blobs.count()
+    for r in rows[:25]:
+        assert len(r.payload) == 16 * 8
+        assert (r.width, r.height) == (16, 8)
+
+
+def test_frame_sample_counts_and_reassembly(spark, sf_dir):
+    """Frame sampling: every_n=1 frames concatenate back to the original
+    payload (lossless cut); every_n=4 keeps ceil(n_frames/4) per doc."""
+    blobs = synthesize_blobs(spark, sf_dir).limit(50)
+    src = {r.doc_id: bytes(r.payload) for r in blobs.collect()}
+
+    all_frames = sample_frames(blobs, every_n=1).collect()
+    rebuilt = {}
+    for r in sorted(all_frames, key=lambda r: (r.doc_id, r.frame_idx)):
+        rebuilt[r.doc_id] = rebuilt.get(r.doc_id, b"") + bytes(r.frame)
+    assert rebuilt == src
+
+    sampled = (
+        sample_frames(blobs, every_n=4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r.doc_id: r.n for r in sampled}
+    for doc_id, payload in src.items():
+        n_frames = math.ceil(len(payload) / FRAME_SIZE)
+        want = math.ceil(n_frames / 4) if n_frames else 0
+        if want:
+            assert got[doc_id] == want
+        else:
+            assert doc_id not in got
 
 
 def test_feature_extraction_deterministic(spark, sf_dir):
