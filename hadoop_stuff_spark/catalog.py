@@ -64,9 +64,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
-        # nanos → micros (floor division; all testdata epochs are positive),
-        # matching DuckDB's micro-precision truncation of the same files.
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")))
+        # nanos → micros via integer division (`div`, not `/`: long `/` long
+        # is a double, and ~1.7e18 ns exceeds double's 53-bit mantissa — a
+        # float divide rounds …999 ns UP a microsecond), matching DuckDB's
+        # micro-precision truncation of the same files.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -168,6 +168,50 @@ SELECT sub_id, event_id FROM records r JOIN subs s ON regexp_matches(r.value, s.
 """
 
 
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (streaming surface run in
+    batch — identical code path, see streaming/windows.py; the streaming
+    form adds only the watermark)."""
+    from hadoop_stuff_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return windows.windowed_event_counts(ev)
+
+
+WINDOWED_COUNTS_SQL = """
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — gaps-and-islands in the
+    DuckDB oracle, F.session_window here."""
+    from hadoop_stuff_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return windows.sessionized_event_counts(ev)
+
+
+SESSION_SQL = """
+WITH t AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM t
+)
+SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events
+FROM s GROUP BY user_id, sess_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -181,6 +225,8 @@ QUERIES: dict[str, QuerySpec] = {
     "t1_t2_gzip_roundtrip": QuerySpec(t1_t2_gzip_roundtrip, GZIP_ROUNDTRIP_SQL),
     "a5_grouped_count": QuerySpec(a5_grouped_count, A5_SQL),
     "st2_st3_wiretap_routing": QuerySpec(st2_st3_wiretap_routing, ST2_SQL),
+    "windowed_event_counts": QuerySpec(windowed_event_counts, WINDOWED_COUNTS_SQL),
+    "sessionized_event_counts": QuerySpec(sessionized_event_counts, SESSION_SQL),
     "t9_flow_log_roundtrip": QuerySpec(logs.t9_flow_log_roundtrip, logs.FLOW_ROUNDTRIP_SQL),
     "t9_cdr_parse_agg": QuerySpec(logs.t9_cdr_parse_agg, logs.CDR_PARSE_SQL),
     "u2_grouped_custom_agg": QuerySpec(logs.u2_grouped_custom_agg, logs.U2_SQL),
