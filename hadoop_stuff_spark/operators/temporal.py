@@ -1,0 +1,261 @@
+"""Time-series joins Spark lacks as built-ins: as-of join and range
+(interval) join — expressed as compositions of DataFrame ops so Catalyst
+still plans them (no Python in the hot path, no crossJoin).
+
+The reference has no joins at all (SURVEY.md §2.6 — the only temporal
+artifact is arrival-order tailing, src/test/java/oz/poc/file/TailF.java:110-149),
+but any CDR/flow-log engine needs "state at time of event" lookups; these
+operators provide them Spark-first.
+
+Scale design:
+
+- :func:`asof_join` is the union + ordered-window carry-forward form: tag
+  both sides, union, one hash Exchange on the key plus one Sort, then
+  ``last(..., ignorenulls=True)`` carries the most recent right-side row
+  forward onto each left row. Cost is identical to one sort-merge join
+  (shuffle both sides once, sort once) regardless of time-skew, and there
+  is NO per-left-row probe amplification — the classic
+  "window over union" formulation used instead of a range-predicate join,
+  which would explode to O(left × right-per-key) intermediate rows.
+- :func:`range_join` buckets time into fixed-width cells: each point maps
+  to exactly one bucket, each interval explodes to the (few) buckets it
+  overlaps, and the join becomes a plain equi-join on ``bucket`` with the
+  exact range predicate applied post-join. Candidate fan-out is bounded by
+  ``ceil(interval_width / bucket_width) + 1`` per interval — at 100 TB this
+  is a shuffled hash join on a high-cardinality key, never a
+  BroadcastNestedLoopJoin (which is what naive ``a.join(b, range_pred)``
+  degenerates to without an equality conjunct).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[Sequence[str]] = None,
+    right_tiebreak: Optional[str] = None,
+    tolerance_seconds: Optional[float] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: every left row picks the right row with the
+    greatest ``right_ts <= left_ts`` within the same ``on`` key group
+    (pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics, equal
+    timestamps match).
+
+    Returns all left columns plus ``asof_ts`` (the matched right
+    timestamp) and the requested ``right_cols``. ``how='left'`` keeps
+    unmatched left rows with nulls; ``'inner'`` drops them.
+    ``tolerance_seconds`` additionally requires
+    ``left_ts - right_ts <= tolerance``.
+
+    ``right_tiebreak``: column ordering right-side rows that share an
+    identical (key, ts) — the greatest wins, making the pick
+    deterministic (without it Spark's sort order between duplicate
+    timestamps is partition-dependent).
+    """
+    on = list(on)
+    right_cols = list(right_cols or [])
+    right_schema = {f.name: f.dataType for f in right.schema.fields}
+
+    # one unioned relation: left rows carry their own payload, right rows
+    # carry the as-of payload; _side orders right (0) before left (1) at
+    # equal timestamps so ties match (ASOF's >= semantics)
+    left_payload = [c for c in left.columns if c not in on]
+    l_side = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+        *[F.lit(None).cast(right_schema[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_side = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if right_tiebreak is not None:
+        l_side = l_side.withColumn("_tb", F.lit(None).cast(right_schema[right_tiebreak]))
+        r_side = r_side.withColumn("_tb", F.col(f"_r_{right_tiebreak}"))
+        order.append(F.col("_tb").asc_nulls_last())
+
+    unioned = l_side.unionByName(r_side)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *on,
+        "_ts",
+        "_side",
+        *left_payload,
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = F.col("asof_ts").isNotNull() & (
+            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("asof_ts"))
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        if how == "inner":
+            out = out.filter(in_tol)
+        else:  # left: keep the row, null out the too-old match
+            out = out.select(
+                *on,
+                "_ts",
+                "_side",
+                *left_payload,
+                F.when(in_tol, F.col("asof_ts")).alias("asof_ts"),
+                *[
+                    F.when(in_tol, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                    for c in right_cols
+                ],
+            )
+    elif how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out.select(
+        *on,
+        F.col("_ts").alias(left_ts),
+        *left_payload,
+        "asof_ts",
+        *[F.col(f"asof_{c}") for c in right_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    interval_start: str,
+    interval_end: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point_ts < end`` — WITHOUT an equality key. Buckets both
+    sides on ``floor(epoch / bucket_seconds)`` so Catalyst plans a shuffled
+    equi-join on ``_bucket``; the exact range predicate filters post-join.
+    Pick ``bucket_seconds`` ≈ the typical interval width so each interval
+    lands in ~2 buckets.
+
+    Output: all interval columns + all point columns (``how='left'``:
+    intervals with no points keep null point columns).
+    """
+    p = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
+    )
+    iv = intervals.withColumn(
+        "_buckets",
+        F.sequence(
+            F.floor(F.unix_timestamp(F.col(interval_start)) / bucket_seconds),
+            F.floor(F.unix_timestamp(F.col(interval_end)) / bucket_seconds),
+        ),
+    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    joined = iv.join(p, "_bucket", "inner").filter(
+        (F.col(point_ts) >= F.col(interval_start)) & (F.col(point_ts) < F.col(interval_end))
+    ).drop("_bucket")
+    if how == "left":
+        matched = joined
+        return intervals.join(
+            matched, [c for c in intervals.columns if c != "_bucket"], "left"
+        )
+    return joined
+
+
+# --------------------------------------------------------------------------
+# registry queries
+
+
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's most recent prior (or
+    simultaneous) click — the canonical 'state at time of event' lookup
+    over the events table. Oracle: DuckDB ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["click_id", "click_value"],
+        right_tiebreak="click_id",
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_click_id").alias("click_id"),
+        F.round("asof_click_value", 2).alias("click_value"),
+    )
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, c.ts AS click_ts, c.event_id AS click_id,
+       round(c.value, 2) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def range_error_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equality key): for each error event, how many
+    purchase events — from ANY user — landed in the 5 minutes after it.
+    Zero-count errors are kept (left semantics via re-join of counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    hits = range_join(
+        purchases, errors, "p_ts", "win_start", "win_end", bucket_seconds=300
+    )
+    counts = hits.groupBy("error_id").agg(F.count(F.lit(1)).alias("n_purchases"))
+    return (
+        errors.join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+RANGE_SQL = """
+SELECT e.event_id AS error_id, count(p.event_id) AS n_purchases
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 5 MINUTE
+GROUP BY 1
+"""

@@ -25,6 +25,7 @@ from hadoop_stuff_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     textstats,
 )
 from hadoop_stuff_spark.operators.counts import chunked_record_count
@@ -251,6 +252,10 @@ QUERIES: dict[str, QuerySpec] = {
         relational.setops_customer_vs_supplier_nations, relational.SETOPS_SQL
     ),
     "distinct_event_types": QuerySpec(relational.distinct_event_types, relational.DISTINCT_SQL),
+    "asof_purchase_last_click": QuerySpec(temporal.asof_purchase_last_click, temporal.ASOF_SQL),
+    "range_error_window_activity": QuerySpec(
+        temporal.range_error_window_activity, temporal.RANGE_SQL
+    ),
     "approx_distinct_users": QuerySpec(relational.approx_distinct_users, None),
     "topk_orders_by_price": QuerySpec(relational.topk_orders_by_price, relational.TOPK_SQL),
     "orders_by_year": QuerySpec(relational.orders_by_year, relational.YEAR_SQL),
