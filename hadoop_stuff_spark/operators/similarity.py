@@ -18,6 +18,7 @@ Two paths:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -158,6 +159,90 @@ def topk_cosine_lsh(
         "query_id",
         "vec_id",
         F.round(cosine("query_id_vec", "vec_id_vec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
+    """Deterministic coarse quantizer: the n_cells corpus vectors with the
+    smallest xxhash64(vec_id) (a seeded uniform sample that needs no RNG
+    state), L2-normalized. At any scale this is a TakeOrdered of n_cells
+    rows — a tiny driver-side artifact, same footprint class as a
+    broadcast-join build side."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    c = np.array([r.embedding for r in rows], dtype=np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def topk_cosine_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus is partitioned into ``n_cells`` cells
+    by nearest centroid; each query probes its ``n_probe`` nearest cells and
+    exact-cosine re-ranks only those candidates. Work scanned per query is
+    ~n_probe/n_cells of the corpus — the knob that holds at 100 TB, where
+    the cell assignment is computed once at ingest and stored as a
+    partition column (partition pruning then skips whole files per query).
+
+    Cell assignment is one Arrow-batched numpy matmul per batch (pandas
+    UDF) — vectorized, never per-row Python.
+
+    Like the sign-LSH path, probe width is data-dependent: the driver's
+    embeddings are unclustered gaussian noise, where cell membership
+    correlates only weakly with nearest-neighborhood — n_probe=8/16
+    (~half the corpus scanned) measures recall@10 ≈ 0.6-0.7 here. On real
+    clustered embeddings (the actual 100 TB workload) n_probe=1-2 of
+    sqrt(N) cells is the standard operating point.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb, n_cells)
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1))
+
+    @pandas_udf("array<int>")
+    def probe_cells(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    corpus = emb.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
+    queries = broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.explode(probe_cells("embedding")).alias("cell"),
+        )
+    )
+    scored = (
+        corpus.join(queries, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("qvec", "embedding"), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

@@ -274,6 +274,7 @@ QUERIES: dict[str, QuerySpec] = {
         similarity.topk_cosine_bruteforce, similarity.TOPK_COSINE_SQL
     ),
     "n2_topk_cosine_lsh": QuerySpec(similarity.topk_cosine_lsh, None),
+    "n2_topk_cosine_ivf": QuerySpec(similarity.topk_cosine_ivf, None),
     "n2_embedding_norm_stats": QuerySpec(
         similarity.embedding_norm_stats, similarity.NORM_STATS_SQL
     ),
