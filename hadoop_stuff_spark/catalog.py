@@ -72,6 +72,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow scan across all cores before a CPU-heavy
+    projection (regex, hashing, HOF vector math). The driver testdata is a
+    single-row-group parquet file per table — Spark cannot split a scan
+    below one row group, so these arrive as ONE partition regardless of
+    ``spark.sql.files.maxPartitionBytes``. At production scale (many files
+    / many row groups) the scan already yields >= cores partitions and
+    this is a no-op: the round-robin shuffle is paid exactly when the
+    alternative is single-core execution."""
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

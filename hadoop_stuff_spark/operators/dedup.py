@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions import text as T
 from hadoop_stuff_spark.functions.text import fingerprint_md5
 
@@ -38,7 +38,7 @@ from hadoop_stuff_spark.functions.text import fingerprint_md5
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups by normalized-text fingerprint: canonical
     (min) doc_id + group size per distinct content."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", fingerprint_md5("text").alias("fp"))
         .groupBy("fp")
@@ -87,7 +87,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, similarity
     >= threshold) via inverted-index self-join — no cartesian product; the
     join key is the shingle, so only docs sharing a shingle ever meet."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(shingles("text", n)).alias("shingle")
     )
@@ -187,10 +187,7 @@ def minhash_candidates(
     explode to (band_hash, id) → self-join per bucket → dedup pairs.
     The shuffle never carries document text."""
     rows = perms // bands
-    # spread the CPU-heavy signature projection across cores — a single
-    # parquet file otherwise yields one partition (no parallelism)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sigs = docs.repartition(par).select(
+    sigs = spread(docs).select(
         F.col(id_col).alias("id"), minhash_signature(text_col, n, perms).alias("sig")
     )
     banded = sigs.select(
@@ -275,7 +272,7 @@ def embedding_cosine_dups(
     through sign-sketch buckets before the exact re-rank."""
     from hadoop_stuff_spark.functions.vectors import cosine
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     sim = F.round(cosine("va", "vb"), 6)
@@ -314,7 +311,7 @@ def embedding_cosine_dups_lsh(
     from hadoop_stuff_spark.functions.vectors import cosine
     from hadoop_stuff_spark.operators.similarity import _hyperplanes, _sign_bucket
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     planes = _hyperplanes(bands * bits_per_band, seed=seed)
     bucket_structs = [
         F.struct(
@@ -387,7 +384,7 @@ def _simhash64_udf(texts: pd.Series) -> pd.Series:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash (rows-only check; properties tested in
     tests/test_dedup.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", _simhash64_udf(F.col("text")).alias("simhash"))
 
 

@@ -9,12 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions import text as T
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -32,7 +32,7 @@ FROM documents
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics + composite score (rounded for the
     oracle's value-hash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -70,7 +70,7 @@ FROM m
 
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID per document, with per-language hit scores."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     scores = T.lang_scores("text")
     return docs.select(
         "doc_id",
@@ -108,7 +108,7 @@ FROM s JOIN ranked r ON s.doc_id = r.doc_id AND r.rn = 1
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (md5 of normalized text) + per-source
     distinct-fingerprint counts — the exact-dedup building block."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("source", T.fingerprint_md5("text").alias("fp"))
         .groupBy("source")

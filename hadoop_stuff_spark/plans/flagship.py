@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.catalog import load_table, spread
 
 # Records whose JSON props carry a two-digit k (k >= 10) — a regex the way
 # the reference's grep queries were regexes over raw record text.
@@ -21,7 +21,7 @@ FLAGSHIP_PATTERN = r'"k":\s*[1-9][0-9]'
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = spread(load_table(spark, sf_dir, "events"))
     return (
         events.filter(F.col("props").rlike(FLAGSHIP_PATTERN))
         .groupBy("event_type")

@@ -18,7 +18,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.operators import (
     dedup,
     logs,
@@ -143,7 +143,7 @@ def st2_st3_wiretap_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming wiretap runs (broadcast subscriptions × rlike multicast;
     RealTimeCdrWiretap.java:42-72). A record matching several subscriptions
     is delivered to each."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     records = ev.select(
         "event_id",
         F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("value"),
