@@ -343,3 +343,117 @@ SELECT CAST(floor(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) / 
        count(*) AS n, round(avg(value), 4) AS avg_value
 FROM events GROUP BY 1
 """
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set levels in one pass.
+    Spark plans Expand + a single partial→final HashAggregate — the rows
+    shuffled are (groups × 4), never the raw orders, so the plan holds at
+    any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def groupingsets_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube): totals by
+    (event_type), by (user_id bucket), and grand total — disjoint
+    dimensions, one scan. grouping_id() tags which set each row came from."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("int")
+    )
+    ev.createOrReplaceTempView("ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_bucket,
+               CAST(grouping_id(event_type, user_bucket) AS INTEGER) AS gid,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
+
+
+GROUPINGSETS_SQL = """
+SELECT event_type, CAST(user_id % 10 AS INTEGER) AS user_bucket,
+       CAST(grouping(event_type) * 2 + grouping(user_id % 10) AS INTEGER) AS gid,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), ((user_id % 10)), ())
+"""
+
+
+def exists_bulk_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS): orders per priority having at
+    least one bulk lineitem (l_quantity >= 45). Decorrelated to a left-semi
+    join — one shuffle on orderkey, then the tiny per-priority aggregate."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    bulk = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(bulk, orders.o_orderkey == bulk.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from lineitems
+    whose quantity is below 20% of the per-part average, for one brand.
+    Decorrelated: per-part avg via partial agg (shuffles only partkey+2
+    aggregates), broadcast-joined back. l_quantity is integral so the avg is
+    bit-exact in both engines and the `<` comparison cannot flip."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""

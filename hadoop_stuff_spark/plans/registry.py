@@ -252,6 +252,16 @@ QUERIES: dict[str, QuerySpec] = {
         relational.setops_customer_vs_supplier_nations, relational.SETOPS_SQL
     ),
     "distinct_event_types": QuerySpec(relational.distinct_event_types, relational.DISTINCT_SQL),
+    "cube_order_stats": QuerySpec(relational.cube_order_stats, relational.CUBE_SQL),
+    "groupingsets_event_stats": QuerySpec(
+        relational.groupingsets_event_stats, relational.GROUPINGSETS_SQL
+    ),
+    "exists_bulk_orders_by_priority": QuerySpec(
+        relational.exists_bulk_orders_by_priority, relational.EXISTS_SQL
+    ),
+    "q17_small_quantity_revenue": QuerySpec(
+        relational.q17_small_quantity_revenue, relational.Q17_SQL
+    ),
     "asof_purchase_last_click": QuerySpec(temporal.asof_purchase_last_click, temporal.ASOF_SQL),
     "range_error_window_activity": QuerySpec(
         temporal.range_error_window_activity, temporal.RANGE_SQL
