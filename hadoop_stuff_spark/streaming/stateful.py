@@ -1,0 +1,111 @@
+"""Custom stateful streaming operators (SURVEY.md §2.4 beyond-reference;
+pipeline north-star N1 applied to streams).
+
+The reference's only stateful streaming is the hand-rolled tail pointer
+(TailF.java:110-149) and a mutable subscriber registry
+(RealTimeCdrWiretap.java:74-86) — both JVM-lifetime state that dies on
+restart. Here state lives in Spark's keyed state store, partitioned by the
+grouping key and snapshotted to the checkpoint: restart-safe, and sized
+per-key (not per-executor), so a 1000-executor cluster shards it
+horizontally for free.
+
+Two operators, both `applyInPandasWithState` (Arrow-batched — the
+per-group Python function sees pandas frames, never row-at-a-time):
+
+- `dedup_first_seen` — streaming exact dedup: emit the first record per
+  fingerprint ever seen across the whole stream; later duplicates are
+  dropped, across micro-batches and restarts. The streaming twin of
+  `operators/dedup.dedup_exact_groups`, and what a 100 TB training-data
+  ingest actually runs (dedup-on-arrival instead of dedup-after-landing).
+- `running_counts` — per-key running record counter emitted on every
+  update: the reference's periodic throughput printouts
+  (IngestTest.java:90-94, TailF.java:136-140) as a queryable stream.
+
+Scale notes: state per key is one long (count) — bounded; the shuffle
+each micro-batch carries only the new records hash-partitioned by key.
+At 100 TB of *stream history* the state size is O(distinct keys), which is
+why the key should be a fingerprint (16 B md5), never the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_DEDUP_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+# state = number of records ever seen for this key
+_COUNT_STATE = StructType([StructField("n_seen", LongType())])
+
+_COUNTS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+
+def _dedup_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen = state.get[0] if state.exists else 0
+    first: pd.DataFrame | None = None
+    n = 0
+    for pdf in pdf_iter:
+        if first is None and len(pdf) > 0:
+            first = pdf.iloc[[0]][["key", "value"]]
+        n += len(pdf)
+    state.update((seen + n,))
+    if seen == 0 and first is not None:
+        yield first
+
+
+def dedup_first_seen(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Emit exactly one record per distinct ``key_col`` for the lifetime of
+    the stream (first occurrence wins; which record is "first" inside a
+    single micro-batch is arrival-order per partition, as in the
+    reference's tail). Duplicate arrivals only bump the keyed counter."""
+    renamed = stream.selectExpr(f"{key_col} AS key", f"{value_col} AS value")
+    return renamed.groupBy("key").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_COUNT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _counts_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen = state.get[0] if state.exists else 0
+    n = sum(len(pdf) for pdf in pdf_iter)
+    state.update((seen + n,))
+    if n > 0:
+        yield pd.DataFrame({"key": [key[0]], "n_total": [seen + n]})
+
+
+def running_counts(stream: DataFrame, key_col: str) -> DataFrame:
+    """Per-key running total, emitted once per micro-batch in which the key
+    received records — the reference's cadence printouts as a stream."""
+    renamed = stream.selectExpr(f"{key_col} AS key")
+    return renamed.groupBy("key").applyInPandasWithState(
+        _counts_fn,
+        outputStructType=_COUNTS_OUT,
+        stateStructType=_COUNT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

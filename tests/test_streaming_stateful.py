@@ -1,0 +1,91 @@
+"""Stateful streaming operator tests (applyInPandasWithState): keyed state
+survives across micro-batch runs via the checkpoint, duplicates are dropped
+stream-lifetime-wide, running counters accumulate."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.streaming.stateful import dedup_first_seen, running_counts
+from hadoop_stuff_spark.streaming.tail import tail_stream
+
+
+def _write_log(directory: str, name: str, lines: list[str]) -> None:
+    with open(os.path.join(directory, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _keyed(stream):
+    # key = first token of the line, value = whole line
+    return stream.select(
+        F.split(F.col("value"), " ")[0].alias("k"), F.col("value").alias("v")
+    )
+
+
+def test_streaming_dedup_within_and_across_batches(spark, tmp_path):
+    logdir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out1")
+    os.makedirs(logdir)
+
+    _write_log(logdir, "b0.txt", ["A one", "A two", "B one", "C one", "B two"])
+
+    q = (
+        dedup_first_seen(_keyed(tail_stream(spark, logdir)), "k", "v")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["key"]: r["value"] for r in spark.read.parquet(outdir).collect()}
+    assert set(got) == {"A", "B", "C"}
+
+    # --- second run: duplicates of A/B/C must NOT re-emit (state came back
+    # from the checkpoint); only the brand-new key D appears.
+    _write_log(logdir, "b1.txt", ["A three", "D one", "C two", "D two"])
+    q2 = (
+        dedup_first_seen(_keyed(tail_stream(spark, logdir)), "k", "v")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(outdir).collect()
+    keys = sorted(r["key"] for r in rows)
+    assert keys == ["A", "B", "C", "D"], rows
+    d_val = next(r["value"] for r in rows if r["key"] == "D")
+    assert d_val == "D one"
+
+
+def test_running_counts_accumulate_across_batches(spark, tmp_path):
+    logdir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    os.makedirs(logdir)
+
+    _write_log(logdir, "b0.txt", ["A x", "A y", "B x"])
+    # parquet sink is append-only → land update-mode output via foreachBatch
+    for _ in range(2):  # second run adds a new file before restarting
+        q = (
+            running_counts(_keyed(tail_stream(spark, logdir)), "k")
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(outdir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        _write_log(logdir, "b1.txt", ["A z", "C x"])
+
+    # batch 1 emitted (A,2),(B,1); batch 2 (A,3),(C,1) — totals accumulate
+    rows = {(r["key"], r["n_total"]) for r in spark.read.parquet(outdir).collect()}
+    assert ("A", 2) in rows and ("B", 1) in rows
+    assert ("A", 3) in rows and ("C", 1) in rows
