@@ -47,6 +47,19 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def set_arrow_batch_rows(df: DataFrame, rows: int | None) -> None:
+    """Bound Python-worker memory for binary-heavy mapInPandas stages: the
+    Arrow reader hands the UDF at most ``rows`` rows per batch, so peak
+    per-worker memory ≈ rows × max_payload_bytes regardless of partition
+    size. Session-wide conf (Spark reads it at execution time) — set it to
+    match the *largest* payloads in the pipeline. The testdata's ~KB blobs
+    don't need it; MB-scale media at 100 TB does."""
+    if rows is not None:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows)
+        )
+
+
 def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → binary payload + metadata (media-table shape)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -75,11 +88,15 @@ def _decode_stub(payload: bytes) -> tuple[list[float], int, int]:
     return feats, int(n % 1024), int(n // 1024 + 1)
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, arrow_batch_rows: int | None = None
+) -> DataFrame:
     """mapInPandas over binary payloads → feature vectors + dims. Arrow
     moves the binary column in batches; one Python worker per partition —
     this is the pattern for any heavy per-blob decode at scale (partition
-    count controls parallelism; no shuffle)."""
+    count controls parallelism; no shuffle). ``arrow_batch_rows`` bounds
+    per-worker memory for large payloads (see :func:`set_arrow_batch_rows`)."""
+    set_arrow_batch_rows(media, arrow_batch_rows)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,10 +146,16 @@ def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
     return (payload * reps)[:target]
 
 
-def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+def resize_media(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    arrow_batch_rows: int | None = None,
+) -> DataFrame:
     """1→1 mapInPandas resize stage: binary in, binary out, fixed target
     dims. At scale this is pure map work — no shuffle; parallelism = input
-    partitions; Arrow batches bound Python memory."""
+    partitions; Arrow batches bound Python memory (``arrow_batch_rows``)."""
+    set_arrow_batch_rows(media, arrow_batch_rows)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -176,10 +199,13 @@ def _frames_stub(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
     return out
 
 
-def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_n: int = 4, arrow_batch_rows: int | None = None
+) -> DataFrame:
     """1→N mapInPandas frame-sampling stage (UDTF shape — one input blob
     yields many frame rows). Output rows stay in the producing partition;
     downstream repartition() is the knob if frame counts skew."""
+    set_arrow_batch_rows(media, arrow_batch_rows)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
