@@ -25,6 +25,7 @@ from hadoop_stuff_spark.operators import (
     multimodal,
     relational,
     similarity,
+    skew,
     temporal,
     textstats,
 )
@@ -253,6 +254,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "distinct_event_types": QuerySpec(relational.distinct_event_types, relational.DISTINCT_SQL),
     "cube_order_stats": QuerySpec(relational.cube_order_stats, relational.CUBE_SQL),
+    "skew_salted_join_enriched_counts": QuerySpec(
+        skew.skew_salted_join_enriched_counts, skew.SALTED_JOIN_SQL
+    ),
+    "skew_salted_heavy_hitters": QuerySpec(
+        skew.skew_salted_heavy_hitters, skew.SALTED_AGG_SQL
+    ),
     "groupingsets_event_stats": QuerySpec(
         relational.groupingsets_event_stats, relational.GROUPINGSETS_SQL
     ),
