@@ -109,3 +109,38 @@ def fingerprint_md5(col: Column | str) -> Column:
     (the exact-dedup key). md5 exists in DuckDB too → oracle-able."""
     normalized = F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
     return F.md5(normalized)
+
+
+def winnow_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    scheme): hash every k-gram in order, slide a window of w hashes, keep
+    each window's minimum, dedupe. Guarantees any shared token run of
+    length >= w+k-1 between two documents yields a shared fingerprint —
+    the rolling-hash fingerprint the pipeline north-star asks for.
+
+    Pure Catalyst (transform/slice/array_min over md5 hex strings — string
+    order is hash order, portable to the oracle): no Python in the path,
+    so 100 TB of documents fingerprint at scan speed, map-side only."""
+    toks = tokens(col)
+    n_grams = F.size(toks) - (k - 1)
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(empty)
+    n_wins = F.size(hashes) - (w - 1)
+    wins = (
+        F.when(F.size(hashes) == 0, empty)
+        .when(
+            n_wins >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda i: F.array_min(F.slice(hashes, i, w)),
+            ),
+        )
+        .otherwise(F.array(F.array_min(hashes)))  # doc shorter than window
+    )
+    return F.array_distinct(wins)

@@ -105,6 +105,44 @@ FROM s JOIN ranked r ON s.doc_id = r.doc_id AND r.rn = 1
 """
 
 
+def winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints per document (k=3-gram hashes,
+    window w=4): fingerprint-set size + lexicographic min fingerprint —
+    enough to certify the whole scheme against the oracle's list-
+    comprehension reimplementation."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fps = T.winnow_fingerprints("text", k=3, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.array_min(fps).alias("min_fp"),
+    )
+
+
+WINNOW_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) - 2 >= 1
+              THEN [md5(array_to_string(toks[i:i+2], ' ')) FOR i IN range(1, len(toks) - 2 + 1)]
+              ELSE []::VARCHAR[] END AS hashes
+  FROM t
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(hashes) = 0 THEN []::VARCHAR[]
+              WHEN len(hashes) - 3 >= 1
+              THEN [list_min(hashes[i:i+3]) FOR i IN range(1, len(hashes) - 3 + 1)]
+              ELSE [list_min(hashes)] END AS wins
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(list_distinct(wins)) AS INTEGER) AS n_fps,
+       list_min(wins) AS min_fp
+FROM w
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (md5 of normalized text) + per-source
     distinct-fingerprint counts — the exact-dedup building block."""

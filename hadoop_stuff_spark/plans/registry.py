@@ -300,6 +300,9 @@ QUERIES: dict[str, QuerySpec] = {
     "n3_text_quality": QuerySpec(textstats.text_quality, textstats.TEXT_QUALITY_SQL),
     "n3_language_id": QuerySpec(textstats.language_id, textstats.LANGUAGE_ID_SQL),
     "n3_fingerprints": QuerySpec(textstats.fingerprints, textstats.FINGERPRINTS_SQL),
+    "n3_winnowed_fingerprints": QuerySpec(
+        textstats.winnowed_fingerprints, textstats.WINNOW_SQL
+    ),
     # §2.7 north-star: multimodal
     "n4_media_metadata": QuerySpec(
         multimodal.media_metadata_summary, multimodal.MEDIA_META_SQL

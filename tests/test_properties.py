@@ -124,3 +124,57 @@ def test_cdr_parse_fuzz(spark, rows):
         for rec_type, phone, ts, tail in rows
     )
     assert got == want
+
+
+def _winnow_py(text: str, k: int = 3, w: int = 4) -> set[str]:
+    """Pure-Python reference winnowing (hashlib md5 over k-gram strings)."""
+    import hashlib
+
+    toks = text.split(" ")
+    grams = [
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    ]
+    hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    if not hashes:
+        return set()
+    if len(hashes) < w:
+        return {min(hashes)}
+    return {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+
+
+def test_winnow_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.functions.text import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b",  # shorter than k → no grams
+        "one two three",  # exactly one gram, shorter than window
+        "x y z x y z x y z x y z",  # repeats → duplicate hashes
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {
+        r["i"]: set(r["fps"])
+        for r in df.select("i", winnow_fingerprints("text").alias("fps")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_py(t), (i, t)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a token run of >= w+k-1 tokens
+    share at least one fingerprint."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    d1 = "xx yy " + shared + " zz"
+    d2 = "completely different prefix words " + shared
+    df = spark.createDataFrame([(1, d1), (2, d2)], "i int, text string")
+    fps = {
+        r["i"]: set(r["fps"])
+        for r in df.select("i", winnow_fingerprints("text").alias("fps")).collect()
+    }
+    assert fps[1] & fps[2], fps
