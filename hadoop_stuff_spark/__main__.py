@@ -1,0 +1,81 @@
+"""CLI — the reference's gradle JavaExec tasks (build.gradle:36-55) as
+subcommands:
+
+    python -m hadoop_stuff_spark ingest  SRC DST [--chunk-size N]
+    python -m hadoop_stuff_spark grep    PATH PATTERN [--format chunked|text|parquet] [--count]
+    python -m hadoop_stuff_spark count   PATH [--format chunked|text|parquet]
+    python -m hadoop_stuff_spark sql     QUERY [--sf-dir DIR]
+    python -m hadoop_stuff_spark wiretap LOG_DIR "REGEX HOST:PORT" [...] [--available-now]
+
+The reference packed these args into one comma-delimited string parsed
+positionally (DistributedGrep.java:85-93); argparse replaces that."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hadoop_stuff_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="text file(s) -> gzip-chunked parquet store")
+    ing.add_argument("source")
+    ing.add_argument("target")
+    ing.add_argument("--chunk-size", type=int, default=1000)
+
+    gr = sub.add_parser("grep", help="regex filter over a store")
+    gr.add_argument("path")
+    gr.add_argument("pattern")
+    gr.add_argument("--format", default="chunked", choices=["chunked", "text", "parquet"])
+    gr.add_argument("--count", action="store_true", help="print only the match count")
+    gr.add_argument("--limit", type=int, default=20)
+
+    ct = sub.add_parser("count", help="record count over a store")
+    ct.add_argument("path")
+    ct.add_argument("--format", default="chunked", choices=["chunked", "text", "parquet"])
+
+    sq = sub.add_parser("sql", help="ANSI SQL over the testdata views")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", default=None)
+    sq.add_argument("--limit", type=int, default=20)
+
+    wt = sub.add_parser("wiretap", help="tail a log dir, route matches to TCP subscribers")
+    wt.add_argument("log_dir")
+    wt.add_argument("subscription", nargs="+", help='"<regex> <host>:<port>"')
+    wt.add_argument("--checkpoint", default=None)
+    wt.add_argument("--available-now", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from hadoop_stuff_spark.engine import Engine  # deferred: JVM start
+
+    eng = Engine()
+    if args.cmd == "ingest":
+        eng.ingest(args.source, args.target, args.chunk_size)
+        print(f"ingested {args.source} -> {args.target}")
+    elif args.cmd == "grep":
+        if args.count:
+            print(eng.grep_count(args.path, args.pattern, args.format).collect()[0]["match_count"])
+        else:
+            eng.grep(args.path, args.pattern, args.format).show(args.limit, truncate=False)
+    elif args.cmd == "count":
+        print(eng.record_count(args.path, args.format).collect()[0]["record_count"])
+    elif args.cmd == "sql":
+        eng.sql(args.query, args.sf_dir).show(args.limit, truncate=False)
+    elif args.cmd == "wiretap":
+        q = eng.wiretap(
+            args.log_dir,
+            args.subscription,
+            checkpoint_dir=args.checkpoint,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""User-facing engine facade — the reference's entry points as one class.
+
+The reference exposes three gradle JavaExec tasks taking a comma-delimited
+positional config string (build.gradle:36-55; parsed at
+DistributedGrep.java:85-93): `ingest`, `recordCount`, `grep` — plus the
+wiretap registered via raw "<regex> <host>:<port>" messages
+(RealTimeCdrWiretap.java:30-38). A user of the reference switches by
+replacing each task invocation with the corresponding method here (or the
+`python -m hadoop_stuff_spark` CLI in `__main__.py`):
+
+    gradle ingest      → Engine().ingest(src_txt, dst_store)
+    gradle recordCount → Engine().record_count(dst_store)
+    gradle grep        → Engine().grep(dst_store, pattern)
+    wiretap register   → Engine().wiretap(log_dir, ["<regex> <host>:<port>", ...])
+    (no SQL existed)   → Engine().sql("SELECT ...")  — the surface the
+                         reference lacked (SURVEY.md §2.6), free from Spark
+
+No remote-user impersonation / namenode / jobtracker / jar-path plumbing
+survives the translation: session conf replaces all of it (SURVEY.md §3.1
+steps 1-4 collapse into `get_spark()`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_stuff_spark.catalog import register_views
+from hadoop_stuff_spark.operators.counts import record_count as _record_count
+from hadoop_stuff_spark.operators.counts import chunked_record_count
+from hadoop_stuff_spark.operators.grep import grep as _grep
+from hadoop_stuff_spark.operators.grep import grep_count
+from hadoop_stuff_spark.session import get_spark
+from hadoop_stuff_spark.sources.chunks import read_chunked, write_chunked
+from hadoop_stuff_spark.streaming.tail import tail_stream
+from hadoop_stuff_spark.streaming.wiretap import (
+    parse_subscription,
+    start_wiretap,
+    subscriptions_df,
+)
+
+
+class Engine:
+    """Facade over the engine's operators, bound to one SparkSession."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+
+    # -- ingest (reference: gradle ingest → IngestTest.main) ----------------
+
+    def ingest(
+        self,
+        source_path: str,
+        target_path: str,
+        chunk_size: int = 1000,
+        partition_cols: list[str] | None = None,
+    ) -> None:
+        """Line-oriented text → gzip-chunked parquet store (S1→S3: the
+        reference's threaded chunk/compress/write pipeline as one
+        declarative write; chunk_size ≙ IngestTest.java:53's knob)."""
+        lines = self.spark.read.text(source_path)
+        write_chunked(
+            lines, "value", target_path, chunk_size, partition_cols
+        )
+
+    # -- batch queries (reference: gradle grep / recordCount) ---------------
+
+    def _load(self, path: str, fmt: str = "chunked") -> DataFrame:
+        if fmt == "chunked":
+            return read_chunked(self.spark, path, line_name="value")
+        if fmt == "text":
+            return self.spark.read.text(path)
+        if fmt == "parquet":
+            return self.spark.read.parquet(path)
+        raise ValueError(f"unknown format {fmt!r} (chunked|text|parquet)")
+
+    def grep(self, path: str, pattern: str, fmt: str = "chunked") -> DataFrame:
+        """Distributed grep (T4, DistributedGrep.java:51-60) — matching
+        records, not just the reference's stdout prints."""
+        return _grep(self._load(path, fmt), pattern, "value")
+
+    def grep_count(self, path: str, pattern: str, fmt: str = "chunked") -> DataFrame:
+        """Fused grep+count (the flagship shape)."""
+        return grep_count(self._load(path, fmt), pattern, "value")
+
+    def record_count(self, path: str, fmt: str = "chunked") -> DataFrame:
+        """Record count (A1-A4, RecordCount.java): for chunked stores the
+        count comes from per-chunk line counts WITHOUT decompressing
+        payloads (the reference's manual map-side pre-aggregation,
+        RecordCount.java:43, as a metadata aggregate)."""
+        if fmt == "chunked":
+            return chunked_record_count(self.spark.read.parquet(path))
+        return _record_count(self._load(path, fmt))
+
+    # -- SQL surface (absent in reference, §2.6) ----------------------------
+
+    def sql(self, query: str, sf_dir: str | None = None) -> DataFrame:
+        """ANSI SQL over registered views. With ``sf_dir``, the ten
+        testdata tables are (re)registered first."""
+        if sf_dir:
+            register_views(self.spark, sf_dir)
+        return self.spark.sql(query)
+
+    # -- streaming wiretap (ST1-ST3) ----------------------------------------
+
+    def wiretap(
+        self,
+        log_dir: str,
+        subscriptions: list[str],
+        deliver=None,
+        checkpoint_dir: str | None = None,
+        available_now: bool = False,
+    ):
+        """Tail ``log_dir`` and route matches per subscription, each given
+        in the reference's wire grammar "<regex> <host>:<port>"
+        (RealTimeCdrWiretap.java:32-38). Returns the StreamingQuery."""
+        subs = [parse_subscription(s, i + 1) for i, s in enumerate(subscriptions)]
+        return start_wiretap(
+            tail_stream(self.spark, log_dir),
+            get_subscriptions=lambda s: subscriptions_df(s, subs),
+            deliver=deliver,
+            checkpoint_dir=checkpoint_dir,
+            trigger_available_now=available_now,
+        )
