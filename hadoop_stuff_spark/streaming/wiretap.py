@@ -19,10 +19,13 @@ use a collecting sink.
 
 from __future__ import annotations
 
+import logging
 import re
 import socket as socketlib
 from dataclasses import dataclass
 from typing import Callable
+
+_LOG = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,13 +137,19 @@ def start_wiretap(
     record_col: str = "value",
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = False,
+    drop_stats: dict | None = None,
 ):
     """Run the wiretap: per micro-batch, re-read subscriptions (dynamic
     registration — rows added between batches take effect next batch),
     match, group by subscriber, deliver.
 
     ``deliver(host, port, records)`` defaults to :class:`TcpSink`.
-    Returns the StreamingQuery.
+
+    Delivery failures follow the reference's backpressure policy (ST4,
+    TailF.java:132-134): warn and DROP that subscriber's records for the
+    batch rather than stalling or failing the stream — one dead subscriber
+    must not take down the tail. Drops are tallied per (host, port) into
+    ``drop_stats`` when given. Returns the StreamingQuery.
     """
     sink = deliver or TcpSink()
 
@@ -156,7 +165,17 @@ def start_wiretap(
             .collect()
         )
         for row in grouped:
-            sink(row["host"], row["port"], list(row["records"]))
+            try:
+                sink(row["host"], row["port"], list(row["records"]))
+            except Exception as exc:  # drop + warn, never stall (ST4)
+                n = len(row["records"])
+                _LOG.warning(
+                    "wiretap: dropped %d records for %s:%s in batch %d: %s",
+                    n, row["host"], row["port"], batch_id, exc,
+                )
+                if drop_stats is not None:
+                    key = (row["host"], row["port"])
+                    drop_stats[key] = drop_stats.get(key, 0) + n
 
     writer = stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:

@@ -125,3 +125,55 @@ def test_multicast_one_record_many_subscribers(spark, tmp_path):
     assert sink.delivered[("s1", 1)] == ["ALPHA BETA GAMMA"]
     assert sink.delivered[("s2", 2)] == ["ALPHA BETA GAMMA"]
     assert ("s3", 3) not in sink.delivered
+
+
+def test_real_tcp_delivery_and_dead_subscriber_drop(spark, tmp_path):
+    """S7 with a REAL TCP socket + ST4 drop-and-warn: live subscriber gets
+    its records over the wire; the dead one is dropped without failing the
+    stream, with drops tallied."""
+    import socket
+    import socketserver
+    import threading
+
+    received: list[str] = []
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                received.append(line.decode("utf-8").rstrip("\n"))
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    live_port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    # a port that is certainly closed: bind-then-close
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()
+
+    logdir = str(tmp_path / "logs")
+    os.makedirs(logdir)
+    _write_log(logdir, "a.txt", ["CALL alpha", "FLOW beta", "CALL gamma"])
+
+    subs = [
+        {"sub_id": 1, "regex": "^CALL", "host": "127.0.0.1", "port": live_port},
+        {"sub_id": 2, "regex": "FLOW", "host": "127.0.0.1", "port": dead_port},
+    ]
+    drops: dict = {}
+    try:
+        q = start_wiretap(
+            tail_stream(spark, logdir),
+            get_subscriptions=lambda s: subscriptions_df(s, subs),
+            deliver=None,  # the real TcpSink
+            trigger_available_now=True,
+            drop_stats=drops,
+        )
+        q.awaitTermination(120)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    assert sorted(received) == ["CALL alpha", "CALL gamma"]
+    assert drops == {("127.0.0.1", dead_port): 1}
