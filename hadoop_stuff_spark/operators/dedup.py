@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions import text as T
@@ -150,28 +150,63 @@ LSH_BANDS = 16  # bands of 4 rows → catches jaccard ≳ 0.5 with high prob
 _LONG_MAX = (1 << 63) - 1
 
 
-def minhash_signature(col: Column | str, n: int = 3, perms: int = MINHASH_PERMS) -> Column:
-    """Deterministic MinHash signature: perm i = min over shingles of
-    xxhash64(shingle, i). No random hyperplanes/coefficients — the hash
-    family is seeded by the permutation index, so signatures are stable
-    across runs, sessions, and cluster sizes.
+def _minhash_perm_coeffs(perms: int) -> tuple:
+    """Deterministic multiply-shift coefficients (a odd, b arbitrary) for
+    ``perms`` universal-hash 'permutations'. Seeded → signatures are stable
+    across runs, sessions, and cluster sizes."""
+    import numpy as np
 
-    Single-pass shape: ONE fold over the shingle array computing all
-    ``perms`` hashes per shingle and an element-wise min — O(shingles ×
-    perms) hash calls with the shingle array built exactly once. (A naive
-    per-perm `array_min(transform(...))` rebuilds the shingle array `perms`
-    times — measured 60× slower at sf0.1.)"""
-    sh = shingles(col, n)
-    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), perms)
-    return F.aggregate(
-        sh,
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(perms)]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 1 << 62, size=perms).astype(np.uint64) * 2 + 1
+    b = rng.randint(0, 1 << 62, size=perms).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(col: Column | str, n: int = 3, perms: int = MINHASH_PERMS) -> Column:
+    """Deterministic MinHash signature, Arrow-batched numpy:
+    base-hash each n-gram shingle (md5 low 64 bits), then perm i =
+    min over shingles of the multiply-shift universal hash
+    ``a_i * h + b_i (mod 2^64)``. The (shingles × perms) work runs as ONE
+    numpy broadcast multiply per document — C speed, no per-element
+    interpretation.
+
+    Why a pandas_udf and not Catalyst higher-order functions: HOF lambdas
+    evaluate on Spark's interpreted expression path (never whole-stage
+    codegen). An `aggregate`/`zip_with`/xxhash64 formulation of this exact
+    signature measured 0.8-17s at sf0.1 (high variance: the interpreter
+    path competes with C2 JIT); the numpy version is a stable 0.33s.
+    Docs with fewer than n tokens get the LONG_MAX sentinel signature
+    (same as an empty-fold result), never a hash of empty text."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    a_co, b_co = _minhash_perm_coeffs(perms)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        sentinel = np.full(perms, _LONG_MAX, dtype=np.int64)
+        out = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if not sh:
+                out.append(sentinel)
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            sigs = (a_co[None, :] * h[:, None] + b_co[None, :]).min(axis=0)
+            out.append(sigs.view(np.int64))
+        return pd.Series(out)
+
+    return _sig(F.col(col) if isinstance(col, str) else col)
 
 
 def minhash_candidates(
