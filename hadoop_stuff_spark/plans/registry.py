@@ -23,6 +23,7 @@ from hadoop_stuff_spark.operators import (
     dedup,
     logs,
     multimodal,
+    profile,
     relational,
     similarity,
     skew,
@@ -254,6 +255,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "distinct_event_types": QuerySpec(relational.distinct_event_types, relational.DISTINCT_SQL),
     "cube_order_stats": QuerySpec(relational.cube_order_stats, relational.CUBE_SQL),
+    "profile_orders_columns": QuerySpec(profile.profile_orders, profile.PROFILE_SQL),
     "skew_salted_join_enriched_counts": QuerySpec(
         skew.skew_salted_join_enriched_counts, skew.SALTED_JOIN_SQL
     ),
