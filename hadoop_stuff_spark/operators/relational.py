@@ -457,3 +457,30 @@ WHERE p_brand = 'Brand#4'
   AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                     WHERE l2.l_partkey = lineitem.l_partkey)
 """
+
+
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-identical on this data). Exact
+    percentile is a SORT-per-group at scale; the scale path is
+    `approx_percentile` (KLL-sketch-style mergeable summaries, map-side
+    combinable) — its error bound is asserted against this exact result in
+    tests/test_relational.py."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+"""

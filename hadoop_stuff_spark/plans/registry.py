@@ -256,6 +256,9 @@ QUERIES: dict[str, QuerySpec] = {
     "distinct_event_types": QuerySpec(relational.distinct_event_types, relational.DISTINCT_SQL),
     "cube_order_stats": QuerySpec(relational.cube_order_stats, relational.CUBE_SQL),
     "profile_orders_columns": QuerySpec(profile.profile_orders, profile.PROFILE_SQL),
+    "percentiles_order_value": QuerySpec(
+        relational.percentiles_order_value, relational.PERCENTILES_SQL
+    ),
     "skew_salted_join_enriched_counts": QuerySpec(
         skew.skew_salted_join_enriched_counts, skew.SALTED_JOIN_SQL
     ),

@@ -40,3 +40,19 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "GreaterThan(o_totalprice,100000.0)" in plan
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """The scale path (mergeable approx_percentile sketch) tracks the exact
+    sort-based percentile within 1% relative error."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    both = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.95)").alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01, r
