@@ -101,6 +101,39 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # ingest throughput — the reference's own headline benchmark
+    # (TailFTest.java steps 1-4: gzip-chunked write of line records).
+    # 1M synthetic flow records → chunked store, records/s.
+    import shutil
+    import tempfile
+
+    from hadoop_stuff_spark.sources.chunks import write_chunked
+
+    n_rec = 1_000_000
+    lines = spark.range(n_rec).select(
+        F.concat(
+            F.lit("<24> 2012-06-13T00:25:02 {CGN-SET2} flow "),
+            F.col("id").cast("string"),
+            F.lit(
+                " proto 7 application test6 ge-12/0/0.0:156.56.0.124:19972"
+                " -> 156.56.0.125:19973 deleting forward"
+            ),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        t0 = time.perf_counter()
+        write_chunked(lines, "value", os.path.join(tmp, "store"), chunk_size=1000)
+        ingest_s = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ingest = {
+        "records": n_rec,
+        "seconds": round(ingest_s, 3),
+        "records_per_s": round(n_rec / ingest_s),
+    }
+    print(f"# ingest: {ingest}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -109,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest": ingest,
                 "sf": sf,
             }
         )

@@ -106,3 +106,23 @@ def test_needle_grep_recall(spark):
     found = grep(records, "OLEG ZHURAKOUSKY", "line")
     assert found.count() == k
     assert grep(records, "NO SUCH NEEDLE", "line").count() == 0
+
+
+def test_inject_needles_recall_through_chunk_roundtrip(spark, tmp_path):
+    """T8 as an engine function: seeded injection → chunked store → grep
+    recall is exactly the injected count (ground truth from the tag col)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.functions.fixtures import inject_needles, synth_flow_records
+    from hadoop_stuff_spark.operators.grep import grep
+    from hadoop_stuff_spark.sources.chunks import read_chunked, write_chunked
+
+    lines = spark.range(50000).select(synth_flow_records("id").alias("value"))
+    seeded = inject_needles(lines, "value", "GHOST NEEDLE RECORD", p=1e-3, seed=7)
+    k = seeded.filter("__is_needle").count()
+    assert k > 0  # at p=1e-3 over 50k rows this is ~50; seeded → stable
+
+    store = str(tmp_path / "store")
+    write_chunked(seeded.drop("__is_needle"), "value", store, chunk_size=500)
+    found = grep(read_chunked(spark, store, "value"), "GHOST NEEDLE").count()
+    assert found == k
