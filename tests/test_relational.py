@@ -56,3 +56,39 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     )
     for r in both.collect():
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01, r
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning: with a selective dimension filter,
+    Catalyst injects a bloom_filter_agg on the build side and a might_contain
+    probe into the fact scan — rows that can't join are dropped BEFORE the
+    shuffle. Thresholds here are size-based (defaults trigger at
+    creation<=10MB / application>=10GB); the local testdata is below both,
+    so the test lowers them — at 100 TB the defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+
+        with_filter = j.count()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    # equivalence: pruning must not change the join result
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    assert with_filter == li.join(o, li.l_orderkey == o.o_orderkey).count()
