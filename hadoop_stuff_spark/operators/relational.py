@@ -484,3 +484,161 @@ SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
 FROM orders GROUP BY o_orderstatus
 """
+
+
+def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    4-way join (two facts + two broadcast dims), grouped revenue,
+    deterministic top-20 on the rounded measure."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q7_nation_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (adapted to available columns): shipping volume
+    between supplier-nation and customer-nation pairs per ship year.
+    Self-joined broadcast dim used twice under different aliases."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, sup.s_nationkey == F.col("sk"))
+        .join(n2, cust.c_nationkey == F.col("ck"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    # volume summed in EXACT integer cents: per-item rounding of the
+    # (bit-identical in both engines) double product, then an
+    # order-independent integer sum — immune to the last-cent drift a
+    # float sum + final round hits when a group lands on a .005 boundary
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return pair.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        F.sum(cents).alias("volume_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS volume_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands. The whole OR-of-ANDs predicate is one codegen'd filter; the
+    shared p_partkey equi-join stays a hash join (never a BNLJ over the
+    disjunction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    bands = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 30))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10))
+    )
+    return joined.filter(bands).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 30)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 10)
+"""
+
+
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per user-bucket event counts, one column per event type.
+    Spark's pivot with an explicit value list compiles to conditional
+    aggregates (one pass, no per-type scans) — same as the oracle's
+    FILTER clauses."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("int")
+    )
+    types = ["click", "view", "purchase", "login", "error"]
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'login')    AS login,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY 1
+"""

@@ -256,6 +256,18 @@ QUERIES: dict[str, QuerySpec] = {
     "distinct_event_types": QuerySpec(relational.distinct_event_types, relational.DISTINCT_SQL),
     "cube_order_stats": QuerySpec(relational.cube_order_stats, relational.CUBE_SQL),
     "profile_orders_columns": QuerySpec(profile.profile_orders, profile.PROFILE_SQL),
+    "q10_returned_item_losses": QuerySpec(
+        relational.q10_returned_item_losses, relational.Q10_SQL
+    ),
+    "q7_nation_volume_by_year": QuerySpec(
+        relational.q7_nation_volume_by_year, relational.Q7_SQL
+    ),
+    "q19_disjunctive_revenue": QuerySpec(
+        relational.q19_disjunctive_revenue, relational.Q19_SQL
+    ),
+    "pivot_event_type_counts": QuerySpec(
+        relational.pivot_event_type_counts, relational.PIVOT_SQL
+    ),
     "percentiles_order_value": QuerySpec(
         relational.percentiles_order_value, relational.PERCENTILES_SQL
     ),
