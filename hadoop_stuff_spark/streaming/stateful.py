@@ -109,3 +109,21 @@ def running_counts(stream: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def exactly_once_parquet_sink(out_dir: str):
+    """Idempotent foreachBatch writer: each micro-batch lands in its own
+    ``batch_id=<n>`` partition directory with overwrite mode, so a REPLAYED
+    batch (failure between sink write and checkpoint commit — the
+    at-least-once window every foreachBatch sink has) overwrites its own
+    previous output instead of appending duplicates. Downstream reads
+    ``spark.read.parquet(out_dir)`` and sees exactly-once data.
+
+    This is the standard batch-id idempotence pattern for sinks without
+    transactions; the reference's wiretap had no story here at all (a
+    replayed tail re-sent everything, SURVEY.md ST1)."""
+
+    def write(batch, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return write

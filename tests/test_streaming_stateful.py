@@ -89,3 +89,38 @@ def test_running_counts_accumulate_across_batches(spark, tmp_path):
     rows = {(r["key"], r["n_total"]) for r in spark.read.parquet(outdir).collect()}
     assert ("A", 2) in rows and ("B", 1) in rows
     assert ("A", 3) in rows and ("C", 1) in rows
+
+
+def test_exactly_once_sink_replay_safe(spark, tmp_path):
+    """Replaying a micro-batch (the at-least-once failure window) must not
+    duplicate output: same batch_id overwrites its own partition."""
+    from hadoop_stuff_spark.streaming.stateful import exactly_once_parquet_sink
+
+    out = str(tmp_path / "out")
+    sink = exactly_once_parquet_sink(out)
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # REPLAY of batch 0
+    rows = {(r.id, r.v) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    assert spark.read.parquet(out).count() == 3  # no duplicates
+
+    # end-to-end through a real stream run
+    logdir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    out2 = str(tmp_path / "out2")
+    os.makedirs(logdir)
+    _write_log(logdir, "b0.txt", ["A one", "B two"])
+    q = (
+        _keyed(tail_stream(spark, logdir))
+        .writeStream.foreachBatch(exactly_once_parquet_sink(out2))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 2
