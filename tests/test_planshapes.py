@@ -1,0 +1,53 @@
+"""Plan-shape assertions — the scale contract (SCALE.md) pinned as tests:
+filters push to the scan, projections prune the read schema, grep never
+shuffles, top-k never global-sorts, dims broadcast."""
+
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_grep_is_shuffle_free(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(ev.filter(F.col("props").rlike("error")).select("event_id"))
+    assert "Exchange" not in plan, plan
+
+
+def test_comparison_filter_pushed_to_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(li.filter(F.col("l_quantity") >= 45).select("l_orderkey"))
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_quantity" in plan, plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(li.select("l_orderkey", "l_quantity"))
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_shipdate" not in rs, rs
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    plan = _plan(orders.orderBy(F.desc("o_totalprice")).limit(5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no standalone global sort operator
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    plan = _plan(cust.join(nation, cust.c_nationkey == nation.n_nationkey))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(ev.groupBy("event_type").agg(F.count(F.lit(1))))
+    # two HashAggregates (partial + final) around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1, plan
