@@ -259,3 +259,84 @@ SELECT doc_id, 'text/plain' AS media_type,
        CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
 FROM documents
 """
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("peak", FloatType()),
+    ]
+)
+
+AUDIO_SAMPLE_RATE = 16000  # stub container metadata
+
+
+def _audio_stub(payload: bytes) -> tuple[int, int, float, float, float]:
+    """STUB audio decode. Real impl would be e.g.::
+
+        import soundfile; data, sr = soundfile.read(io.BytesIO(payload))
+
+    Here: bytes ARE the waveform (uint8 centered at 128, one 'sample' per
+    byte at a fixed fake sample rate) — deterministic, and the metadata +
+    waveform-statistics shapes are identical to the real thing."""
+    import numpy as np
+
+    wave = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    n = len(wave)
+    rms = float(np.sqrt((wave**2).mean())) if n else 0.0
+    peak = float(np.abs(wave).max()) if n else 0.0
+    return AUDIO_SAMPLE_RATE, n, n / AUDIO_SAMPLE_RATE, rms, peak
+
+
+def extract_audio_stats(
+    media: DataFrame, arrow_batch_rows: int | None = None
+) -> DataFrame:
+    """Audio-shaped mapInPandas stage: binary payload → sample-rate /
+    duration metadata + waveform statistics (RMS, peak). Pure map work —
+    no shuffle; the numpy inner loop is vectorized per blob."""
+    set_arrow_batch_rows(media, arrow_batch_rows)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _audio_stub(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_samples": [r[1] for r in rows],
+                    "duration_s": [r[2] for r in rows],
+                    "rms": [r[3] for r in rows],
+                    "peak": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def audio_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable slice of the audio path: n_samples equals the
+    payload byte length (duration = bytes / 16000), rounded stats omitted
+    (float reductions differ in reduction order) — byte-count and duration
+    are exact."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    return extract_audio_stats(blobs).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 4).alias("duration_s"),
+    )
+
+
+AUDIO_STATS_SQL = f"""
+SELECT doc_id, {AUDIO_SAMPLE_RATE} AS sample_rate,
+       CAST(strlen(text) AS BIGINT) AS n_samples,
+       round(CAST(strlen(text) AS FLOAT) / {AUDIO_SAMPLE_RATE}, 4) AS duration_s
+FROM documents
+"""

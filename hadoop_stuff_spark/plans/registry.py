@@ -255,6 +255,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "distinct_event_types": QuerySpec(relational.distinct_event_types, relational.DISTINCT_SQL),
     "cube_order_stats": QuerySpec(relational.cube_order_stats, relational.CUBE_SQL),
+    "n4_audio_stats": QuerySpec(multimodal.audio_stats_summary, multimodal.AUDIO_STATS_SQL),
     "profile_orders_columns": QuerySpec(profile.profile_orders, profile.PROFILE_SQL),
     "q10_returned_item_losses": QuerySpec(
         relational.q10_returned_item_losses, relational.Q10_SQL

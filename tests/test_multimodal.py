@@ -119,3 +119,26 @@ def test_arrow_batch_rows_bounds_python_batches(spark, sf_dir):
         assert bounded == baseline
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_audio_stats_against_numpy(spark, sf_dir):
+    """Waveform statistics from the audio stage match a local numpy
+    recomputation on the same bytes."""
+    import numpy as np
+
+    from hadoop_stuff_spark.operators.multimodal import extract_audio_stats
+
+    blobs = synthesize_blobs(spark, sf_dir)
+    sample = {r.doc_id: bytes(r.payload) for r in blobs.limit(20).collect()}
+    got = {
+        r.doc_id: r
+        for r in extract_audio_stats(blobs).filter(
+            F.col("doc_id").isin(list(sample))
+        ).collect()
+    }
+    for doc_id, payload in sample.items():
+        wave = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        r = got[doc_id]
+        assert r.n_samples == len(payload)
+        assert abs(r.rms - float(np.sqrt((wave**2).mean()))) < 1e-5
+        assert abs(r.peak - float(np.abs(wave).max())) < 1e-6
