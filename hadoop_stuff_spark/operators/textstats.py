@@ -18,12 +18,14 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
+        F.size(T.tokens_regex("text")).alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
 
 
 TOKEN_COUNTS_SQL = """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """
