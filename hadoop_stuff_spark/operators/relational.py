@@ -32,18 +32,35 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy grouped aggregation over lineitem.
     One scan, partial agg map-side; shuffle carries 4 groups only."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # all money/discount aggregates in exact fixed point (see _revenue_exact):
+    # price 2 dp → ×10^2; price×(1-disc) → ×10^4; ×(1+tax) → ×10^6; every
+    # scaled per-item value is an exact integer < 2^53, sums are
+    # order-independent, and the final divisions are identical doubles in
+    # both engines.
+    price_c2 = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    charge_c6 = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1000000,
+        0,
+    ).cast("long")
+    disc_c2 = F.round(F.col("l_discount") * 100, 0).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(price_c2) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_c4) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_c6) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round((F.sum(price_c2) / 100.0) / n, 4).alias("avg_price"),
+            F.round((F.sum(disc_c2) / 100.0) / n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -51,18 +68,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0) / count(*), 4) AS avg_price,
+       round((sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0) / count(*), 4) AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+
+
+def _revenue_exact(li_price="l_extendedprice", li_disc="l_discount"):
+    """Order-independent revenue: price (2 dp) × (1-discount) (2 dp) scaled
+    by 10^4 is an EXACT integer < 2^53, so the fixed-point sum is immune to
+    float summation-order drift at round() boundaries (the failure q7 hit);
+    dividing the exact sum back restores the usual 2-dp revenue."""
+    c4 = F.round(F.col(li_price) * (1 - F.col(li_disc)) * 10000, 0).cast("long")
+    return F.round(F.sum(c4) / 10000.0, 2)
 
 
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,11 +108,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_revenue_exact().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -92,7 +116,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -124,16 +148,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_revenue_exact().alias("revenue"))
     )
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -502,11 +522,7 @@ def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_revenue_exact().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -514,7 +530,7 @@ def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
