@@ -1,0 +1,41 @@
+"""Persisted IVF index: partition-pruned probes (the 100 TB ANN layout) —
+the scan must touch ONLY probed cell directories, and results must match
+the in-memory IVF path bit-for-bit (same quantizer, same probes)."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.operators.similarity import (
+    build_ivf_index,
+    topk_cosine_ivf,
+    topk_cosine_ivf_index,
+)
+
+
+def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, idx, n_cells=16)
+
+    cell_dirs = glob.glob(f"{idx}/corpus/cell=*")
+    assert len(cell_dirs) > 8  # corpus actually spread over cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+
+    out = topk_cosine_ivf_index(spark, idx, queries, k=10, n_probe=4)
+
+    # partition pruning is visible in the scan node
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("\n", " "), plan
+
+    got = {(r.query_id, r.rk): r.vec_id for r in out.collect()}
+    assert len(got) > 0
+
+    # n_probe=16 == scan everything == must equal in-memory IVF at full probe
+    full = topk_cosine_ivf_index(spark, idx, queries, k=10, n_probe=16)
+    mem = topk_cosine_ivf(spark, sf_dir, n_queries=5, k=10, n_cells=16, n_probe=16)
+    assert {(r.query_id, r.rk, r.vec_id) for r in full.collect()} == {
+        (r.query_id, r.rk, r.vec_id) for r in mem.collect()
+    }
