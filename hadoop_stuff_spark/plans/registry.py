@@ -171,6 +171,35 @@ SELECT sub_id, event_id FROM records r JOIN subs s ON regexp_matches(r.value, s.
 """
 
 
+
+def t4_multi_pattern_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/U3 multi-pattern grep: N named regexes evaluated in ONE scan
+    (the batch analog of the wiretap's per-subscriber selectors without N
+    passes) — per-pattern match counts."""
+    from hadoop_stuff_spark.operators.grep import multi_pattern_grep
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(F.concat_ws(" ", "event_type", "props").alias("value"))
+    flagged = multi_pattern_grep(
+        records,
+        {"m_error": "error", "m_high_k": '"k": 9[0-9]', "m_purchase": "^purchase"},
+    )
+    return flagged.agg(
+        F.sum(F.col("m_error").cast("long")).alias("n_error"),
+        F.sum(F.col("m_high_k").cast("long")).alias("n_high_k"),
+        F.sum(F.col("m_purchase").cast("long")).alias("n_purchase"),
+    )
+
+
+MULTI_GREP_SQL = """
+WITH r AS (SELECT concat(event_type, ' ', props) AS value FROM events)
+SELECT sum(CASE WHEN regexp_matches(value, 'error') THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN regexp_matches(value, '"k": 9[0-9]') THEN 1 ELSE 0 END) AS n_high_k,
+       sum(CASE WHEN regexp_matches(value, '^purchase') THEN 1 ELSE 0 END) AS n_purchase
+FROM r
+"""
+
+
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation (streaming surface run in
     batch — identical code path, see streaming/windows.py; the streaming
@@ -228,6 +257,7 @@ QUERIES: dict[str, QuerySpec] = {
     "t1_t2_gzip_roundtrip": QuerySpec(t1_t2_gzip_roundtrip, GZIP_ROUNDTRIP_SQL),
     "a5_grouped_count": QuerySpec(a5_grouped_count, A5_SQL),
     "st2_st3_wiretap_routing": QuerySpec(st2_st3_wiretap_routing, ST2_SQL),
+    "t4_multi_pattern_grep": QuerySpec(t4_multi_pattern_grep, MULTI_GREP_SQL),
     "windowed_event_counts": QuerySpec(windowed_event_counts, WINDOWED_COUNTS_SQL),
     "sessionized_event_counts": QuerySpec(sessionized_event_counts, SESSION_SQL),
     "t9_flow_log_roundtrip": QuerySpec(logs.t9_flow_log_roundtrip, logs.FLOW_ROUNDTRIP_SQL),
