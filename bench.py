@@ -38,9 +38,11 @@ HEADLINE = [
     "n1_dedup_exact_groups",
     "n1_minhash_near_dups",
     "n2_topk_cosine_bruteforce",
-    "n3_text_quality",
+    "n3_text_stats",
     "n3_winnowed_fingerprints",
     "skew_salted_join_enriched_counts",
+    "asof_purchase_last_click",
+    "range_error_window_activity",
 ]
 
 

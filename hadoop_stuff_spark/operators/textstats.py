@@ -70,6 +70,51 @@ FROM m
 """
 
 
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring fused into ONE scan of documents
+    (consolidates the former n3_token_counts / n3_text_quality queries —
+    same Catalyst expressions, one pass instead of two; at 100 TB a second
+    full-corpus scan is the thing to avoid)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(T.tokens_regex("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(T.avg_token_length("text"), 4).alias("avg_token_len"),
+        F.round(T.distinct_token_ratio("text"), 4).alias("distinct_ratio"),
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+    )
+
+
+TEXT_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, text, n_chars,
+         len(toks) AS n_tokens,
+         (n_chars - (len(toks) - 1)) * 1.0 / len(toks) AS avg_token_len,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) * 1.0 / len(toks) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(avg_token_len, 4) AS avg_token_len,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(0.5 * distinct_ratio
+             + 0.3 * least(avg_token_len / 8.0, 1.0)
+             + 0.2 * (1.0 - stopword_ratio), 4) AS quality
+FROM m
+"""
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID per document, with per-language hit scores."""
     docs = spread(load_table(spark, sf_dir, "documents"))

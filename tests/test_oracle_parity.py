@@ -3,22 +3,23 @@ sf0.001 — the local mirror of the driver's CORRECTNESS gate."""
 
 import pytest
 
-from hadoop_stuff_spark.plans.registry import QUERIES
+from hadoop_stuff_spark.plans.registry import EXTRA_QUERIES, QUERIES
 from tests.oracle_harness import compare_query
 
-ORACLE_QUERIES = sorted(name for name, spec in QUERIES.items() if spec.oracle)
-ROWS_ONLY_QUERIES = sorted(name for name, spec in QUERIES.items() if not spec.oracle)
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ORACLE_QUERIES = sorted(name for name, spec in ALL_QUERIES.items() if spec.oracle)
+ROWS_ONLY_QUERIES = sorted(name for name, spec in ALL_QUERIES.items() if not spec.oracle)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, sf_dir, name):
-    spec = QUERIES[name]
+    spec = ALL_QUERIES[name]
     ok, msg = compare_query(spark, sf_dir, spec.fn, spec.oracle)
     assert ok, f"{name}: {msg}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_queries_run(spark, sf_dir, name):
-    df = QUERIES[name].fn(spark, sf_dir)
+    df = ALL_QUERIES[name].fn(spark, sf_dir)
     assert df.count() >= 0
     assert df.columns
