@@ -64,48 +64,77 @@ def chunk_lines(df: DataFrame, line_col: str, order_col: str, chunk_size: int) -
 
 
 def chunk_lines_partitionwise(
-    df: DataFrame, line_col: str, chunk_size: int
+    df: DataFrame,
+    line_col: str,
+    chunk_size: int,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Scale-path chunker: gzip chunks formed inside each partition, no
     shuffle. key = (partition_id + 1) * 2^32 + local_chunk_index (unique,
     stable for a fixed partitioning; uniformly >= 2^32 so every key
     converts to the same Writable class when exported to SequenceFile —
-    pyspark's converter picks Int vs LongWritable by magnitude)."""
+    pyspark's converter picks Int vs LongWritable by magnitude).
+
+    With ``partition_cols`` the output carries those columns too (one
+    buffer per distinct value combination inside each task), so a
+    downstream ``writer.partitionBy(*partition_cols)`` works — the
+    reference's date/host layout, IngestTest.java:58,68. Chunks never mix
+    rows from different partition values."""
     import gzip as _gzip
 
     col = line_col
+    pcols = list(partition_cols or [])
 
     def pack(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        buf: list[str] = []
+        # one line-buffer per partition-col value tuple (() when no pcols)
+        bufs: dict[tuple, list[str]] = {}
         chunk_idx = 0
 
-        def flush():
+        def flush(pkey: tuple):
             nonlocal chunk_idx
+            buf = bufs[pkey]
             data = _gzip.compress("\n".join(buf).encode("utf-8"), 6, mtime=0)
-            out = pd.DataFrame({"key": [((pid + 1) << 32) | chunk_idx], "value": [data]})
+            row = {"key": [((pid + 1) << 32) | chunk_idx], "value": [data]}
+            for name, val in zip(pcols, pkey):
+                row[name] = [val]
             chunk_idx += 1
             buf.clear()
-            return out
+            return pd.DataFrame(row)
 
         for pdf in iterator:
-            for line in pdf[col]:
-                buf.append("" if line is None else str(line))
-                if len(buf) >= chunk_size:
-                    yield flush()
-        if buf:
-            yield flush()
+            if pcols:
+                groups = pdf.groupby(pcols, sort=False, dropna=False)
+            else:
+                groups = [((), pdf)]
+            for gkey, sub in groups:
+                if pcols and not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                buf = bufs.setdefault(gkey, [])
+                for line in sub[col]:
+                    buf.append("" if line is None else str(line))
+                    if len(buf) >= chunk_size:
+                        yield flush(gkey)
+        for gkey, buf in bufs.items():
+            if buf:
+                yield flush(gkey)
 
-    return df.select(col).mapInPandas(pack, CHUNK_SCHEMA)
+    out_schema = StructType(
+        list(CHUNK_SCHEMA.fields)
+        + [df.schema[name] for name in pcols]
+    )
+    return df.select(col, *pcols).mapInPandas(pack, out_schema)
 
 
 def explode_chunks(chunks: DataFrame, line_name: str = "line") -> DataFrame:
-    """chunk[key, value] -> one row per record line (reference T1+T3:
-    gunzip then tokenize on \\n — RecordCount.java:41-42)."""
+    """chunk[key, value, ...] -> one row per record line (reference T1+T3:
+    gunzip then tokenize on \\n — RecordCount.java:41-42). Non-value
+    columns (the key, any partition columns) are preserved per line."""
+    other = [c for c in chunks.columns if c != "value"]
     return chunks.select(
-        "key",
+        *other,
         F.explode(F.split(gzip_decompress_str("value"), "\n")).alias(line_name),
     )
 
@@ -121,8 +150,14 @@ def write_chunked(
     """Chunked-ingest sink: partitionwise gzip chunks persisted as parquet.
 
     ``partition_cols`` mirrors the reference's date/host directory layout
-    (IngestTest.java:58,68) → Catalyst partition pruning on read."""
-    chunks = chunk_lines_partitionwise(df, line_col, chunk_size)
+    (IngestTest.java:58,68) → Catalyst partition pruning on read. Rows are
+    hash-co-located by the partition cols first so each output directory
+    receives whole chunks from few tasks (not one sliver per task); a
+    single hot value then maps to one task — acceptable for date/host
+    layouts, use more distinct cols if a value dominates."""
+    if partition_cols:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
+    chunks = chunk_lines_partitionwise(df, line_col, chunk_size, partition_cols)
     writer = chunks.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
