@@ -16,6 +16,7 @@ media column would have (binary payload + metadata columns).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -47,17 +48,32 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def set_arrow_batch_rows(df: DataFrame, rows: int | None) -> None:
+_ARROW_BATCH_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextmanager
+def arrow_batch_rows(spark: SparkSession, rows: int):
     """Bound Python-worker memory for binary-heavy mapInPandas stages: the
     Arrow reader hands the UDF at most ``rows`` rows per batch, so peak
     per-worker memory ≈ rows × max_payload_bytes regardless of partition
-    size. Session-wide conf (Spark reads it at execution time) — set it to
-    match the *largest* payloads in the pipeline. The testdata's ~KB blobs
-    don't need it; MB-scale media at 100 TB does."""
-    if rows is not None:
-        df.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows)
-        )
+    size. The conf is session-wide and read at EXECUTION time, so this is a
+    context manager to wrap the *action* — the previous value is restored
+    on exit instead of leaking into every later pandas-UDF query::
+
+        with arrow_batch_rows(spark, 64):
+            extract_media_features(blobs).write.parquet(out)
+
+    The testdata's ~KB blobs don't need it; MB-scale media at 100 TB does.
+    """
+    prev = spark.conf.get(_ARROW_BATCH_CONF, None)
+    spark.conf.set(_ARROW_BATCH_CONF, str(rows))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_ARROW_BATCH_CONF)
+        else:
+            spark.conf.set(_ARROW_BATCH_CONF, prev)
 
 
 def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,23 +96,25 @@ def _decode_stub(payload: bytes) -> tuple[list[float], int, int]:
     ``FEATURE_DIM``-dim feature and fake dimensions from the length. Raises
     nothing; a genuinely unsupported codec should raise NotImplementedError.
     """
+    import numpy as np
+
     n = len(payload)
-    buckets = [0] * FEATURE_DIM
-    for i, byte in enumerate(payload):
-        buckets[byte % FEATURE_DIM] += 1
-    feats = [b / n if n else 0.0 for b in buckets]
+    if n:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        buckets = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+        feats = (buckets / n).tolist()
+    else:
+        feats = [0.0] * FEATURE_DIM
     return feats, int(n % 1024), int(n // 1024 + 1)
 
 
-def extract_media_features(
-    media: DataFrame, arrow_batch_rows: int | None = None
-) -> DataFrame:
+def extract_media_features(media: DataFrame) -> DataFrame:
     """mapInPandas over binary payloads → feature vectors + dims. Arrow
     moves the binary column in batches; one Python worker per partition —
     this is the pattern for any heavy per-blob decode at scale (partition
-    count controls parallelism; no shuffle). ``arrow_batch_rows`` bounds
-    per-worker memory for large payloads (see :func:`set_arrow_batch_rows`)."""
-    set_arrow_batch_rows(media, arrow_batch_rows)
+    count controls parallelism; no shuffle). For large payloads bound
+    per-worker memory by wrapping the action in
+    :func:`arrow_batch_rows`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,12 +168,11 @@ def resize_media(
     media: DataFrame,
     width: int = 32,
     height: int = 32,
-    arrow_batch_rows: int | None = None,
 ) -> DataFrame:
     """1→1 mapInPandas resize stage: binary in, binary out, fixed target
     dims. At scale this is pure map work — no shuffle; parallelism = input
-    partitions; Arrow batches bound Python memory (``arrow_batch_rows``)."""
-    set_arrow_batch_rows(media, arrow_batch_rows)
+    partitions; wrap the action in :func:`arrow_batch_rows` to bound
+    Python-worker memory."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,13 +216,10 @@ def _frames_stub(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
     return out
 
 
-def sample_frames(
-    media: DataFrame, every_n: int = 4, arrow_batch_rows: int | None = None
-) -> DataFrame:
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     """1→N mapInPandas frame-sampling stage (UDTF shape — one input blob
     yields many frame rows). Output rows stay in the producing partition;
     downstream repartition() is the knob if frame counts skew."""
-    set_arrow_batch_rows(media, arrow_batch_rows)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -292,13 +306,10 @@ def _audio_stub(payload: bytes) -> tuple[int, int, float, float, float]:
     return AUDIO_SAMPLE_RATE, n, n / AUDIO_SAMPLE_RATE, rms, peak
 
 
-def extract_audio_stats(
-    media: DataFrame, arrow_batch_rows: int | None = None
-) -> DataFrame:
+def extract_audio_stats(media: DataFrame) -> DataFrame:
     """Audio-shaped mapInPandas stage: binary payload → sample-rate /
     duration metadata + waveform statistics (RMS, peak). Pure map work —
     no shuffle; the numpy inner loop is vectorized per blob."""
-    set_arrow_batch_rows(media, arrow_batch_rows)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

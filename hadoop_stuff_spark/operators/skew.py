@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from hadoop_stuff_spark.catalog import load_table, spread
+from hadoop_stuff_spark.functions.money import sum_2dp_exact, sum_2dp_exact_sql
 
 
 def salted_join(
@@ -52,7 +53,17 @@ def salted_join(
 
     The salt is `pmod(hash(monotonically_increasing_id + key), n)`-free:
     we use rand() — no semantic constraint, any uniform assignment works,
-    and determinism of the JOIN RESULT is preserved regardless of salt."""
+    and determinism of the JOIN RESULT is preserved regardless of salt.
+
+    Only ``how`` in {'inner', 'left'} is correct under this rewrite: the
+    small side is replicated n_salts×, so right/full/semi/anti variants
+    would emit unmatched small-side rows n_salts times (or wrong semi/anti
+    membership). For those, salt the OTHER side or use AQE skew-join."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left'}}, got {how!r}: "
+            "the replicated small side makes right/full/semi/anti incorrect"
+        )
     salted_big = big.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")
     )
@@ -106,12 +117,12 @@ def skew_salted_join_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFr
     joined = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8)
     return joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        sum_2dp_exact("value").alias("total_value"),
     )
 
 
-SALTED_JOIN_SQL = """
-SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
+SALTED_JOIN_SQL = f"""
+SELECT c_nationkey, count(*) AS n_events, {sum_2dp_exact_sql('value', 'total_value')}
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_nationkey
 """

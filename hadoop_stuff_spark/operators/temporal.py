@@ -64,34 +64,48 @@ def asof_join(
     deterministic (without it Spark's sort order between duplicate
     timestamps is partition-dependent).
     """
+    from pyspark.sql import types as _T
+
     on = list(on)
     right_cols = list(right_cols or [])
     right_schema = {f.name: f.dataType for f in right.schema.fields}
 
     # one unioned relation: left rows carry their own payload, right rows
     # carry the as-of payload; _side orders right (0) before left (1) at
-    # equal timestamps so ties match (ASOF's >= semantics)
-    left_payload = [c for c in left.columns if c not in on]
+    # equal timestamps so ties match (ASOF's >= semantics).
+    # left_ts is excluded from the payload — it re-enters the output as the
+    # single aliased _ts column (a duplicate here would make any downstream
+    # reference to it AMBIGUOUS_REFERENCE).
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    # The right payload travels as ONE struct, carried forward whole with
+    # last(ignorenulls=True): presence is per matched ROW, not per column,
+    # so a NULL field in the matched right row stays NULL (pandas
+    # merge_asof / DuckDB ASOF semantics) instead of inheriting an older
+    # row's non-null value.
+    r_struct_t = _T.StructType(
+        [_T.StructField("_r_ts", right_schema[right_ts], True)]
+        + [_T.StructField(c, right_schema[c], True) for c in right_cols]
+    )
     l_side = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_payload],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
-        *[F.lit(None).cast(right_schema[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_side = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        F.col(right_ts).alias("_r_ts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("_r_ts"), *[F.col(c) for c in right_cols]
+        ).alias("_r"),
     )
     order = [F.col("_ts").asc(), F.col("_side").asc()]
     if right_tiebreak is not None:
         l_side = l_side.withColumn("_tb", F.lit(None).cast(right_schema[right_tiebreak]))
-        r_side = r_side.withColumn("_tb", F.col(f"_r_{right_tiebreak}"))
+        r_side = r_side.withColumn("_tb", F.col(f"_r.{right_tiebreak}"))
         order.append(F.col("_tb").asc_nulls_last())
 
     unioned = l_side.unionByName(r_side)
@@ -105,11 +119,14 @@ def asof_join(
         "_ts",
         "_side",
         *left_payload,
-        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_rm"),
+    ).select(
+        *on,
+        "_ts",
+        "_side",
+        *left_payload,
+        F.col("_rm._r_ts").alias("asof_ts"),
+        *[F.col(f"_rm.{c}").alias(f"asof_{c}") for c in right_cols],
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:

@@ -82,43 +82,43 @@ def test_feature_extraction_deterministic(spark, sf_dir):
 def test_arrow_batch_rows_bounds_python_batches(spark, sf_dir):
     """arrow_batch_rows caps the rows per Arrow batch handed to the Python
     worker (the per-worker memory bound for MB-scale payloads), without
-    changing results."""
+    changing results — and restores the previous session conf on exit
+    (ADVICE r1: no hidden session-wide mutation)."""
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    from hadoop_stuff_spark.operators.multimodal import set_arrow_batch_rows
+    from hadoop_stuff_spark.operators.multimodal import arrow_batch_rows
 
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    try:
-        blobs = synthesize_blobs(spark, sf_dir).coalesce(1)  # one partition
-        baseline = {
-            (r.doc_id, tuple(r.feature)) for r in extract_media_features(blobs).collect()
-        }
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf_key, None)
 
-        set_arrow_batch_rows(blobs, 50)
+    blobs = synthesize_blobs(spark, sf_dir).coalesce(1)  # one partition
+    baseline = {
+        (r.doc_id, tuple(r.feature)) for r in extract_media_features(blobs).collect()
+    }
 
-        def batch_sizes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                yield pd.DataFrame({"batch_len": [len(pdf)]})
+    def batch_sizes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"batch_len": [len(pdf)]})
 
+    with arrow_batch_rows(spark, 50):
         sizes = [
             r.batch_len
             for r in blobs.mapInPandas(
                 batch_sizes, StructType([StructField("batch_len", IntegerType())])
             ).collect()
         ]
-        assert max(sizes) <= 50, sizes
-        assert sum(sizes) == 500  # every row delivered exactly once
-
         bounded = {
             (r.doc_id, tuple(r.feature))
-            for r in extract_media_features(blobs, arrow_batch_rows=50).collect()
+            for r in extract_media_features(blobs).collect()
         }
-        assert bounded == baseline
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert max(sizes) <= 50, sizes
+    assert sum(sizes) == 500  # every row delivered exactly once
+    assert bounded == baseline
+    # scoping: previous session value restored exactly
+    assert spark.conf.get(conf_key, None) == prev
 
 
 def test_audio_stats_against_numpy(spark, sf_dir):

@@ -39,6 +39,19 @@ def test_salted_join_outer_variant(spark):
     assert plain_n == salted_n == 50
 
 
+def test_salted_join_rejects_unsupported_how(spark):
+    """ADVICE r1: the replicate-fragment rewrite is only correct for
+    inner/left — anything else must raise, not silently duplicate
+    unmatched small-side rows n_salts times."""
+    import pytest
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k2"))
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", "k2", how=how)
+
+
 def test_salted_two_phase_agg_matches_exact_distinct(spark):
     df = spark.range(20000).select(
         (F.col("id") % 3).cast("string").alias("g"),

@@ -112,6 +112,39 @@ def test_asof_join_equal_ts_matches_and_tiebreak(spark):
     assert row.asof_rid == 101
 
 
+def test_asof_join_left_ts_single_column_and_selectable(spark, trades_quotes):
+    """ADVICE r1: the left timestamp must appear exactly once in the output
+    schema, and selecting/filtering on it must not raise
+    AMBIGUOUS_REFERENCE."""
+    t_df, q_df, _, _ = trades_quotes
+    out = asof_join(
+        t_df, q_df, on=["sym"], right_cols=["quote_id", "px"],
+        right_tiebreak="quote_id", how="left",
+    )
+    assert out.columns.count("ts") == 1
+    # both of these threw AMBIGUOUS_REFERENCE before the fix
+    assert out.select("ts").count() == out.count()
+    assert out.filter(F.col("ts") >= _ts(0)).count() == out.count()
+
+
+def test_asof_join_matched_row_null_payload_stays_null(spark):
+    """ADVICE r1: a NULL payload field in the MATCHED right row must come
+    through as NULL — not be back-filled from an older right row
+    (pandas merge_asof / DuckDB ASOF semantics: values come from the one
+    matched row)."""
+    left = spark.createDataFrame([(1, _ts(20), "L")], "k int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 7, 99.0), (1, _ts(15), 8, None)],
+        "k int, ts timestamp, rid int, px double",
+    )
+    row = asof_join(
+        left, right, on=["k"], right_cols=["rid", "px"], right_tiebreak="rid"
+    ).collect()[0]
+    assert row.asof_ts == _ts(15)
+    assert row.asof_rid == 8
+    assert row.asof_px is None  # matched row's NULL, not 99.0 carried forward
+
+
 def test_range_join_matches_bruteforce(spark):
     rng = np.random.default_rng(11)
     points = pd.DataFrame(
