@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.functions.money import sum_2dp_exact, sum_2dp_exact_sql
 from hadoop_stuff_spark.functions.records import (
     format_flow_log,
     parse_cdr,
@@ -167,12 +168,12 @@ def u3_expression_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     predicate = "event_type rlike 'error|signup' and value > 50.0"
     return ev.filter(F.expr(predicate)).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count(F.lit(1)).alias("n"), sum_2dp_exact("value").alias("total")
     )
 
 
-U3_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+U3_SQL = f"""
+SELECT event_type, count(*) AS n, {sum_2dp_exact_sql('value', 'total')}
 FROM events
 WHERE regexp_matches(event_type, 'error|signup') AND value > 50.0
 GROUP BY event_type

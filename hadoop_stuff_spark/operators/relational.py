@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.functions.money import sum_2dp_exact, sum_2dp_exact_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -237,14 +238,14 @@ def rollup_acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFra
         .join(region, nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            sum_2dp_exact("c_acctbal").alias("total_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
 
 
-ROLLUP_SQL = """
-SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_acctbal,
+ROLLUP_SQL = f"""
+SELECT r_name, n_name, {sum_2dp_exact_sql('c_acctbal', 'total_acctbal')},
        count(*) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -330,15 +331,22 @@ def orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            sum_2dp_exact("o_totalprice").alias("total"),
+            # avg from the exact cent sum: one float division of exact
+            # integers — order-independent on both engines
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                / (100.0 * F.count(F.lit(1))),
+                4,
+            ).alias("avg_price"),
         )
     )
 
 
-YEAR_SQL = """
+YEAR_SQL = f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total, round(avg(o_totalprice), 4) AS avg_price
+       {sum_2dp_exact_sql('o_totalprice', 'total')},
+       round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_price
 FROM orders GROUP BY 1
 """
 
@@ -375,14 +383,14 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            sum_2dp_exact("o_totalprice").alias("total_price"),
         )
     )
 
 
-CUBE_SQL = """
+CUBE_SQL = f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       {sum_2dp_exact_sql('o_totalprice', 'total_price')}
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -400,17 +408,17 @@ def groupingsets_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, user_bucket,
                CAST(grouping_id(event_type, user_bucket) AS INTEGER) AS gid,
                count(*) AS n,
-               round(sum(value), 2) AS total_value
+               round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0D, 2) AS total_value
         FROM ev_gs
         GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
         """
     )
 
 
-GROUPINGSETS_SQL = """
+GROUPINGSETS_SQL = f"""
 SELECT event_type, CAST(user_id % 10 AS INTEGER) AS user_bucket,
        CAST(grouping(event_type) * 2 + grouping(user_id % 10) AS INTEGER) AS gid,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n, {sum_2dp_exact_sql('value', 'total_value')}
 FROM events
 GROUP BY GROUPING SETS ((event_type), ((user_id % 10)), ())
 """
@@ -462,14 +470,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(avg_q), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -615,15 +628,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10))
     )
     return joined.filter(bands).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        _revenue_exact().alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 30)

@@ -23,7 +23,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOKEN_COUNTS_SQL = """
+TOKEN_COUNTS_SQL = r"""
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars

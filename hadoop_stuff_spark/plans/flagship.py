@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.catalog import load_table, spread
+from hadoop_stuff_spark.functions.money import sum_2dp_exact
 
 # Records whose JSON props carry a two-digit k (k >= 10) — a regex the way
 # the reference's grep queries were regexes over raw record text.
@@ -27,6 +28,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("match_count"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            sum_2dp_exact("value").alias("total_value"),
         )
     )

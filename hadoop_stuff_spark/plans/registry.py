@@ -19,12 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.catalog import load_table, spread
+from hadoop_stuff_spark.functions.money import sum_2dp_exact, sum_2dp_exact_sql
 from hadoop_stuff_spark.operators import (
+    cleaning,
     dedup,
     logs,
     multimodal,
     profile,
     relational,
+    sampling,
     similarity,
     skew,
     temporal,
@@ -48,7 +51,8 @@ class QuerySpec:
 # reference-parity queries (SURVEY.md §2.1-§2.5)
 
 FLAGSHIP_SQL = """
-SELECT event_type, count(*) AS match_count, round(sum(value), 2) AS total_value
+SELECT event_type, count(*) AS match_count,
+       round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
 FROM events
 WHERE regexp_matches(props, '"k":\\s*[1-9][0-9]')
 GROUP BY event_type
@@ -130,12 +134,12 @@ def a5_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        sum_2dp_exact("value").alias("total_value"),
     )
 
 
-A5_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+A5_SQL = f"""
+SELECT event_type, count(*) AS n, {sum_2dp_exact_sql('value', 'total_value')}
 FROM events GROUP BY event_type
 """
 
@@ -210,9 +214,9 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.windowed_event_counts(ev)
 
 
-WINDOWED_COUNTS_SQL = """
+WINDOWED_COUNTS_SQL = f"""
 SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n, {sum_2dp_exact_sql('value', 'total_value')}
 FROM events GROUP BY 1, 2
 """
 
@@ -372,6 +376,17 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n3_token_counts": QuerySpec(textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
     "n3_text_quality": QuerySpec(textstats.text_quality, textstats.TEXT_QUALITY_SQL),
     "n3_fingerprints": QuerySpec(textstats.fingerprints, textstats.FINGERPRINTS_SQL),
+    # round-2 additions: cleaning + deterministic sampling (N3 family)
+    "n3_pii_redaction": QuerySpec(cleaning.n3_pii_redaction, cleaning.PII_SQL),
+    "n3_markup_stripping": QuerySpec(
+        cleaning.n3_markup_stripping, cleaning.MARKUP_SQL
+    ),
+    "n3_stratified_sample": QuerySpec(
+        sampling.n3_stratified_sample, sampling.STRATIFIED_SAMPLE_SQL
+    ),
+    "n3_sample_per_group": QuerySpec(
+        sampling.n3_sample_per_group, sampling.SAMPLE_PER_GROUP_SQL
+    ),
 }
 
 _N_ORACLE_FIRST = 50

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_stuff_spark.functions.money import sum_2dp_exact
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -42,7 +44,7 @@ def windowed_event_counts(
         events.groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            sum_2dp_exact("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
