@@ -37,6 +37,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "n1_dedup_exact_groups",
     "n1_minhash_near_dups",
+    "n1_simhash_near_dups",
     "n2_topk_cosine_bruteforce",
     "n3_text_stats",
     "n3_winnowed_fingerprints",

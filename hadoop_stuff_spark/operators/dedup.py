@@ -279,18 +279,19 @@ def minhash_candidates(
 
 
 def minhash_near_dups(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4, sort: bool = False
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over documents (est Jaccard >=
     threshold). Driver records rows-only (approximate op — no SQL oracle);
     tests/test_dedup.py checks recall/precision against the exact
-    ngram_jaccard_pairs."""
+    ngram_jaccard_pairs.
+
+    ``sort=False`` by default (VERDICT r1 #7): a global orderBy on the
+    candidate-pair output is presentation-only and costs a full
+    Exchange+Sort of every pair at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        minhash_candidates(docs)
-        .filter(F.col("est_jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
-    )
+    out = minhash_candidates(docs).filter(F.col("est_jaccard") >= threshold)
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +335,7 @@ def embedding_cosine_dups_lsh(
     bands: int = 16,
     bits_per_band: int = 4,
     seed: int = 42,
+    sort: bool = False,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup: candidate pairs must share at
     least one random-hyperplane sign-sketch bucket (same deterministic
@@ -380,11 +382,10 @@ def embedding_cosine_dups_lsh(
         .dropDuplicates(["vec_a", "vec_b"])
     )
     sim = F.round(cosine("va", "vb"), 6)
-    return (
-        pairs.select("vec_a", "vec_b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
-        .orderBy("vec_a", "vec_b")
+    out = pairs.select("vec_a", "vec_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
     )
+    return out.orderBy("vec_a", "vec_b") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -394,26 +395,34 @@ def embedding_cosine_dups_lsh(
 @pandas_udf(LongType())
 def _simhash64_udf(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-based (engine-independent,
-    deterministic). Arrow-batched; ~1e5 docs/s/core."""
+    deterministic). Arrow-batched AND numpy-vectorized (VERDICT r1 #5, the
+    same treatment as the MinHash signature): per document the
+    (tokens × 64 bits) work is one ``np.unpackbits`` + column sum — the only
+    per-token Python left is the md5 call itself, amortized by a per-batch
+    token→hash cache (documents share vocabulary heavily)."""
+    import numpy as np
 
-    def simhash(text: str | None) -> int | None:
+    cache: dict[str, int] = {}
+
+    def simhash(text: str | None):
         if text is None:
             return None
-        acc = [0] * 64
-        for tok in text.split(" "):
-            h = int.from_bytes(
-                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-            )
-            for j in range(64):
-                acc[j] += 1 if (h >> j) & 1 else -1
-        v = 0
-        for j in range(64):
-            if acc[j] > 0:
-                v |= 1 << j
-        # to signed 64-bit
-        return v - (1 << 64) if v >= (1 << 63) else v
+        toks = text.split(" ")
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for k, tok in enumerate(toks):
+            v = cache.get(tok)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                cache[tok] = v
+            hs[k] = v
+        # little-endian uint64 → bytes LSB-first → column j == bit j of h,
+        # exactly (h >> j) & 1
+        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        ones = bits.sum(axis=0, dtype=np.int64)
+        positive = (2 * ones - len(toks)) > 0  # sum of ±1 per bit > 0
+        return int(np.packbits(positive, bitorder="little").view(np.int64)[0])
 
-    return texts.map(simhash)
+    return pd.Series([simhash(t) for t in texts], dtype="object")
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,7 +433,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 8
+    spark: SparkSession, sf_dir: str, max_hamming: int = 8, sort: bool = False
 ) -> DataFrame:
     """SimHash near-dup pairs via banded prefix blocking: split the 64-bit
     signature into 4 × 16-bit blocks; pairs within max_hamming<=... must
@@ -466,9 +475,9 @@ def simhash_near_dups(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    out = (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
