@@ -11,10 +11,19 @@ next micro-batch boundary (defined, testable semantics — SURVEY.md §7
 scales to thousands because it rides a broadcast join instead of N
 sequential selectors.
 
-Delivery (S7): pluggable sink per matched (subscriber, record) group. The
-default TCP sink opens one socket per subscriber per micro-batch
-(at-least-once; reconnect-per-batch keeps executor state trivial). Tests
-use a collecting sink.
+Delivery (S7): EXECUTOR-side (VERDICT r1 #4). Matching already runs on
+executors; delivery must too — a driver-side collect() of matched payloads
+is a single-JVM bottleneck that dies at 100×. Per micro-batch the matched
+rows are repartitioned on sub_id and each task opens the subscriber's
+socket itself (``foreachPartition``); all payload bytes flow
+executor→subscriber, never through the driver. The reference routes to TCP
+*or* UDP endpoints (RealTimeCdrWiretap.java:59-72 builds IP adapters from a
+template; the producer LoggerTest.java:10-19 is UDP via log4j.xml:11-23) —
+both sinks exist here, selected per subscription via its ``proto`` field.
+
+Backpressure (ST4, TailF.java:132-134): a failing subscriber's records are
+dropped with a warning, never stall the stream; drops are tallied through a
+Spark accumulator so the driver can expose per-endpoint counts.
 """
 
 from __future__ import annotations
@@ -27,6 +36,7 @@ from typing import Callable
 
 _LOG = logging.getLogger(__name__)
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -43,12 +53,16 @@ SUBSCRIPTION_SCHEMA = StructType(
         StructField("regex", StringType()),
         StructField("host", StringType()),
         StructField("port", IntegerType()),
+        StructField("proto", StringType()),  # 'tcp' (default) or 'udp'
     ]
 )
 
-# the reference's query grammar: "<regex> <host>:<port>"
-# (RealTimeCdrWiretap.java:32-38 — regex first, endpoint last)
-_QUERY_RE = re.compile(r"^(?P<regex>.+)\s+(?P<host>[^\s:]+):(?P<port>\d+)$")
+# the reference's query grammar: "<regex> <host>:<port>" with an optional
+# udp:// scheme on the endpoint (RealTimeCdrWiretap.java:32-38 — regex
+# first, endpoint last; TCP vs UDP chosen by the adapter template :59-67)
+_QUERY_RE = re.compile(
+    r"^(?P<regex>.+)\s+(?:(?P<proto>tcp|udp)://)?(?P<host>[^\s:]+):(?P<port>\d+)$"
+)
 
 
 def parse_subscription(query: str, sub_id: int) -> dict:
@@ -61,10 +75,12 @@ def parse_subscription(query: str, sub_id: int) -> dict:
         "regex": m.group("regex"),
         "host": m.group("host"),
         "port": int(m.group("port")),
+        "proto": m.group("proto") or "tcp",
     }
 
 
 def subscriptions_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    rows = [{"proto": "tcp", **r} for r in rows]
     return spark.createDataFrame(rows, SUBSCRIPTION_SCHEMA)
 
 
@@ -100,6 +116,7 @@ def route_batch_literal(
                 F.lit(int(s["sub_id"])).cast("long").alias("sub_id"),
                 F.lit(s.get("host", "")).alias("host"),
                 F.lit(int(s.get("port", 0))).alias("port"),
+                F.lit(s.get("proto") or "tcp").alias("proto"),
                 F.col(record_col).rlike(s["regex"]).alias("matched"),
             )
             for s in subs_rows
@@ -112,6 +129,7 @@ def route_batch_literal(
             F.col("_m.sub_id").alias("sub_id"),
             F.col("_m.host").alias("host"),
             F.col("_m.port").alias("port"),
+            F.col("_m.proto").alias("proto"),
             *batch.columns,
         )
     )
@@ -120,7 +138,7 @@ def route_batch_literal(
 @dataclass
 class TcpSink:
     """Per-subscriber TCP delivery (reference S7). One connection per
-    (subscriber, micro-batch); records newline-framed."""
+    call; records newline-framed."""
 
     timeout_s: float = 1.0  # the reference's 1 s send timeout (TailF.java:132)
 
@@ -128,6 +146,80 @@ class TcpSink:
         with socketlib.create_connection((host, port), timeout=self.timeout_s) as sock:
             payload = ("\n".join(records) + "\n").encode("utf-8")
             sock.sendall(payload)
+
+
+@dataclass
+class UdpSink:
+    """Per-subscriber UDP delivery — the reference's other endpoint flavor
+    (RealTimeCdrWiretap.java:59-72 template-built IP adapters; the producer
+    side LoggerTest.java:10-19 is UDP via log4j.xml:11-23). One datagram
+    per record, newline-terminated; connectionless fire-and-forget."""
+
+    def __call__(self, host: str, port: int, records: list[str]) -> None:
+        sock = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+        try:
+            for r in records:
+                sock.sendto((r + "\n").encode("utf-8"), (host, port))
+        finally:
+            sock.close()
+
+
+class _DropTallyParam(AccumulatorParam):
+    """dict[(host, port) -> dropped-record count] accumulator."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for key, n in b.items():
+            a[key] = a.get(key, 0) + n
+        return a
+
+
+# records buffered per subscriber inside a delivery task before a socket
+# flush — bounds executor memory to FLUSH_EVERY × record size per subscriber
+FLUSH_EVERY = 1000
+
+
+def _deliver_partition(rows, record_col, deliver, drop_acc):
+    """Executor-side delivery for one partition of matched rows: buffer per
+    (host, port, proto), flush through the subscriber's socket in bounded
+    batches. A subscriber whose send fails is marked dead for the rest of
+    the partition; its records are tallied as dropped (ST4 drop+warn)."""
+    sinks = {"tcp": TcpSink(), "udp": UdpSink()}
+    buffers: dict[tuple, list[str]] = {}
+    dead: set[tuple] = set()
+    dropped: dict[tuple, int] = {}
+
+    def flush(key: tuple) -> None:
+        buf = buffers.get(key)
+        if not buf:
+            return
+        host, port, proto = key
+        try:
+            (deliver or sinks[proto])(host, port, buf)
+        except Exception as exc:  # drop + warn, never stall (ST4)
+            dead.add(key)
+            dropped[(host, port)] = dropped.get((host, port), 0) + len(buf)
+            _LOG.warning(
+                "wiretap: dropped %d records for %s:%s (%s): %s",
+                len(buf), host, port, proto, exc,
+            )
+        buf.clear()
+
+    for row in rows:
+        key = (row["host"], row["port"], row["proto"])
+        if key in dead:
+            dropped[key[:2]] = dropped.get(key[:2], 0) + 1
+            continue
+        buf = buffers.setdefault(key, [])
+        buf.append(row[record_col])
+        if len(buf) >= FLUSH_EVERY:
+            flush(key)
+    for key in list(buffers):
+        flush(key)
+    if dropped:
+        drop_acc.add(dropped)
 
 
 def start_wiretap(
@@ -141,41 +233,44 @@ def start_wiretap(
 ):
     """Run the wiretap: per micro-batch, re-read subscriptions (dynamic
     registration — rows added between batches take effect next batch),
-    match, group by subscriber, deliver.
+    match executor-side, deliver executor-side.
 
-    ``deliver(host, port, records)`` defaults to :class:`TcpSink`.
+    Delivery is ``foreachPartition`` after a repartition on sub_id: each
+    task opens its subscribers' sockets directly, so matched payload bytes
+    never pass through the driver (the r1 design collected every matched
+    record to the driver — a 100×-scale bottleneck). The only driver-side
+    collect left is the subscriptions table itself (control plane, tiny).
+
+    ``deliver(host, port, records)`` overrides the socket sinks for every
+    subscriber (it is pickled to executors); by default each subscription's
+    ``proto`` field picks :class:`TcpSink` or :class:`UdpSink`.
 
     Delivery failures follow the reference's backpressure policy (ST4,
     TailF.java:132-134): warn and DROP that subscriber's records for the
-    batch rather than stalling or failing the stream — one dead subscriber
-    must not take down the tail. Drops are tallied per (host, port) into
-    ``drop_stats`` when given. Returns the StreamingQuery.
+    batch rather than stalling or failing the stream. Drops are tallied
+    per (host, port) into ``drop_stats`` (via a Spark accumulator) when
+    given. Returns the StreamingQuery.
     """
-    sink = deliver or TcpSink()
+    drop_acc = None
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        nonlocal drop_acc
         spark = batch.sparkSession
+        if drop_acc is None:
+            drop_acc = spark.sparkContext.accumulator({}, _DropTallyParam())
         subs_rows = [r.asDict() for r in get_subscriptions(spark).collect()]
         if not subs_rows:
             return
         matched = route_batch_literal(batch, subs_rows, record_col)
-        grouped = (
-            matched.groupBy("sub_id", "host", "port")
-            .agg(F.collect_list(record_col).alias("records"))
-            .collect()
+        # co-locate each subscriber's records into one task; delivery runs
+        # where the data is
+        rc, dl, acc = record_col, deliver, drop_acc
+        matched.repartition("sub_id").foreachPartition(
+            lambda rows: _deliver_partition(rows, rc, dl, acc)
         )
-        for row in grouped:
-            try:
-                sink(row["host"], row["port"], list(row["records"]))
-            except Exception as exc:  # drop + warn, never stall (ST4)
-                n = len(row["records"])
-                _LOG.warning(
-                    "wiretap: dropped %d records for %s:%s in batch %d: %s",
-                    n, row["host"], row["port"], batch_id, exc,
-                )
-                if drop_stats is not None:
-                    key = (row["host"], row["port"])
-                    drop_stats[key] = drop_stats.get(key, 0) + n
+        if drop_stats is not None:
+            drop_stats.clear()
+            drop_stats.update(drop_acc.value)
 
     writer = stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:

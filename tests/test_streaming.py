@@ -1,9 +1,16 @@
 """Streaming wiretap tests (SURVEY.md §5.2 #3): availableNow triggers over
 a temp dir, file "rollover" = appending new files (S6), dynamic
 subscription registration between micro-batch runs (ST2), per-subscriber
-delivered sets (ST3)."""
+delivered sets (ST3).
+
+Delivery is executor-side (VERDICT r1 #4), so every test receives over a
+REAL socket — a driver-side collecting double would never see the sends.
+"""
 
 import os
+import socket
+import socketserver
+import threading
 
 from hadoop_stuff_spark.streaming.tail import tail_stream
 from hadoop_stuff_spark.streaming.wiretap import (
@@ -13,14 +20,62 @@ from hadoop_stuff_spark.streaming.wiretap import (
 )
 
 
-class CollectingSink:
-    """Test double for the TCP sink: records per-(host,port) deliveries."""
+class TcpReceiver:
+    """Real TCP server collecting newline-framed records."""
 
     def __init__(self):
-        self.delivered: dict[tuple[str, int], list[str]] = {}
+        self.received: list[str] = []
+        outer = self
 
-    def __call__(self, host: str, port: int, records: list[str]) -> None:
-        self.delivered.setdefault((host, port), []).extend(records)
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for line in self.rfile:
+                    outer.received.append(line.decode("utf-8").rstrip("\n"))
+
+        self._server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self.port = self._server.server_address[1]
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+
+    def close(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+
+class UdpReceiver:
+    """Real UDP socket collecting newline-terminated datagrams."""
+
+    def __init__(self):
+        self.received: list[str] = []
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.settimeout(0.2)
+        self.port = self._sock.getsockname()[1]
+        self._stop = False
+
+        def loop():
+            while not self._stop:
+                try:
+                    data, _ = self._sock.recvfrom(65536)
+                    self.received.append(data.decode("utf-8").rstrip("\n"))
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+
+        threading.Thread(target=loop, daemon=True).start()
+
+    def close(self):
+        self._stop = True
+        self._sock.close()
+
+
+def _free_port() -> int:
+    """A port that is certainly closed: bind-then-close."""
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    return port
 
 
 def _write_log(directory: str, name: str, lines: list[str]) -> None:
@@ -35,7 +90,12 @@ def test_parse_subscription_reference_grammar():
         "regex": ".*126\\.247\\.0\\.97.*",
         "host": "10.0.0.5",
         "port": 5555,
+        "proto": "tcp",
     }
+    # explicit scheme picks the protocol (reference: adapter template
+    # decides TCP vs UDP, RealTimeCdrWiretap.java:59-67)
+    sub = parse_subscription("^FLOW udp://10.0.0.6:6666", sub_id=10)
+    assert sub["proto"] == "udp" and sub["host"] == "10.0.0.6" and sub["port"] == 6666
 
 
 def test_wiretap_routing_and_dynamic_registration(spark, tmp_path):
@@ -53,112 +113,98 @@ def test_wiretap_routing_and_dynamic_registration(spark, tmp_path):
         ],
     )
 
-    subs_rows = [
-        {"sub_id": 1, "regex": "126\\.247\\.0\\.97", "host": "h1", "port": 1},
-        {"sub_id": 2, "regex": "status=DROP", "host": "h2", "port": 2},
-    ]
-    sink = CollectingSink()
-    stream = tail_stream(spark, logdir)
+    r1, r2, r3 = TcpReceiver(), TcpReceiver(), TcpReceiver()
+    try:
+        subs_rows = [
+            {"sub_id": 1, "regex": "126\\.247\\.0\\.97", "host": "127.0.0.1", "port": r1.port},
+            {"sub_id": 2, "regex": "status=DROP", "host": "127.0.0.1", "port": r2.port},
+        ]
+        q = start_wiretap(
+            tail_stream(spark, logdir),
+            get_subscriptions=lambda s: subscriptions_df(s, subs_rows),
+            checkpoint_dir=ckpt,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
 
-    q = start_wiretap(
-        stream,
-        get_subscriptions=lambda s: subscriptions_df(s, subs_rows),
-        deliver=sink,
-        checkpoint_dir=ckpt,
-        trigger_available_now=True,
-    )
-    q.awaitTermination(120)
+        assert r1.received == ["CALL from=17325551212 ip=126.247.0.97 status=OK"]
+        assert r2.received == ["CALL from=17325551300 ip=10.1.2.3 status=DROP"]
 
-    assert [r for r in sink.delivered[("h1", 1)]] == [
-        "CALL from=17325551212 ip=126.247.0.97 status=OK"
-    ]
-    assert sink.delivered[("h2", 2)] == ["CALL from=17325551300 ip=10.1.2.3 status=DROP"]
+        # --- rollover (new file) + dynamic registration before the next
+        # run: a FLOW subscriber appears; only NEW records are processed
+        # (checkpoint), and the new subscription takes effect at the next
+        # micro-batch.
+        subs_rows.append(
+            {"sub_id": 3, "regex": "^FLOW", "host": "127.0.0.1", "port": r3.port}
+        )
+        _write_log(
+            logdir,
+            "cdr.1.txt",
+            [
+                "FLOW proto=6 src=1.2.3.4 dst=5.6.7.8",
+                "CALL from=17325551400 ip=126.247.0.97 status=OK",
+            ],
+        )
+        r1.received.clear()
+        r2.received.clear()
+        q2 = start_wiretap(
+            tail_stream(spark, logdir),
+            get_subscriptions=lambda s: subscriptions_df(s, subs_rows),
+            checkpoint_dir=ckpt,
+            trigger_available_now=True,
+        )
+        q2.awaitTermination(120)
 
-    # --- rollover (new file) + dynamic registration before the next run:
-    # a FLOW subscriber appears; only NEW records are processed (checkpoint),
-    # and the new subscription takes effect at the next micro-batch.
-    subs_rows.append({"sub_id": 3, "regex": "^FLOW", "host": "h3", "port": 3})
-    _write_log(
-        logdir,
-        "cdr.1.txt",
-        [
-            "FLOW proto=6 src=1.2.3.4 dst=5.6.7.8",
-            "CALL from=17325551400 ip=126.247.0.97 status=OK",
-        ],
-    )
-    sink2 = CollectingSink()
-    q2 = start_wiretap(
-        tail_stream(spark, logdir),
-        get_subscriptions=lambda s: subscriptions_df(s, subs_rows),
-        deliver=sink2,
-        checkpoint_dir=ckpt,
-        trigger_available_now=True,
-    )
-    q2.awaitTermination(120)
-
-    # old file NOT re-delivered (checkpoint state), new records routed,
-    # including to the dynamically added subscriber
-    assert sink2.delivered[("h3", 3)] == ["FLOW proto=6 src=1.2.3.4 dst=5.6.7.8"]
-    assert sink2.delivered[("h1", 1)] == [
-        "CALL from=17325551400 ip=126.247.0.97 status=OK"
-    ]
-    assert ("h2", 2) not in sink2.delivered
+        # old file NOT re-delivered (checkpoint state), new records routed,
+        # including to the dynamically added subscriber
+        assert r3.received == ["FLOW proto=6 src=1.2.3.4 dst=5.6.7.8"]
+        assert r1.received == ["CALL from=17325551400 ip=126.247.0.97 status=OK"]
+        assert r2.received == []
+    finally:
+        r1.close()
+        r2.close()
+        r3.close()
 
 
 def test_multicast_one_record_many_subscribers(spark, tmp_path):
     logdir = str(tmp_path / "logs")
     os.makedirs(logdir)
     _write_log(logdir, "a.txt", ["ALPHA BETA GAMMA"])
-    sink = CollectingSink()
-    rows = [
-        {"sub_id": 1, "regex": "ALPHA", "host": "s1", "port": 1},
-        {"sub_id": 2, "regex": "GAMMA", "host": "s2", "port": 2},
-        {"sub_id": 3, "regex": "NOPE", "host": "s3", "port": 3},
-    ]
-    q = start_wiretap(
-        tail_stream(spark, logdir),
-        get_subscriptions=lambda s: subscriptions_df(s, rows),
-        deliver=sink,
-        trigger_available_now=True,
-    )
-    q.awaitTermination(120)
-    assert sink.delivered[("s1", 1)] == ["ALPHA BETA GAMMA"]
-    assert sink.delivered[("s2", 2)] == ["ALPHA BETA GAMMA"]
-    assert ("s3", 3) not in sink.delivered
+    s1, s2, s3 = TcpReceiver(), TcpReceiver(), TcpReceiver()
+    try:
+        rows = [
+            {"sub_id": 1, "regex": "ALPHA", "host": "127.0.0.1", "port": s1.port},
+            {"sub_id": 2, "regex": "GAMMA", "host": "127.0.0.1", "port": s2.port},
+            {"sub_id": 3, "regex": "NOPE", "host": "127.0.0.1", "port": s3.port},
+        ]
+        q = start_wiretap(
+            tail_stream(spark, logdir),
+            get_subscriptions=lambda s: subscriptions_df(s, rows),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        assert s1.received == ["ALPHA BETA GAMMA"]
+        assert s2.received == ["ALPHA BETA GAMMA"]
+        assert s3.received == []
+    finally:
+        s1.close()
+        s2.close()
+        s3.close()
 
 
 def test_real_tcp_delivery_and_dead_subscriber_drop(spark, tmp_path):
     """S7 with a REAL TCP socket + ST4 drop-and-warn: live subscriber gets
     its records over the wire; the dead one is dropped without failing the
-    stream, with drops tallied."""
-    import socket
-    import socketserver
-    import threading
-
-    received: list[str] = []
-
-    class Handler(socketserver.StreamRequestHandler):
-        def handle(self):
-            for line in self.rfile:
-                received.append(line.decode("utf-8").rstrip("\n"))
-
-    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
-    live_port = server.server_address[1]
-    t = threading.Thread(target=server.serve_forever, daemon=True)
-    t.start()
-
-    # a port that is certainly closed: bind-then-close
-    probe = socket.socket()
-    probe.bind(("127.0.0.1", 0))
-    dead_port = probe.getsockname()[1]
-    probe.close()
+    stream, with drops tallied (executor-side, via accumulator)."""
+    live = TcpReceiver()
+    dead_port = _free_port()
 
     logdir = str(tmp_path / "logs")
     os.makedirs(logdir)
     _write_log(logdir, "a.txt", ["CALL alpha", "FLOW beta", "CALL gamma"])
 
     subs = [
-        {"sub_id": 1, "regex": "^CALL", "host": "127.0.0.1", "port": live_port},
+        {"sub_id": 1, "regex": "^CALL", "host": "127.0.0.1", "port": live.port},
         {"sub_id": 2, "regex": "FLOW", "host": "127.0.0.1", "port": dead_port},
     ]
     drops: dict = {}
@@ -166,14 +212,48 @@ def test_real_tcp_delivery_and_dead_subscriber_drop(spark, tmp_path):
         q = start_wiretap(
             tail_stream(spark, logdir),
             get_subscriptions=lambda s: subscriptions_df(s, subs),
-            deliver=None,  # the real TcpSink
             trigger_available_now=True,
             drop_stats=drops,
         )
         q.awaitTermination(120)
     finally:
-        server.shutdown()
-        server.server_close()
+        live.close()
 
-    assert sorted(received) == ["CALL alpha", "CALL gamma"]
+    assert sorted(live.received) == ["CALL alpha", "CALL gamma"]
     assert drops == {("127.0.0.1", dead_port): 1}
+
+
+def test_udp_delivery(spark, tmp_path):
+    """S7's UDP flavor (RealTimeCdrWiretap.java:59-72 / LoggerTest.java:
+    10-19): a udp-proto subscription receives its matches as datagrams while
+    a tcp one on the same stream still works."""
+    udp = UdpReceiver()
+    tcp = TcpReceiver()
+
+    logdir = str(tmp_path / "logs")
+    os.makedirs(logdir)
+    _write_log(logdir, "a.txt", ["CALL alpha", "FLOW beta", "CALL gamma"])
+
+    subs = [
+        {"sub_id": 1, "regex": "^CALL", "host": "127.0.0.1", "port": udp.port, "proto": "udp"},
+        {"sub_id": 2, "regex": "FLOW", "host": "127.0.0.1", "port": tcp.port},
+    ]
+    try:
+        q = start_wiretap(
+            tail_stream(spark, logdir),
+            get_subscriptions=lambda s: subscriptions_df(s, subs),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        # UDP is fire-and-forget but loopback delivery is reliable in
+        # practice; give the receiver thread a beat
+        import time
+
+        deadline = time.time() + 5
+        while time.time() < deadline and len(udp.received) < 2:
+            time.sleep(0.05)
+        assert sorted(udp.received) == ["CALL alpha", "CALL gamma"]
+        assert tcp.received == ["FLOW beta"]
+    finally:
+        udp.close()
+        tcp.close()
