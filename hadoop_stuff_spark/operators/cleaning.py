@@ -1,0 +1,160 @@
+"""Text cleaning for training-data pipelines (N3 family): PII redaction,
+markup stripping, whitespace normalization.
+
+On-theme with the reference: its records ARE PII-bearing telco data —
+CDR rows carry phone numbers (`17325551212`) and subscriber IPs
+(HdfsReadWriteSample.java:112-113), flow logs carry src/dst/NAT IPs
+(IngestTest.java:105). A modern pipeline over the same data must be able
+to redact those before the text reaches a training corpus.
+
+Everything here is pure Catalyst ``regexp_replace`` chains — map-only, one
+scan, whole-stage codegen, zero Python. The patterns are deliberately
+portable to DuckDB so every op is oracle-certified (EXTRA_QUERIES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table, spread
+
+# portable regexes (identical semantics in Spark's Java regex and DuckDB's
+# RE2): keep to character classes + bounded quantifiers, no lookaround
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+# NANP-ish phone: optional +1/1 prefix then 10 digits, allowing separators —
+# also matches the reference's bare 11-digit form 17325551212
+PHONE_RE = "\\b1?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}\\b"
+SSN_RE = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+# must LOOK like a tag (optional /, then a letter) — a bare "a < b ... > c"
+# comparison span is not markup
+TAG_RE = "</?[A-Za-z][^<>]{0,255}>"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, SSNs, IPv4 addresses, and phone numbers with typed
+    placeholder tokens. Order matters: emails before phones (digits in a
+    mail local part must not be phone-matched), SSNs before phones
+    (an SSN's 3-2-4 digits would otherwise partially phone-match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, SSN_RE, "<SSN>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return c
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Drop HTML/XML tags (bounded non-nesting tags) and collapse the
+    whitespace the removal leaves behind."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, TAG_RE, " ")
+    return normalize_whitespace(c)
+
+
+def normalize_whitespace(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
+def clean_text(col: Column | str) -> Column:
+    """The full cleaning chain: strip markup, redact PII, normalize."""
+    return normalize_whitespace(redact_pii(strip_markup(col)))
+
+
+# --------------------------------------------------------------------------
+# certification queries (EXTRA_QUERIES — DuckDB-differential, local)
+
+
+def n3_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact PII across a synthetic PII-bearing corpus derived
+    deterministically from documents (emails/IPs/phones injected from
+    doc_id so the oracle can rebuild the identical input), then count
+    redactions per kind — certifies patterns AND replacement order."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 1732555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    cleaned = dirty.select("doc_id", redact_pii("text").alias("text"))
+    return cleaned.select(
+        "doc_id",
+        (F.size(F.split("text", "<EMAIL>", -1)) - F.lit(1)).alias("n_email"),
+        (F.size(F.split("text", "<IP>", -1)) - F.lit(1)).alias("n_ip"),
+        (F.size(F.split("text", "<PHONE>", -1)) - F.lit(1)).alias("n_phone"),
+        F.md5("text").alias("fp"),
+    )
+
+
+PII_SQL = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 1732555'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+      '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+      '\\b1?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}\\b', '<PHONE>', 'g') AS text
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(len(string_split(text, '<EMAIL>')) - 1 AS INTEGER) AS n_email,
+       CAST(len(string_split(text, '<IP>')) - 1 AS INTEGER) AS n_ip,
+       CAST(len(string_split(text, '<PHONE>')) - 1 AS INTEGER) AS n_phone,
+       md5(text) AS fp
+FROM cleaned
+"""
+
+
+def n3_markup_stripping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip markup from a deterministic HTML-wrapped rendering of
+    documents (tags injected from doc_id so the oracle rebuilds the same
+    input); certify via the cleaned text's fingerprint + length."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<div id=\""),
+            F.col("doc_id").cast("string"),
+            F.lit("\"><p>"),
+            F.col("text"),
+            F.lit("</p> <br/> tail</div>"),
+        ).alias("html"),
+    )
+    out = dirty.select("doc_id", strip_markup("html").alias("text"))
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"), F.md5("text").alias("fp")
+    )
+
+
+MARKUP_SQL = """
+WITH dirty AS (
+  SELECT doc_id,
+         '<div id="' || CAST(doc_id AS VARCHAR) || '"><p>' || text
+             || '</p> <br/> tail</div>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(html, '</?[A-Za-z][^<>]{0,255}>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS text
+  FROM dirty
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS fp
+FROM stripped
+"""

@@ -1,0 +1,150 @@
+"""Deterministic sampling & corpus mixing for training-data pipelines.
+
+Random `df.sample()` is irreproducible across runs/partitionings — a
+training-data pipeline needs sampling that is a pure function of the ROW,
+so reruns, backfills, and incremental runs keep/drop the same documents.
+The standard trick: hash a stable key and keep rows whose hash falls under
+a threshold. md5 is used (not xxhash64) because both Spark AND DuckDB
+implement it identically — every op here is oracle-certifiable.
+
+All ops are map-only single-scan Catalyst expressions (the per-group
+sampler adds one window shuffle on the group key) — nothing here collects
+or loops on the driver, so every op holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table, spread
+
+_HEX_DIGITS = 6  # threshold resolution: 16^-6 ≈ 6e-8
+
+
+def _hex_threshold(fraction: float) -> str:
+    f = min(max(fraction, 0.0), 1.0)
+    if f >= 1.0:
+        # 'g' sorts after every hex char, so `hex6 < 'g'` keeps everything
+        # (a 7-digit numeric threshold would break the fixed-length
+        # lexicographic==numeric equivalence)
+        return "g"
+    return format(int(f * (16**_HEX_DIGITS)), f"0{_HEX_DIGITS}x")
+
+
+def deterministic_keep(key: Column | str, fraction: float, salt: str = "") -> Column:
+    """Boolean keep-predicate: md5(salt || key)'s first 6 hex chars,
+    compared lexicographically against the fraction's hex threshold
+    (fixed-length lowercase hex ⇒ lexicographic == numeric). Uniform for
+    uniform-ish keys; change ``salt`` to draw an independent sample."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.substring(h, 1, _HEX_DIGITS) < F.lit(_hex_threshold(fraction))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Reproducible ~``fraction`` sample keyed on ``key_col``."""
+    return df.filter(deterministic_keep(key_col, fraction, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 100% of wiki, 10% of commoncrawl). Strata not listed get
+    ``default_fraction``."""
+    if not fractions:
+        return df.filter(deterministic_keep(key_col, default_fraction, salt))
+    pred = None
+    for value, fraction in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        branch = deterministic_keep(key_col, fraction, salt)
+        pred = F.when(cond, branch) if pred is None else pred.when(cond, branch)
+    return df.filter(pred.otherwise(deterministic_keep(key_col, default_fraction, salt)))
+
+
+def sample_n_per_group(
+    df: DataFrame, group_col: str, key_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group, chosen deterministically
+    (hash order, key tiebreak). One window shuffle on the group key; the
+    per-group state is a counter, so hot groups cost sort-time, not memory."""
+    c = F.col(key_col)
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), c.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# certification queries (EXTRA_QUERIES — DuckDB-differential, local)
+
+
+_MIX_LADDER = [1.0, 0.5, 0.25, 0.1, 0.05]  # fraction per source rank (mod 5)
+
+
+def n3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample of documents by source (the
+    corpus-mixing shape: rank r source keeps _MIX_LADDER[r % 5]) —
+    per-source kept counts + id-sum (order-free exact summary of the kept
+    SET)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    fractions = {s: _MIX_LADDER[i % len(_MIX_LADDER)] for i, s in enumerate(sources)}
+    kept = stratified_sample(docs, "source", fractions, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def _stratified_sql() -> str:
+    # mirror of n3_stratified_sample: same fraction ladder over the sorted
+    # distinct sources, same md5-prefix predicate
+    thresholds = ",".join(
+        f"({i}, '{_hex_threshold(f)}')" for i, f in enumerate(_MIX_LADDER)
+    )
+    return f"""
+WITH src AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS rnk
+  FROM (SELECT DISTINCT source FROM documents)
+), thr(rnk, t) AS (VALUES {thresholds})
+SELECT d.source, count(*) AS n_kept, sum(doc_id) AS id_sum
+FROM documents d
+JOIN src ON d.source = src.source
+JOIN thr ON thr.rnk = src.rnk % {len(_MIX_LADDER)}
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < thr.t
+GROUP BY d.source
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sql()
+
+
+def n3_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-source document pick (hash order) — stable
+    across runs and partitionings, certified value-exact by the oracle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return sample_n_per_group(docs, "source", "doc_id", 3).select("source", "doc_id")
+
+
+SAMPLE_PER_GROUP_SQL = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
