@@ -400,3 +400,87 @@ def topk_cosine_ivf_index(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "sim", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (the storage-side scale lever: 4x smaller
+# vectors -> 4x less scan/shuffle for every ANN pass; re-rank in float on
+# the candidate set only)
+
+
+def quantize_embeddings_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization as pure Catalyst HOFs:
+    scale = max(|x_i|) / 127, code_i = round(x_i / scale) in [-127, 127]
+    (scale 0 for the zero vector). Adds ``codes array<int>`` and
+    ``scale double``; dequantization is codes[i] * scale with relative
+    error <= scale/2 per component. Map-only, no Python."""
+    v = F.col(vec_col)
+    max_abs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    codes = F.when(max_abs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.round(x.cast("double") * 127.0 / max_abs, 0).cast("int")
+        )
+    )
+    return emb.select("*", codes.alias("codes"), scale)
+
+
+def n2_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: per-vector quantization scale + exact code checksum +
+    max dequantization error, all recomputable by the oracle from the raw
+    floats."""
+    from hadoop_stuff_spark.catalog import load_table, spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings_int8(emb)
+    dequant_err = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "codes",
+            lambda x, c: F.abs(x.cast("double") - c * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    # compute the error against the RAW scale in its own select — aliasing
+    # round(scale) AS scale in the same projection would make the lambda's
+    # F.col("scale") resolve to the rounded value (lateral column aliasing)
+    q = q.select("vec_id", "scale", "codes", dequant_err.alias("_max_err"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + F.abs(c)
+        ).alias("code_l1"),
+        F.round("_max_err", 9).alias("max_err"),
+    )
+
+
+QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS max_abs
+  FROM embeddings
+), c AS (
+  SELECT vec_id, v, max_abs / 127.0 AS scale,
+         CASE WHEN max_abs = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(round(x * 127.0 / max_abs, 0) AS INTEGER))
+         END AS codes
+  FROM q
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
+       round(list_max([abs(v[i] - codes[i] * scale) FOR i IN range(1, len(v) + 1)]), 9) AS max_err
+FROM c
+"""

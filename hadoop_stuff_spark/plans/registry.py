@@ -22,6 +22,7 @@ from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions.money import sum_2dp_exact, sum_2dp_exact_sql
 from hadoop_stuff_spark.operators import (
     cleaning,
+    clusters,
     dedup,
     logs,
     multimodal,
@@ -386,6 +387,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "n3_sample_per_group": QuerySpec(
         sampling.n3_sample_per_group, sampling.SAMPLE_PER_GROUP_SQL
+    ),
+    "n1_dedup_clusters": QuerySpec(clusters.n1_dedup_clusters, clusters.CLUSTERS_SQL),
+    "n2_embedding_quantization": QuerySpec(
+        similarity.n2_embedding_quantization, similarity.QUANTIZE_SQL
     ),
 }
 
