@@ -225,9 +225,15 @@ def minhash_candidates(
     sigs = spread(docs).select(
         F.col(id_col).alias("id"), minhash_signature(text_col, n, perms).alias("sig")
     )
+    # signatures are reused by the banding branch AND the two estimation
+    # joins — persist so the pandas-UDF signature pass runs once (at
+    # cluster scale you would land this as a table instead)
+    sigs = sigs.persist()
+    # band on (band, bucket, id) ONLY — the 512 B signature must not ride
+    # the bands-way explode through the candidate shuffle (16x payload
+    # replication); surviving pairs re-join it below, once each side
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -247,9 +253,11 @@ def minhash_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
+    # distinct over two longs = plain HashAggregate (an array-carrying
+    # dropDuplicates would force SortAggregate)
     pairs = (
         a.join(
             b,
@@ -257,14 +265,11 @@ def minhash_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
     )
+    sa = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.round(
         F.size(
             F.filter(
@@ -275,7 +280,11 @@ def minhash_candidates(
         / F.lit(perms * 1.0),
         6,
     )
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
 
 
 def minhash_near_dups(
@@ -359,11 +368,13 @@ def embedding_cosine_dups_lsh(
         )
         for bnd in range(bands)
     ]
+    # band on ids only — the wide embedding must not be replicated
+    # bands-way through the candidate shuffle; surviving pairs re-join it
+    # once per side for the exact re-rank
     banded = emb.select(
         "vec_id",
-        "embedding",
         F.explode(F.array(*bucket_structs)).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    ).select("vec_id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -373,17 +384,17 @@ def embedding_cosine_dups_lsh(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("va"),
-            F.col("b.embedding").alias("vb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     sim = F.round(cosine("va", "vb"), 6)
-    out = pairs.select("vec_a", "vec_b", sim.alias("sim")).filter(
-        F.col("sim") >= threshold
+    out = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
     return out.orderBy("vec_a", "vec_b") if sort else out
 
