@@ -148,3 +148,63 @@ SELECT source, doc_id FROM (
   FROM documents
 ) WHERE rn <= 3
 """
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in exactly one
+    split, decided by which sub-range of [0, 1) its hash prefix falls in
+    (ranges stacked in sorted split-name order). Reproducible across runs,
+    partitionings, and incremental re-runs — a document never migrates
+    between splits. Adds a ``split`` column; weights must sum to ~1."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    c = F.col(key_col)
+    h = F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, _HEX_DIGITS)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def n3_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: 90/5/5 split of documents — per-split counts and
+    id-sums (exact set summary), recomputable by the oracle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = split_corpus(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def _split_sql() -> str:
+    # sorted names: test (0.05), train (0.9), val (rest) — cumulative
+    # thresholds mirror split_corpus exactly
+    t1 = _hex_threshold(0.05)
+    t2 = _hex_threshold(0.95)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 6) AS hx
+  FROM documents
+)
+SELECT CASE WHEN hx < '{t1}' THEN 'test'
+            WHEN hx < '{t2}' THEN 'train'
+            ELSE 'val' END AS split,
+       count(*) AS n_docs, sum(doc_id) AS id_sum
+FROM h GROUP BY 1
+"""
+
+
+CORPUS_SPLIT_SQL = _split_sql()

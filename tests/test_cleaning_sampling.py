@@ -121,3 +121,50 @@ def test_sample_n_per_group_exact_and_deterministic(spark):
     for g, _ in rows1:
         per_group[g] = per_group.get(g, 0) + 1
     assert per_group == {g: 5 for g in range(7)}
+
+
+def test_split_corpus_partition_and_exclusivity(spark):
+    from hadoop_stuff_spark.operators.sampling import split_corpus
+
+    df = spark.range(50000).select(F.col("id").alias("doc_id"))
+    out = split_corpus(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 50000  # every row in exactly one split
+    assert 0.88 < counts["train"] / 50000 < 0.92
+    assert 0.04 < counts["val"] / 50000 < 0.06
+    assert 0.04 < counts["test"] / 50000 < 0.06
+    # stable under repartitioning
+    again = split_corpus(df.repartition(23), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted((r.doc_id, r.split) for r in again.collect())
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    from hadoop_stuff_spark.operators.packing import pack_sequences, pack_stats
+
+    budget = 1000
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        # token counts 1..700, plus a few over-budget monsters
+        F.when(F.col("id") % 500 == 0, 2500)
+        .otherwise((F.pmod(F.hash("id"), F.lit(700)) + 1).cast("int"))
+        .alias("n_tokens"),
+    ).repartition(8)
+    packed = pack_sequences(docs, budget)
+    rows = packed.collect()
+    # every doc exactly once
+    assert sorted(r.doc_id for r in rows) == list(range(4000))
+    stats = pack_stats(packed, budget).collect()
+    for s in stats:
+        # budget respected unless the sequence is an over-budget singleton
+        assert s.total_tokens <= budget or s.n_docs == 1, s
+    # packing actually packs: average fill well above half
+    import statistics
+
+    fills = [s.fill for s in stats if s.total_tokens <= budget]
+    assert statistics.mean(fills) > 0.6
