@@ -1,0 +1,137 @@
+"""Incremental dedup against persisted stores (operators/incremental.py):
+two-batch ingest scenarios for the exact fingerprint store and the banded
+MinHash signature store."""
+
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.operators.incremental import (
+    build_fingerprint_store,
+    build_signature_store,
+    novel_against_fingerprints,
+    novel_against_signatures,
+    update_fingerprint_store,
+    update_signature_store,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_fingerprint_store_two_batch_ingest(spark, tmp_path):
+    path = str(tmp_path / "fps")
+    day1 = _docs(
+        spark,
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "eta theta iota")],
+    )
+    build_fingerprint_store(day1, path)
+
+    day2 = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma"),        # exact dup of day1 doc 1
+            (11, "ALPHA  beta   gamma"),     # normalized dup (case/space)
+            (12, "totally new content one"),
+            (13, "totally new content one"), # within-batch dup of 12
+            (14, "totally new content two"),
+        ],
+    )
+    novel = novel_against_fingerprints(spark, day2, path)
+    assert sorted(r.doc_id for r in novel.collect()) == [12, 14]
+
+    update_fingerprint_store(spark, novel, path)
+    # day3 re-sends day2 content: nothing is novel anymore
+    day3 = _docs(spark, [(20, "totally new content one"), (21, "alpha beta gamma")])
+    assert novel_against_fingerprints(spark, day3, path).count() == 0
+    # store holds exactly the 5 distinct contents, no dup fps from appends
+    store = spark.read.parquet(path)
+    assert store.count() == store.distinct().count() == 5
+
+
+def test_signature_store_two_batch_near_dups(spark, tmp_path):
+    path = str(tmp_path / "sigs")
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    day1 = _docs(spark, [(1, base), (2, "completely different words here " * 3)])
+    build_signature_store(day1, path)
+
+    # near-dup of doc 1: one word changed out of 14 (high Jaccard overlap)
+    near = base.replace("lazy", "sleepy")
+    day2 = _docs(
+        spark,
+        [
+            (10, near),
+            (11, "brand new unrelated document about spark shuffles and joins"),
+        ],
+    )
+    novel = novel_against_signatures(spark, day2, path, threshold=0.4)
+    assert sorted(r.doc_id for r in novel.collect()) == [11]
+
+    update_signature_store(novel, path)
+    # re-sending the accepted doc now dedups against the updated store
+    day3 = _docs(
+        spark,
+        [(20, "brand new unrelated document about spark shuffles and joins")],
+    )
+    assert novel_against_signatures(spark, day3, path).count() == 0
+
+
+def test_signature_store_probe_prunes_bands(spark, tmp_path):
+    """The on-disk index is partitioned by band; a probe restricted to one
+    band reads only that partition (PartitionFilters in the scan)."""
+    path = str(tmp_path / "sigs")
+    day1 = _docs(spark, [(1, "some words to index for the partition test case")])
+    build_signature_store(day1, path)
+    scan = spark.read.parquet(path).filter(F.col("band") == 3)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan
+    assert scan.count() == 1  # one (band=3, bucket) row per doc
+
+
+def test_streaming_ingest_dedup_pipeline(spark, tmp_path):
+    """The streaming twin of the store-based flow: tail → fingerprint →
+    stateful first-seen dedup → exactly-once landing. Re-sent content in
+    later files never lands twice, across micro-batch runs (checkpointed
+    state)."""
+    import os
+
+    from hadoop_stuff_spark.functions.text import fingerprint_md5
+    from hadoop_stuff_spark.streaming.stateful import (
+        dedup_first_seen,
+        exactly_once_parquet_sink,
+    )
+    from hadoop_stuff_spark.streaming.tail import tail_stream
+
+    logdir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "landed")
+    os.makedirs(logdir)
+
+    def run():
+        stream = tail_stream(spark, logdir).select(
+            fingerprint_md5("value").alias("key"), F.col("value")
+        )
+        q = (
+            dedup_first_seen(stream, "key", "value")
+            .writeStream.foreachBatch(exactly_once_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(os.path.join(logdir, "a.txt"), "w") as f:
+        f.write("rec one\nrec two\nrec one\nREC  ONE\n")  # normalized dups
+    run()
+    landed = spark.read.parquet(out)
+    assert sorted(r.value for r in landed.select("value").collect()) == [
+        "rec one",
+        "rec two",
+    ]
+
+    # second run: a new file re-sends old content + one new record
+    with open(os.path.join(logdir, "b.txt"), "w") as f:
+        f.write("rec two\nrec three\nrec one\n")
+    run()
+    landed = spark.read.parquet(out)
+    vals = sorted(r.value for r in landed.select("value").collect())
+    assert vals == ["rec one", "rec three", "rec two"]  # each content once, ever
