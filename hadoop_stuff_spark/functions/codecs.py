@@ -72,3 +72,25 @@ def b64_gzip_decode_str(col: Column | str) -> Column:
     semantics)."""
     c = F.col(col) if isinstance(col, str) else col
     return gzip_decompress(F.unbase64(c)).cast(StringType())
+
+
+@pandas_udf(BinaryType())
+def _gzip_decompress_permissive_udf(data: pd.Series) -> pd.Series:
+    def safe(v):
+        if v is None:
+            return None
+        try:
+            return gzip.decompress(bytes(v))
+        except (OSError, EOFError):
+            return None
+
+    return data.map(safe)
+
+
+def gzip_decompress_permissive(col: Column | str) -> Column:
+    """Like :func:`gzip_decompress` but corrupt/truncated chunks decode to
+    NULL instead of failing the job — the badRecordsPath posture for a
+    100 TB backfill where a handful of torn chunks must not kill hours of
+    work. Pair with a null-count observe()/filter to quarantine them."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _gzip_decompress_permissive_udf(c)

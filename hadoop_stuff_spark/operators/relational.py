@@ -669,3 +669,33 @@ SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
        count(*) FILTER (event_type = 'error')    AS error
 FROM events GROUP BY 1
 """
+
+
+def analytic_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions with explicit frames (lead/lag + running
+    ROWS frame), deterministically ordered by (date, key) within each
+    customer; running total in exact cents."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    running = F.round(
+        F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0, 2
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        running.alias("running_total"),
+    )
+
+
+ANALYTIC_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

@@ -388,6 +388,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n3_sample_per_group": QuerySpec(
         sampling.n3_sample_per_group, sampling.SAMPLE_PER_GROUP_SQL
     ),
+    "analytic_order_deltas": QuerySpec(
+        relational.analytic_order_deltas, relational.ANALYTIC_SQL
+    ),
     "n3_corpus_split": QuerySpec(sampling.n3_corpus_split, sampling.CORPUS_SPLIT_SQL),
     "n1_dedup_clusters": QuerySpec(clusters.n1_dedup_clusters, clusters.CLUSTERS_SQL),
     "n2_embedding_quantization": QuerySpec(

@@ -128,11 +128,28 @@ def chunk_lines_partitionwise(
     return df.select(col, *pcols).mapInPandas(pack, out_schema)
 
 
-def explode_chunks(chunks: DataFrame, line_name: str = "line") -> DataFrame:
+def explode_chunks(
+    chunks: DataFrame, line_name: str = "line", permissive: bool = False
+) -> DataFrame:
     """chunk[key, value, ...] -> one row per record line (reference T1+T3:
     gunzip then tokenize on \\n — RecordCount.java:41-42). Non-value
-    columns (the key, any partition columns) are preserved per line."""
+    columns (the key, any partition columns) are preserved per line.
+
+    ``permissive=True``: corrupt/truncated chunks are silently skipped
+    (decode-to-NULL then filtered) instead of failing the job — the
+    posture for large backfills where a torn chunk must not kill the run;
+    count them separately via ``gzip_decompress_permissive(...).isNull()``
+    if a quarantine tally is needed."""
     other = [c for c in chunks.columns if c != "value"]
+    if permissive:
+        from hadoop_stuff_spark.functions.codecs import gzip_decompress_permissive
+
+        text = gzip_decompress_permissive("value").cast("string")
+        return (
+            chunks.select(*other, text.alias("_text"))
+            .filter(F.col("_text").isNotNull())
+            .select(*other, F.explode(F.split("_text", "\n")).alias(line_name))
+        )
     return chunks.select(
         *other,
         F.explode(F.split(gzip_decompress_str("value"), "\n")).alias(line_name),

@@ -126,3 +126,35 @@ def test_inject_needles_recall_through_chunk_roundtrip(spark, tmp_path):
     write_chunked(seeded.drop("__is_needle"), "value", store, chunk_size=500)
     found = grep(read_chunked(spark, store, "value"), "GHOST NEEDLE").count()
     assert found == k
+
+
+def test_permissive_decode_skips_corrupt_chunks(spark):
+    """A torn/corrupt chunk must not kill a backfill: strict decode raises,
+    permissive explode skips exactly the bad chunk and keeps the rest."""
+    import gzip as _gzip
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from hadoop_stuff_spark.functions.codecs import gzip_decompress_permissive
+    from hadoop_stuff_spark.sources.chunks import explode_chunks
+
+    good1 = _gzip.compress(b"a1\na2", mtime=0)
+    good2 = _gzip.compress(b"b1\nb2\nb3", mtime=0)
+    torn = good2[: len(good2) // 2]  # truncated member
+    garbage = b"\x00\x01not-gzip"
+    chunks = spark.createDataFrame(
+        [(1, good1), (2, torn), (3, garbage), (4, good2)],
+        "key: long, value: binary",
+    )
+
+    with pytest.raises(PythonException):
+        explode_chunks(chunks, "line").count()
+
+    lines = explode_chunks(chunks, "line", permissive=True)
+    assert sorted(r.line for r in lines.collect()) == ["a1", "a2", "b1", "b2", "b3"]
+
+    # quarantine tally: exactly the two bad chunks decode to NULL
+    bad = chunks.filter(gzip_decompress_permissive("value").isNull())
+    assert sorted(r.key for r in bad.collect()) == [2, 3]
