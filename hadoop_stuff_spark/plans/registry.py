@@ -26,6 +26,7 @@ from hadoop_stuff_spark.operators import (
     dedup,
     logs,
     multimodal,
+    pq,
     profile,
     relational,
     sampling,
@@ -365,6 +366,7 @@ QUERIES: dict[str, QuerySpec] = {
     "n1_embedding_cosine_dups_lsh": QuerySpec(dedup.embedding_cosine_dups_lsh, None),
     "n2_topk_cosine_lsh": QuerySpec(similarity.topk_cosine_lsh, None),
     "n2_topk_cosine_ivf": QuerySpec(similarity.topk_cosine_ivf, None),
+    "n2_topk_cosine_pq": QuerySpec(pq.topk_cosine_pq, None),
 }
 
 # Oracle-backed queries cut from the driver window (near-duplicates of

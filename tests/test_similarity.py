@@ -85,3 +85,53 @@ def test_norm_stats_counts(spark, sf_dir):
     out = embedding_norm_stats(spark, sf_dir)
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ-ADC + exact re-rank: recall@10 vs the exact brute force, stable
+    across runs. Threshold set for the unclustered-gaussian testdata (the
+    PQ worst case — see operators/pq.py docstring)."""
+    from hadoop_stuff_spark.operators.pq import topk_cosine_pq
+    from hadoop_stuff_spark.operators.similarity import topk_cosine_bruteforce
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_cosine_bruteforce(spark, sf_dir).collect()
+    }
+    got1 = topk_cosine_pq(spark, sf_dir)
+    rows1 = {(r.query_id, r.vec_id) for r in got1.collect()}
+    recall = len(rows1 & exact) / len(exact)
+    assert recall >= 0.5, f"PQ recall@10 too low: {recall}"
+    # determinism: identical result set on a second run
+    rows2 = {
+        (r.query_id, r.vec_id) for r in topk_cosine_pq(spark, sf_dir).collect()
+    }
+    assert rows1 == rows2
+    # sims are EXACT (re-ranked): every returned pair's sim matches brute
+    bf = {
+        (r.query_id, r.vec_id): r.sim
+        for r in topk_cosine_bruteforce(spark, sf_dir, k=500).collect()
+    }
+    for r in got1.collect():
+        assert abs(bf[(r.query_id, r.vec_id)] - r.sim) < 1e-9
+
+
+def test_pq_codes_are_compact_and_deterministic(spark, sf_dir):
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.pq import encode_pq, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=16, nbits=4)
+    assert books.shape == (16, 16, 4)
+    enc = encode_pq(emb.limit(200), books)
+    rows = enc.select("vec_id", "codes", "recon_nrm").collect()
+    assert len(rows) == 200
+    for r in rows[:30]:
+        assert len(r.codes) == 16
+        assert all(0 <= c < 16 for c in r.codes)
+        assert r.recon_nrm > 0
+    again = {
+        r.vec_id: tuple(r.codes)
+        for r in encode_pq(emb.limit(200), books).collect()
+    }
+    assert {r.vec_id: tuple(r.codes) for r in rows} == again
