@@ -39,6 +39,7 @@ HEADLINE = [
     "n1_minhash_near_dups",
     "n1_simhash_near_dups",
     "n2_topk_cosine_bruteforce",
+    "n2_topk_cosine_pq",
     "n3_text_stats",
     "n3_winnowed_fingerprints",
     "skew_salted_join_enriched_counts",
