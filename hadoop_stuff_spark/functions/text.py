@@ -104,6 +104,32 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
+def bigrams(col: Column | str) -> Column:
+    """ALL word bigrams in order (duplicates kept — unlike shingles, which
+    dedupe): the repetition-signal denominator. Pure Catalyst."""
+    toks = tokens(col)
+    count = F.size(toks) - 1
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def top_element_count(arr: Column) -> Column:
+    """Occurrence count of the most frequent element of an array. Pure HOF
+    (O(distinct × n) per row, map-only — no explode/groupBy shuffle), so
+    repetition scoring stays a single scan-bound pass at 100 TB."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda w: F.size(F.filter(arr, lambda t: t == w)),
+        )
+    )
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase text
     (the exact-dedup key). md5 exists in DuckDB too → oracle-able."""

@@ -1,0 +1,112 @@
+"""Train/test decontamination (LLM-pipeline north-star, SURVEY.md §2.7 N3):
+flag or drop corpus documents whose word n-grams overlap a held-out
+benchmark/test set — the standard guard against benchmark leakage when
+assembling training corpora.
+
+Scale design: the benchmark side is tiny relative to the corpus (MBs vs
+100 TB), so its distinct shingle set is **broadcast** — the corpus-side
+probe is a map-side hash join on the exploded shingles of one corpus scan;
+no corpus-sized shuffle anywhere. The per-doc overlap aggregate shuffles
+only (doc_id, count) pairs.
+
+Reference provenance: the reference has no decontamination (it predates
+LLM pipelines); this extends its grep/selector family
+(RecordFinderMap.java:20-35 — match records against a pattern set) from
+regexes to n-gram set membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table, spread
+from hadoop_stuff_spark.operators.dedup import shingles
+
+HOLDOUT_MOD = 20  # deterministic held-out slice: doc_id % 20 == 0
+
+
+def overlap_report(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-corpus-doc contamination report: distinct n-gram shingles shared
+    with ANY holdout document (n_contaminated), total shingles (n_sh), and
+    the contaminated fraction. Docs with zero overlap appear with 0."""
+    sh = shingles(text_col, n)
+    holdout_sh = holdout.select(F.explode(sh).alias("shingle")).distinct()
+    corpus_sh = corpus.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    hits = (
+        corpus_sh.join(F.broadcast(holdout_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sizes = corpus.select(F.col(id_col), F.size(sh).cast("long").alias("n_sh"))
+    return (
+        sizes.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contam_frac", F.round(F.col("n_contaminated") / F.col("n_sh"), 6)
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Engine API: corpus rows whose holdout n-gram overlap is <= max_overlap
+    distinct shingles (default: drop on ANY overlap). Schema-preserving."""
+    sh = shingles(text_col, n)
+    holdout_sh = holdout.select(F.explode(sh).alias("shingle")).distinct()
+    marked = corpus.withColumn("_rid", F.monotonically_increasing_id())
+    hits = (
+        marked.select("_rid", F.explode(sh).alias("shingle"))
+        .join(F.broadcast(holdout_sh), "shingle")
+        .groupBy("_rid")
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+        .filter(F.col("_n_overlap") > max_overlap)
+    )
+    return marked.join(hits, "_rid", "left_anti").drop("_rid")
+
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: treat doc_id % 20 == 0 as the held-out benchmark,
+    the rest as training corpus; report per-doc 3-gram contamination."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    holdout = docs.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+    return overlap_report(corpus, holdout)
+
+
+CONTAMINATION_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS sh_list
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+), holdout_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh WHERE doc_id % 20 <> 0 GROUP BY 1
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM sh
+  WHERE doc_id % 20 <> 0 AND shingle IN (SELECT shingle FROM holdout_sh)
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(s.n_sh AS BIGINT) AS n_sh,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_sh, 6) AS contam_frac
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""

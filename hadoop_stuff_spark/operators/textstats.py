@@ -190,6 +190,57 @@ FROM w
 """
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-word
+    fraction, top-word fraction, top-bigram fraction. High values flag
+    boilerplate/spam for corpus filtering.
+
+    Pure Catalyst HOFs over the token array — one scan, zero shuffle (the
+    per-doc histogram is computed inside the row via transform/filter, not
+    via explode+groupBy), so at 100 TB this runs at scan speed map-only."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = T.tokens("text")
+    bigs = T.bigrams("text")
+    n_toks = F.size(toks)
+    n_bigs = F.size(bigs)
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n_toks, 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(T.top_element_count(toks) / n_toks, 6).alias("top_word_frac"),
+        F.when(
+            n_bigs >= 1, F.round(T.top_element_count(bigs) / n_bigs, 6)
+        ).alias("top_bigram_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) - 1 >= 1
+              THEN [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+              ELSE []::VARCHAR[] END AS bigs
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) AS dup_word_frac,
+       round(list_max(list_transform(list_distinct(toks),
+                                     w -> len(list_filter(toks, x -> x = w))))
+             * 1.0 / len(toks), 6) AS top_word_frac,
+       CASE WHEN len(bigs) >= 1
+            THEN round(list_max(list_transform(list_distinct(bigs),
+                                               w -> len(list_filter(bigs, x -> x = w))))
+                       * 1.0 / len(bigs), 6)
+            ELSE NULL END AS top_bigram_frac
+FROM b
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (md5 of normalized text) + per-source
     distinct-fingerprint counts — the exact-dedup building block."""

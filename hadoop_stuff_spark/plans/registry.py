@@ -23,6 +23,7 @@ from hadoop_stuff_spark.functions.money import sum_2dp_exact, sum_2dp_exact_sql
 from hadoop_stuff_spark.operators import (
     cleaning,
     clusters,
+    contamination,
     dedup,
     logs,
     multimodal,
@@ -397,6 +398,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n1_dedup_clusters": QuerySpec(clusters.n1_dedup_clusters, clusters.CLUSTERS_SQL),
     "n2_embedding_quantization": QuerySpec(
         similarity.n2_embedding_quantization, similarity.QUANTIZE_SQL
+    ),
+    "n3_repetition_signals": QuerySpec(
+        textstats.repetition_signals, textstats.REPETITION_SQL
+    ),
+    "n1_contamination_report": QuerySpec(
+        contamination.contamination_report, contamination.CONTAMINATION_SQL
     ),
 }
 
