@@ -97,12 +97,14 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count() if name not in _COLLECT else len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
+        row_counts[name] = n
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # ingest throughput — the reference's own headline benchmark
@@ -146,6 +148,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows": row_counts,
                 "ingest": ingest,
                 "sf": sf,
             }

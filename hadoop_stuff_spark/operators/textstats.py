@@ -241,6 +241,104 @@ FROM b
 """
 
 
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 words by total term frequency (ties by
+    word), with document frequency — the tokenizer-vocab building block.
+
+    explode → hash-aggregate: the shuffle carries (word, partial counts)
+    only, with map-side partial aggregation; top-k is a
+    TakeOrderedAndProject, never a global sort. At 100 TB the word-key
+    space is small (vocabulary-sized), so the agg state stays tiny."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+    return (
+        tok.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), "word")
+        .limit(100)
+    )
+
+
+VOCABULARY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS term_freq,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM tok GROUP BY word
+ORDER BY term_freq DESC, word
+LIMIT 100
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic term per document by TF-IDF (tf/doclen ×
+    ln(N/df)), ties broken by word — keyword extraction for corpus
+    curation. Two hash-agg shuffles (doc-term tf, word df) + one join on
+    word; the corpus-size scalar is a broadcast single-row aggregate, not
+    a driver collect."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.size(T.tokens("text")).alias("n_tokens"),
+        F.explode(T.tokens("text")).alias("word"),
+    )
+    tf = tok.groupBy("doc_id", "n_tokens", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") / F.col("n_tokens"))
+            * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, n_tokens, word, count(*) AS tf
+  FROM tok GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         (tf.tf * 1.0 / tf.n_tokens) * ln(n.n_docs * 1.0 / dfreq.df) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY (tf.tf * 1.0 / tf.n_tokens)
+                                     * ln(n.n_docs * 1.0 / dfreq.df) DESC,
+                                     tf.word) AS rn
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word AS top_term, round(tfidf, 6) AS tfidf
+FROM scored WHERE rn = 1
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (md5 of normalized text) + per-source
     distinct-fingerprint counts — the exact-dedup building block."""

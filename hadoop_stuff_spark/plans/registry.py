@@ -31,6 +31,7 @@ from hadoop_stuff_spark.operators import (
     profile,
     relational,
     sampling,
+    shards,
     similarity,
     skew,
     temporal,
@@ -404,6 +405,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "n1_contamination_report": QuerySpec(
         contamination.contamination_report, contamination.CONTAMINATION_SQL
+    ),
+    "n3_vocabulary": QuerySpec(textstats.vocabulary, textstats.VOCABULARY_SQL),
+    "n3_tfidf_top_terms": QuerySpec(textstats.tfidf_top_terms, textstats.TFIDF_SQL),
+    "n3_shard_balance": QuerySpec(shards.shard_balance, shards.SHARD_BALANCE_SQL),
+    "n3_corpus_shuffle": QuerySpec(
+        shards.corpus_shuffle_order, shards.CORPUS_SHUFFLE_SQL
     ),
 }
 

@@ -76,3 +76,36 @@ def test_aggregate_is_partial_then_final(spark, sf_dir):
     # two HashAggregates (partial + final) around a single exchange
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1, plan
+
+
+def test_repetition_signals_is_shuffle_free(spark, sf_dir):
+    """Repetition scoring computes per-doc histograms inside the row (HOF
+    transform/filter) — a map-only scan; any Exchange would mean the
+    explode+groupBy anti-pattern crept back in."""
+    from hadoop_stuff_spark.operators import textstats
+
+    plan = _plan(textstats.repetition_signals(spark, sf_dir))
+    # the only allowed Exchange is spread()'s round-robin parallelism shim
+    # for the tiny local testdata; no hash/range (i.e. data-dependent)
+    # shuffle may appear
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_contamination_probe_broadcasts_holdout(spark, sf_dir):
+    """The held-out benchmark's shingles are tiny vs the corpus: the probe
+    must be a broadcast hash join (map-side), never a sort-merge join that
+    shuffles the exploded corpus shingles by value."""
+    from hadoop_stuff_spark.operators import contamination
+
+    plan = _plan(contamination.contamination_report(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shard_key_is_map_only(spark, sf_dir):
+    from hadoop_stuff_spark.operators.shards import shard_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(docs.select(shard_key("doc_id", 8).alias("s")))
+    assert "Exchange" not in plan, plan
