@@ -42,6 +42,8 @@ HEADLINE = [
     "n2_topk_cosine_pq",
     "n3_text_stats",
     "n3_winnowed_fingerprints",
+    "n3_vocabulary",
+    "n1_contamination_report",
     "skew_salted_join_enriched_counts",
     "asof_purchase_last_click",
     "range_error_window_activity",

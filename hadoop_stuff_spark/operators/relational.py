@@ -699,3 +699,163 @@ SELECT o_orderkey, o_custkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan filtered aggregate — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet scan;
+    zero joins, zero wide shuffle (one-row partial-agg exchange).
+    Revenue = sum(price × discount) in exact fixed point (×10^4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_c4 = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(rev_c4) / 10000.0, 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT))
+             / 10000.0, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact↔dim join (part broadcasts) + conditional
+    aggregate ratio. Numerator and denominator are exact integer ×10^4
+    sums; only the final ratio is floating point."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_c4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_c4).otherwise(F.lit(0)))
+    total = F.sum(disc_c4)
+    return j.agg(
+        F.round(promo * 100.0 / total, 6).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                              ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)),
+             6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery on an order-level quantity rollup,
+    then customer/orders enrichment; top-20 by price. The lineitem rollup
+    shuffles (orderkey, partial qty) only; the qualifying-order set is
+    tiny, so the enrichment joins broadcast it."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 150
+)
+SELECT c_name, o_custkey AS c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted to the testdata's columns): customers with
+    above-average positive balance and NO orders — scalar aggregate
+    subquery (broadcast single row) + anti join, grouped by segment.
+
+    The above-average comparison is done in exact integer space
+    (bal_cents × n_pos > total_cents) so no float-boundary row can flip
+    between engines."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal_cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(bal_cents).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = (
+        cust.withColumn("bal_cents", bal_cents)
+        .crossJoin(broadcast(stats))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("total_cents"))
+    )
+    idle = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("bal_cents") / 100.0, 2).alias("total_bal"),
+    )
+
+
+Q22_SQL = """
+WITH stats AS (
+  SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS total_cents,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+), rich AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer CROSS JOIN stats
+  WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n_pos > total_cents
+)
+SELECT c_mktsegment, count(*) AS n_custs,
+       round(sum(bal_cents) / 100.0, 2) AS total_bal
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""

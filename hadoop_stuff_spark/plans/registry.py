@@ -283,12 +283,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_SQL),
     "q3_top_revenue_orders": QuerySpec(relational.q3_top_revenue_orders, relational.Q3_SQL),
     "q5_region_revenue": QuerySpec(relational.q5_region_revenue, relational.Q5_SQL),
-    "q7_nation_volume_by_year": QuerySpec(
-        relational.q7_nation_volume_by_year, relational.Q7_SQL
-    ),
-    "q10_returned_item_losses": QuerySpec(
-        relational.q10_returned_item_losses, relational.Q10_SQL
-    ),
     "q17_small_quantity_revenue": QuerySpec(
         relational.q17_small_quantity_revenue, relational.Q17_SQL
     ),
@@ -306,9 +300,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "rollup_acctbal_by_region_nation": QuerySpec(
         relational.rollup_acctbal_by_region_nation, relational.ROLLUP_SQL
-    ),
-    "groupingsets_event_stats": QuerySpec(
-        relational.groupingsets_event_stats, relational.GROUPINGSETS_SQL
     ),
     "pivot_event_type_counts": QuerySpec(
         relational.pivot_event_type_counts, relational.PIVOT_SQL
@@ -353,6 +344,13 @@ QUERIES: dict[str, QuerySpec] = {
     "n3_winnowed_fingerprints": QuerySpec(
         textstats.winnowed_fingerprints, textstats.WINNOW_SQL
     ),
+    "n3_repetition_signals": QuerySpec(
+        textstats.repetition_signals, textstats.REPETITION_SQL
+    ),
+    "n3_vocabulary": QuerySpec(textstats.vocabulary, textstats.VOCABULARY_SQL),
+    "n1_contamination_report": QuerySpec(
+        contamination.contamination_report, contamination.CONTAMINATION_SQL
+    ),
     "n4_audio_stats": QuerySpec(multimodal.audio_stats_summary, multimodal.AUDIO_STATS_SQL),
     "n4_media_metadata": QuerySpec(
         multimodal.media_metadata_summary, multimodal.MEDIA_META_SQL
@@ -377,6 +375,23 @@ QUERIES: dict[str, QuerySpec] = {
 # tests/test_oracle_parity.py at every pytest run.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "cube_order_stats": QuerySpec(relational.cube_order_stats, relational.CUBE_SQL),
+    "q7_nation_volume_by_year": QuerySpec(
+        relational.q7_nation_volume_by_year, relational.Q7_SQL
+    ),
+    "q10_returned_item_losses": QuerySpec(
+        relational.q10_returned_item_losses, relational.Q10_SQL
+    ),
+    "groupingsets_event_stats": QuerySpec(
+        relational.groupingsets_event_stats, relational.GROUPINGSETS_SQL
+    ),
+    "q6_forecast_revenue": QuerySpec(relational.q6_forecast_revenue, relational.Q6_SQL),
+    "q14_promo_revenue": QuerySpec(relational.q14_promo_revenue, relational.Q14_SQL),
+    "q18_large_volume_customers": QuerySpec(
+        relational.q18_large_volume_customers, relational.Q18_SQL
+    ),
+    "q22_idle_rich_customers": QuerySpec(
+        relational.q22_idle_rich_customers, relational.Q22_SQL
+    ),
     "orders_by_year": QuerySpec(relational.orders_by_year, relational.YEAR_SQL),
     "n3_token_counts": QuerySpec(textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
     "n3_text_quality": QuerySpec(textstats.text_quality, textstats.TEXT_QUALITY_SQL),
@@ -400,13 +415,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n2_embedding_quantization": QuerySpec(
         similarity.n2_embedding_quantization, similarity.QUANTIZE_SQL
     ),
-    "n3_repetition_signals": QuerySpec(
-        textstats.repetition_signals, textstats.REPETITION_SQL
-    ),
-    "n1_contamination_report": QuerySpec(
-        contamination.contamination_report, contamination.CONTAMINATION_SQL
-    ),
-    "n3_vocabulary": QuerySpec(textstats.vocabulary, textstats.VOCABULARY_SQL),
     "n3_tfidf_top_terms": QuerySpec(textstats.tfidf_top_terms, textstats.TFIDF_SQL),
     "n3_shard_balance": QuerySpec(shards.shard_balance, shards.SHARD_BALANCE_SQL),
     "n3_corpus_shuffle": QuerySpec(
