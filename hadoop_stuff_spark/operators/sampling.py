@@ -208,3 +208,116 @@ FROM h GROUP BY 1
 
 
 CORPUS_SPLIT_SQL = _split_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing: resample sources to target weights
+
+_HEX_CHARS = "0123456789abcdef"
+_MIX_DIGITS = 4  # keep-fraction resolution 1/65536
+
+
+def _hex_prefix_val(h: Column, n: int = _MIX_DIGITS) -> Column:
+    """Numeric value of the first n hex chars of a digest — instr
+    arithmetic only, so the identical expression exists in the oracle
+    (DuckDB strpos)."""
+    v: Column | None = None
+    for i in range(1, n + 1):
+        d = F.instr(F.lit(_HEX_CHARS), F.substring(h, i, 1)) - 1
+        v = d if v is None else v * 16 + d
+    return v
+
+
+def corpus_mix(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Resample a multi-source corpus to target mixture ``weights`` —
+    maximal under the available per-source counts: the scarcest source
+    (relative to its weight) is kept whole and every other source is
+    deterministically downsampled to match its proportion.
+
+    Fully declarative two-pass plan: one aggregate for per-source counts
+    (vocabulary-sized), a broadcast join of the derived keep-fractions,
+    and a map-side md5-threshold filter — no driver collect, no RNG; the
+    same rows are kept on any cluster/partitioning, and the whole thing
+    is expressible in the DuckDB oracle."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    sources = sorted(weights)
+    w_expr = F.col(source_col)
+    expr = None
+    for s in sources:
+        cond = w_expr == s
+        expr = F.when(cond, weights[s]) if expr is None else expr.when(cond, weights[s])
+    filtered = df.filter(w_expr.isin(sources))
+    counts = (
+        filtered.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n_avail"))
+        .withColumn("_w", expr)
+    )
+    scale = counts.agg(F.min(F.col("_n_avail") / F.col("_w")).alias("_scale"))
+    fracs = (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0), F.col("_scale") * F.col("_w") / F.col("_n_avail")
+            ).alias("_keep_frac"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    return (
+        filtered.join(F.broadcast(fracs), source_col)
+        .filter(
+            _hex_prefix_val(h).cast("double")
+            < F.col("_keep_frac") * float(16**_MIX_DIGITS)
+        )
+        .drop("_keep_frac")
+    )
+
+
+def n3_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: mix three equal-sized sources to 50/30/20 — per-source
+    kept counts + id-sums pin the exact kept set."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = corpus_mix(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id"
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def _mix_sql() -> str:
+    hexv = "0"
+    for i in range(1, _MIX_DIGITS + 1):
+        hexv = (
+            f"({hexv}) * 16 + (strpos('0123456789abcdef',"
+            f" substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    return f"""
+WITH filt AS (
+  SELECT doc_id, source FROM documents WHERE source IN ('src0','src1','src2')
+), counts AS (
+  SELECT source, count(*) AS n_avail,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END AS w
+  FROM filt GROUP BY source
+), scale AS (
+  SELECT min(n_avail / w) AS scale FROM counts
+), fracs AS (
+  SELECT source, least(1.0, scale * w / n_avail) AS keep_frac
+  FROM counts CROSS JOIN scale
+)
+SELECT f.source, count(*) AS n_docs, sum(f.doc_id) AS id_sum
+FROM filt f JOIN fracs USING (source)
+WHERE CAST({hexv} AS DOUBLE) < keep_frac * {float(16**_MIX_DIGITS)}
+GROUP BY f.source
+"""
+
+
+CORPUS_MIX_SQL = _mix_sql()

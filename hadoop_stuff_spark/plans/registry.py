@@ -411,6 +411,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         relational.analytic_order_deltas, relational.ANALYTIC_SQL
     ),
     "n3_corpus_split": QuerySpec(sampling.n3_corpus_split, sampling.CORPUS_SPLIT_SQL),
+    "n3_corpus_mix": QuerySpec(sampling.n3_corpus_mix, sampling.CORPUS_MIX_SQL),
     "n1_dedup_clusters": QuerySpec(clusters.n1_dedup_clusters, clusters.CLUSTERS_SQL),
     "n2_embedding_quantization": QuerySpec(
         similarity.n2_embedding_quantization, similarity.QUANTIZE_SQL

@@ -77,3 +77,32 @@ def sessionized_event_counts(
             "n_events",
         )
     )
+
+
+def trending_terms(
+    docs: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-window term frequencies over a document stream — the streaming
+    form of the corpus vocabulary (operators/textstats.vocabulary):
+    tokenize → explode → windowed count. Batch and stream share the exact
+    expression; ranking to "top-k trending" happens on the (tiny) output,
+    not in the stateful plan, so append-mode emission stays valid.
+
+    State per window is vocabulary-sized (word-keyed counts), bounded by
+    the watermark — the same state knob as every windowed aggregate."""
+    if docs.isStreaming:
+        docs = docs.withWatermark(ts_col, watermark)
+    return (
+        docs.select(F.col(ts_col), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "word",
+            "n",
+        )
+    )

@@ -168,3 +168,31 @@ def test_pack_sequences_budget_and_coverage(spark):
 
     fills = [s.fill for s in stats if s.total_tokens <= budget]
     assert statistics.mean(fills) > 0.6
+
+
+def test_corpus_mix_hits_target_proportions(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.operators.sampling import corpus_mix
+
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(i + 10000, "b") for i in range(1000)]
+        + [(i + 20000, "c") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    mixed = corpus_mix(df, "source", {"a": 0.5, "b": 0.25, "c": 0.25}, "doc_id")
+    got = {r["source"]: r["n"] for r in
+           mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # scarcest source relative to weight: a (1000/0.5) ties c (500/0.25) at
+    # scale 2000 -> targets a=1000 (kept whole), b=500, c=500
+    assert got["a"] == 1000  # keep_frac 1.0 is exact
+    assert abs(got["b"] - 500) < 75  # hash-threshold sampling is approximate
+    assert abs(got["c"] - 500) < 75
+    # deterministic across partitionings
+    again = corpus_mix(
+        df.repartition(17), "source", {"a": 0.5, "b": 0.25, "c": 0.25}, "doc_id"
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in mixed.collect()
+    )

@@ -123,3 +123,47 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     # 99.0-value row appears nowhere
     assert emitted.get("10:00") == (2, 2.0), emitted
     assert all(v[1] != 99.0 and v[1] != 101.0 for v in emitted.values())
+
+
+def test_trending_terms_stream_matches_batch(spark, tmp_path):
+    from hadoop_stuff_spark.streaming.windows import trending_terms
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    doc_rows = [
+        ("2024-01-01 10:00:00", "spark spark shuffle"),
+        ("2024-01-01 10:03:00", "spark join"),
+        ("2024-01-01 10:12:00", "shuffle shuffle shuffle"),
+        ("2024-01-01 10:14:00", "spark"),
+    ]
+    lines = [f'{{"ts": "{ts}", "text": "{t}"}}' for ts, t in doc_rows]
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    schema = "ts timestamp, text string"
+
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        trending_terms(stream, window="10 minutes", watermark="5 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("trend_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.schema(schema).json(src)
+    want = {
+        (r.window_start, r.word): r.n
+        for r in trending_terms(batch, window="10 minutes").collect()
+    }
+    got = {
+        (r.window_start, r.word): r.n
+        for r in spark.table("trend_stream").collect()
+    }
+    assert got == want
+    # the 10:00 window counts: spark 3, shuffle 1, join 1
+    from datetime import datetime
+
+    w0 = datetime(2024, 1, 1, 10, 0)
+    assert got[(w0, "spark")] == 3 and got[(w0, "shuffle")] == 1
