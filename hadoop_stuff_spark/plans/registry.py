@@ -31,6 +31,7 @@ from hadoop_stuff_spark.operators import (
     profile,
     relational,
     sampling,
+    scoring,
     shards,
     similarity,
     skew,
@@ -412,6 +413,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "n3_corpus_split": QuerySpec(sampling.n3_corpus_split, sampling.CORPUS_SPLIT_SQL),
     "n3_corpus_mix": QuerySpec(sampling.n3_corpus_mix, sampling.CORPUS_MIX_SQL),
+    "n3_model_quality_scores": QuerySpec(
+        scoring.n3_model_quality_scores, scoring.MODEL_SCORES_SQL
+    ),
     "n1_dedup_clusters": QuerySpec(clusters.n1_dedup_clusters, clusters.CLUSTERS_SQL),
     "n2_embedding_quantization": QuerySpec(
         similarity.n2_embedding_quantization, similarity.QUANTIZE_SQL

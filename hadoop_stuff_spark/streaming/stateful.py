@@ -127,3 +127,104 @@ def exactly_once_parquet_sink(out_dir: str):
         batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return write
+
+
+# ---------------------------------------------------------------------------
+# bounded-memory heavy hitters (Misra-Gries) per key
+
+_HH_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("item", StringType()),
+        StructField("est_count", LongType()),
+    ]
+)
+# state = parallel arrays of tracked items and their MG counters
+_HH_STATE = StructType(
+    [
+        StructField("items", StringType()),  # \x1f-joined tracked items
+        StructField("counts", StringType()),  # \x1f-joined counters
+        StructField("n_seen", LongType()),
+    ]
+)
+_SEP = "\x1f"
+
+
+def _mg_merge(sketch: dict[str, int], batch_counts: dict[str, int], cap: int) -> dict[str, int]:
+    """Misra-Gries update: admit new items while under capacity; when full,
+    decrement all by the weight of the evicted remainder. Guarantees any
+    item with true frequency > n/cap survives, and
+    true_count - n/cap <= est_count <= true_count."""
+    for item, c in sorted(batch_counts.items()):
+        if item in sketch:
+            sketch[item] += c
+        elif len(sketch) < cap:
+            sketch[item] = c
+        else:
+            dec = min(c, min(sketch.values()))
+            sketch = {i: v - dec for i, v in sketch.items() if v - dec > 0}
+            rem = c - dec
+            if rem > 0:
+                sketch[item] = rem
+    return sketch
+
+
+def _heavy_hitters_fn_factory(capacity: int):
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items_s, counts_s, n_seen = state.get
+            sketch = (
+                dict(zip(items_s.split(_SEP), map(int, counts_s.split(_SEP))))
+                if items_s
+                else {}
+            )
+        else:
+            sketch, n_seen = {}, 0
+        n_new = 0
+        for pdf in pdf_iter:
+            n_new += len(pdf)
+            sketch = _mg_merge(sketch, pdf["item"].value_counts().to_dict(), capacity)
+        items = sorted(sketch)
+        state.update(
+            (
+                _SEP.join(items),
+                _SEP.join(str(sketch[i]) for i in items),
+                n_seen + n_new,
+            )
+        )
+        if n_new > 0 and sketch:
+            ordered = sorted(sketch.items(), key=lambda kv: (-kv[1], kv[0]))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(ordered),
+                    "item": [i for i, _ in ordered],
+                    "est_count": [c for _, c in ordered],
+                }
+            )
+
+    return fn
+
+
+def heavy_hitters(
+    stream: DataFrame, key_col: str, item_col: str, capacity: int = 16
+) -> DataFrame:
+    """Per-key streaming heavy hitters with BOUNDED state: a Misra-Gries
+    sketch of at most ``capacity`` counters per key, emitted (current
+    estimates, most-frequent first) on every micro-batch that touches the
+    key. Any item whose true frequency within a key exceeds
+    n_seen/capacity is guaranteed tracked; estimates undercount by at
+    most n_seen/capacity.
+
+    This is the stateful-streaming answer to `skew_salted_heavy_hitters`
+    (exact, batch): at 100 TB/day you cannot keep exact per-item counts —
+    state here is O(capacity) per key regardless of stream length."""
+    renamed = stream.selectExpr(f"{key_col} AS key", f"{item_col} AS item")
+    return renamed.groupBy("key").applyInPandasWithState(
+        _heavy_hitters_fn_factory(capacity),
+        outputStructType=_HH_OUT,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

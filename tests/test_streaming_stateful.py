@@ -124,3 +124,78 @@ def test_exactly_once_sink_replay_safe(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out2).count() == 2
+
+
+def test_heavy_hitters_bounded_state_tracks_top_items(spark, tmp_path):
+    from hadoop_stuff_spark.streaming.stateful import _mg_merge, heavy_hitters
+
+    logdir = str(tmp_path / "hh_logs")
+    ckpt = str(tmp_path / "hh_ckpt")
+    os.makedirs(logdir)
+
+    # key "W": item 'hot' dominates (12 of 20); many one-off items force
+    # evictions at capacity 4
+    batch1 = ["W hot"] * 6 + [f"W cold{i}" for i in range(5)] + ["W warm"] * 3
+    _write_log(logdir, "b0.txt", batch1)
+
+    from hadoop_stuff_spark.streaming.stateful import exactly_once_parquet_sink
+
+    outdir = str(tmp_path / "hh_out")
+
+    def run(name):
+        q = (
+            heavy_hitters(_keyed(tail_stream(spark, logdir)), "k", "v", capacity=4)
+            .writeStream.outputMode("update")
+            .foreachBatch(exactly_once_parquet_sink(outdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(outdir).collect()
+
+    rows = run("hh1")
+    est = {r["item"]: r["est_count"] for r in rows}
+    assert "W hot" in est
+    n1 = len(batch1)
+    assert est["W hot"] <= 6 and est["W hot"] >= 6 - n1 // 4
+
+    # --- second batch: state (sketch) restored from checkpoint; 'hot'
+    # keeps accumulating and stays the top item
+    _write_log(logdir, "b1.txt", ["W hot"] * 6 + [f"W cold{i+10}" for i in range(4)])
+    rows = run("hh2")
+    latest = {}
+    for r in rows:  # update mode re-emits; keep the last snapshot's values
+        latest[r["item"]] = r["est_count"]
+    total = len(batch1) + 10
+    assert max(latest, key=latest.get) == "W hot"
+    assert latest["W hot"] <= 12 and latest["W hot"] >= 12 - total // 4
+    # bounded state: never more than capacity items tracked in a snapshot
+    assert len(latest) <= 4 + 4  # two snapshots' worth of tracked items max
+
+
+def test_mg_merge_guarantee_property():
+    """Misra-Gries invariant on random-ish data: est <= true and
+    true - est <= n/capacity, and every item with freq > n/capacity is
+    tracked."""
+    from collections import Counter
+
+    from hadoop_stuff_spark.streaming.stateful import _mg_merge
+
+    items = (["a"] * 40 + ["b"] * 25 + ["c"] * 10
+             + [f"x{i}" for i in range(25)])
+    cap = 8
+    true = Counter(items)
+    n = len(items)
+    sketch: dict[str, int] = {}
+    # feed in chunks to exercise the batched merge path
+    for i in range(0, n, 7):
+        chunk = Counter(items[i : i + 7])
+        sketch = _mg_merge(sketch, dict(chunk), cap)
+    assert len(sketch) <= cap
+    for item, est in sketch.items():
+        assert est <= true[item]
+        assert true[item] - est <= n // cap
+    for item, cnt in true.items():
+        if cnt > n / cap:
+            assert item in sketch, (item, cnt)
