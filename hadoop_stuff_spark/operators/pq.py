@@ -112,7 +112,19 @@ def topk_cosine_pq(
     per-query lookup tables, keep the top ``rerank`` candidates per query,
     exact-cosine re-rank those. Output matches the brute-force schema
     (query_id, vec_id, sim, rk) with EXACT sims (re-ranked), so results
-    are comparable to the oracle baseline query."""
+    are comparable to the oracle baseline query.
+
+    Scale shape (the part that must survive 100 TB):
+    - encode + ADC + per-partition partial top-``rerank`` are FUSED into a
+      single mapInPandas pass — one Python stage, and the only rows that
+      ever leave an executor are (query, candidate, approx_sim) partials,
+      never the n x n_q scored matrix (an earlier explode-based version
+      shuffled every score and let Catalyst's inferred ``size(arr) > 0``
+      pushdown re-evaluate the UDF chain twice).
+    - the global top-``rerank`` merge then sees only
+      n_partitions x n_q x rerank rows, and the exact re-rank BROADCASTS
+      the tiny candidate list into the corpus scan (map-side semi-join)
+      instead of shuffling the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, m=m, nbits=nbits)
     dsub = books.shape[2]
@@ -123,7 +135,7 @@ def topk_cosine_pq(
         .collect()
     )
     qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    q_ids = np.array([r.vec_id for r in q_rows])
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qnrm = np.linalg.norm(qmat, axis=1)
     # LUT[q, j, c] = <q_sub_j, centroid_c_j>
     lut = np.stack(
@@ -137,29 +149,49 @@ def topk_cosine_pq(
         axis=1,
     )  # shape (n_q, m, k)
 
-    corpus = encode_pq(spread(emb), books).select("vec_id", "codes", "recon_nrm")
+    n_q = len(q_ids)
+    # one extra slot so a query vector appearing in its own batch cannot
+    # evict the rerank-th real candidate before the self-pair filter
+    take_n = rerank + 1
 
-    @pandas_udf("array<double>")
-    def adc(codes: pd.Series, recon: pd.Series) -> pd.Series:
-        c = np.stack(codes.to_numpy())  # (n, m)
-        r = recon.to_numpy().astype(np.float64)
-        # approx dot per query: sum_j LUT[q, j, c_j]
-        dots = lut[:, np.arange(m)[None, :], c].sum(axis=2)  # (n_q, n)
-        sims = dots / np.maximum(qnrm[:, None] * r[None, :], 1e-12)
-        return pd.Series(list(sims.T))
+    def score_partition(batches):
+        cols = np.arange(m)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = x.shape[0]
+            codes = np.empty((n, m), dtype=np.int64)
+            recon = np.empty_like(x)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                codes[:, j] = assign
+                recon[:, j * dsub : (j + 1) * dsub] = books[j][assign]
+            rnrm = np.linalg.norm(recon, axis=1)
+            dots = lut[:, cols, codes].sum(axis=2)  # (n_q, n)
+            sims = dots / np.maximum(qnrm[:, None] * rnrm[None, :], 1e-12)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            take = min(take_n, n)
+            # partial top-take per query, deterministic (-sim, vec_id) order;
+            # correctness: any global top-rerank candidate ranks <= take in
+            # its own batch, so per-batch partials are a superset
+            order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[
+                :, :take
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, take),
+                    "vec_id": ids[order].ravel(),
+                    "approx_sim": np.take_along_axis(sims, order, axis=1).ravel(),
+                }
+            )
 
     scored = (
-        corpus.select(
-            "vec_id",
-            F.posexplode(adc("codes", "recon_nrm")).alias("qpos", "approx_sim"),
-        )
-        .select(
-            F.element_at(
-                F.array(*[F.lit(int(i)) for i in q_ids]), F.col("qpos") + 1
-            ).alias("query_id"),
-            "vec_id",
-            "approx_sim",
-        )
+        spread(emb)
+        .select("vec_id", "embedding")
+        .mapInPandas(score_partition, "query_id long, vec_id long, approx_sim double")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("vec_id"))
@@ -168,12 +200,15 @@ def topk_cosine_pq(
         .filter(F.col("rk") <= rerank)
         .select("query_id", "vec_id")
     )
-    # exact re-rank of the short list
-    ev = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-    cv = emb.select("vec_id", F.col("embedding").alias("cvec"))
+    # exact re-rank: broadcast the (n_q x rerank) candidate list and the
+    # n_q query vectors into one corpus scan — no corpus shuffle
+    ev = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")).filter(
+        F.col("query_id").isin(*[int(i) for i in q_ids])
+    )
     exact = (
-        cands.join(broadcast(ev), "query_id")
-        .join(cv, "vec_id")
+        emb.select("vec_id", F.col("embedding").alias("cvec"))
+        .join(broadcast(cands), "vec_id")
+        .join(broadcast(ev), "query_id")
         .select(
             "query_id", "vec_id", F.round(cosine("qvec", "cvec"), 6).alias("sim")
         )

@@ -42,14 +42,14 @@ def quality_features(text_col: str) -> list[Column]:
     toks = T.tokens(text_col)
     n = F.size(toks)
     return [
-        F.least(n / F.lit(100.0), F.lit(1.0)).alias("f_len"),
-        (F.size(F.array_distinct(toks)) / n).alias("f_distinct"),
+        F.least(n / F.lit(100.0), F.lit(1.0)).alias("__score_f_len"),
+        (F.size(F.array_distinct(toks)) / n).alias("__score_f_distinct"),
         (
             F.size(F.filter(toks, lambda t: t.isin(T.STOPWORDS))) / n
-        ).alias("f_stop"),
+        ).alias("__score_f_stop"),
         F.least(
             ((F.length(F.col(text_col)) - (n - 1)) / n) / F.lit(8.0), F.lit(1.0)
-        ).alias("f_avglen"),
+        ).alias("__score_f_avglen"),
     ]
 
 
@@ -78,14 +78,31 @@ def _score_batch(
 
 def score_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add a ``model_score`` column in (0, 1) — Arrow-batched inference
-    over Catalyst-computed features."""
+    over Catalyst-computed features.
+
+    Internal feature columns use reserved ``__score_*`` names; raises if
+    the input already carries one of them (or ``model_score``) rather
+    than silently dropping or shadowing a user column."""
+    reserved = {
+        "model_score",
+        "__score_f_len",
+        "__score_f_distinct",
+        "__score_f_stop",
+        "__score_f_avglen",
+    }
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(clash)}; "
+            "rename them before score_quality"
+        )
     feats = quality_features(text_col)
     tmp = df.select("*", *feats)
     scored = tmp.withColumn(
         "model_score",
-        F.round(_score_batch("f_len", "f_distinct", "f_stop", "f_avglen"), 6),
+        F.round(_score_batch("__score_f_len", "__score_f_distinct", "__score_f_stop", "__score_f_avglen"), 6),
     )
-    return scored.drop("f_len", "f_distinct", "f_stop", "f_avglen")
+    return scored.drop("__score_f_len", "__score_f_distinct", "__score_f_stop", "__score_f_avglen")
 
 
 def filter_by_quality(

@@ -16,34 +16,24 @@ bad day meant manual HDFS surgery. This is the engine-native fix.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame
-
-_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
-
-
-@contextmanager
-def _scoped_conf(spark, key: str, value: str):
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, value)
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
 
 
 def overwrite_partitions(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:
     """Overwrite ONLY the partitions present in ``df`` (dynamic mode),
-    leaving all other partition directories of the table untouched."""
-    spark = df.sparkSession
-    with _scoped_conf(spark, _MODE_KEY, "dynamic"):
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    leaving all other partition directories of the table untouched.
+
+    The dynamic mode is set as a per-write DataFrameWriter option
+    (takes precedence over the session conf in Spark 3+), so concurrent
+    writes in the same session never observe a mutated global conf."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def backfill_partition(
@@ -55,15 +45,24 @@ def backfill_partition(
     """Guard-railed single-partition backfill: asserts ``df`` contains
     exactly the partition being replaced (a mis-filtered backfill frame
     would otherwise silently replace MORE partitions), then overwrites it
-    in place."""
+    in place.
+
+    The guard is bounded: one job, at most 2 driver rows — a
+    high-cardinality mis-scoped frame never floods the driver with its
+    full distinct set."""
     from pyspark.sql import functions as F
 
-    for col, val in partition_values.items():
-        distinct = [r[0] for r in df.select(col).distinct().collect()]
-        if distinct != [val]:
-            raise ValueError(
-                f"backfill frame has {col} values {distinct!r}, expected [{val!r}]"
-            )
+    cols = list(partition_values)
+    offending = [
+        tuple(r)
+        for r in df.select(*cols).distinct().limit(2).collect()
+    ]
+    expected = tuple(partition_values[c] for c in cols)
+    if offending != [expected]:
+        raise ValueError(
+            f"backfill frame has partition values {offending!r} for {cols}, "
+            f"expected exactly [{expected!r}]"
+        )
     cond = None
     for col, val in partition_values.items():
         c = F.col(col) == F.lit(val)

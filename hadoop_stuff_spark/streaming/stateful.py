@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -139,15 +140,15 @@ _HH_OUT = StructType(
         StructField("est_count", LongType()),
     ]
 )
-# state = parallel arrays of tracked items and their MG counters
+# state = parallel arrays of tracked items and their MG counters (typed
+# arrays, not delimiter-joined strings — items may contain any byte)
 _HH_STATE = StructType(
     [
-        StructField("items", StringType()),  # \x1f-joined tracked items
-        StructField("counts", StringType()),  # \x1f-joined counters
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
         StructField("n_seen", LongType()),
     ]
 )
-_SEP = "\x1f"
 
 
 def _mg_merge(sketch: dict[str, int], batch_counts: dict[str, int], cap: int) -> dict[str, int]:
@@ -175,11 +176,7 @@ def _heavy_hitters_fn_factory(capacity: int):
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             items_s, counts_s, n_seen = state.get
-            sketch = (
-                dict(zip(items_s.split(_SEP), map(int, counts_s.split(_SEP))))
-                if items_s
-                else {}
-            )
+            sketch = dict(zip(items_s or [], map(int, counts_s or [])))
         else:
             sketch, n_seen = {}, 0
         n_new = 0
@@ -189,8 +186,8 @@ def _heavy_hitters_fn_factory(capacity: int):
         items = sorted(sketch)
         state.update(
             (
-                _SEP.join(items),
-                _SEP.join(str(sketch[i]) for i in items),
+                items,
+                [int(sketch[i]) for i in items],
                 n_seen + n_new,
             )
         )

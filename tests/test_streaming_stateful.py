@@ -163,15 +163,21 @@ def test_heavy_hitters_bounded_state_tracks_top_items(spark, tmp_path):
     # --- second batch: state (sketch) restored from checkpoint; 'hot'
     # keeps accumulating and stays the top item
     _write_log(logdir, "b1.txt", ["W hot"] * 6 + [f"W cold{i+10}" for i in range(4)])
-    rows = run("hh2")
-    latest = {}
-    for r in rows:  # update mode re-emits; keep the last snapshot's values
-        latest[r["item"]] = r["est_count"]
+    run("hh2")
+    # the exactly-once sink partitions by batch_id; the LAST snapshot is
+    # the rows of the max batch_id alone (mixing batches would blend
+    # batch-0 and batch-1 estimates)
+    all_df = spark.read.parquet(outdir)
+    max_bid = all_df.agg({"batch_id": "max"}).collect()[0][0]
+    latest = {
+        r["item"]: r["est_count"]
+        for r in all_df.filter(all_df["batch_id"] == max_bid).collect()
+    }
     total = len(batch1) + 10
     assert max(latest, key=latest.get) == "W hot"
     assert latest["W hot"] <= 12 and latest["W hot"] >= 12 - total // 4
     # bounded state: never more than capacity items tracked in a snapshot
-    assert len(latest) <= 4 + 4  # two snapshots' worth of tracked items max
+    assert len(latest) <= 4
 
 
 def test_mg_merge_guarantee_property():
