@@ -154,3 +154,66 @@ def update_signature_store(
     _banded_sigs(accepted_docs, "doc_id", text_col).write.mode("append").partitionBy(
         "band"
     ).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# incremental additive rollups (materialized-aggregate maintenance)
+
+
+def build_rollup(
+    facts: DataFrame,
+    path: str,
+    keys: list[str],
+    sum_cols: dict[str, str],
+) -> None:
+    """Materialize an additive rollup table: per ``keys`` group, a row
+    count and exact integer sums (callers pass pre-scaled long columns,
+    e.g. cents — the engine's fixed-point money convention). One scan,
+    map-side partials, |groups| rows on disk."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(src).alias(dst) for dst, src in sum_cols.items()
+    ]
+    facts.groupBy(*keys).agg(*aggs).write.mode("overwrite").parquet(path)
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    keys: list[str],
+    sum_cols: dict[str, str],
+) -> None:
+    """Fold a DELTA of new facts into the materialized rollup WITHOUT
+    rescanning history — the day-2 maintenance a 100 TB aggregate table
+    needs. Additive aggregates (count/sum) merge exactly: aggregate the
+    delta alone (small), union with the |groups|-sized stored table,
+    re-sum per key, atomically replace.
+
+    Scale shape: cost is O(|delta| + |groups|), independent of history
+    size. Non-additive aggregates (distinct counts) belong in sketch
+    tables (operators/sketches.py) — same pattern, mergeable bytes.
+    The rewrite is staged to a temp dir then swapped in, so a failed
+    refresh never leaves a half-written rollup."""
+    import uuid
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(src).alias(dst) for dst, src in sum_cols.items()
+    ]
+    delta_agg = delta.groupBy(*keys).agg(*aggs)
+    merged = (
+        spark.read.parquet(path)
+        .unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            *[F.sum(dst).alias(dst) for dst in sum_cols],
+        )
+    )
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    # swap: point the table at the fresh data (local-fs rename semantics;
+    # object stores would use a manifest/metastore pointer instead)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(staging, path)

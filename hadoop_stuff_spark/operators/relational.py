@@ -859,3 +859,211 @@ FROM rich
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment
 """
+
+
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — 6-way star join (lineitem
+    fact; part/supplier/orders/customer/nation/region dims) with a
+    conditional-ratio aggregate per order year.
+
+    Plan shape at scale: part is filtered FIRST (p_type selective) and
+    broadcast into the lineitem scan, so the fact table is cut before any
+    wide shuffle; orders (date-filtered) joins on orderkey (the one
+    fact-sized shuffle); every remaining dim broadcasts. Exact fixed-point
+    (x10^4) volumes; only the final share ratio is floating point."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    vol_c4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    # customer-side nation restricted to one region; supplier nation free
+    cust_nations = (
+        cust.join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    j = (
+        li.join(broadcast(part.filter(F.col("p_type") == "STANDARD")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(broadcast(cust_nations), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select(F.year("o_orderdate").alias("o_year"), vol_c4.alias("vol_c4"), "supp_nation")
+    )
+    target = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol_c4")).otherwise(F.lit(0)))
+    return (
+        j.groupBy("o_year")
+        .agg(F.round(target / F.sum("vol_c4"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c4 ELSE 0 END)
+             * 1.0 / sum(vol_c4), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS vol_c4,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+) v
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer LEFT OUTER JOIN orders (filtered), then a
+    count-of-counts distribution (how many customers placed exactly N
+    orders, including N=0).
+
+    Plan shape: the orders side pre-aggregates to (custkey, n) BEFORE the
+    outer join, so the join carries one row per customer per side, not one
+    per order; the second aggregation is over |distinct counts| rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    dist = (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+    return dist
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue-per-supplier over a quarter, then the
+    supplier(s) achieving the global max (scalar subquery on an
+    aggregate).
+
+    Plan shape: one lineitem scan -> (suppkey, revenue) partial+final agg;
+    the global max is a 1-row broadcast back onto that same aggregate
+    (Spark reuses the shuffle via ReusedExchange), then a broadcast join
+    to supplier for names. No fact-sized shuffle beyond the one agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev_c4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_c4).alias("total_c4"))
+    )
+    mx = revenue.agg(F.max("total_c4").alias("mx"))
+    return (
+        revenue.join(broadcast(mx), F.col("total_c4") == F.col("mx"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("total_c4") / 10000.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS total_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       round(total_c4 / 10000.0, 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_c4 = (SELECT max(total_c4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q12_ship_delay_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, ADAPTED: the canonical query buckets late receipts
+    by ship mode, but the driver testdata carries no
+    l_shipmode/l_commitdate/l_receiptdate (TESTDATA.md) — so the same
+    plan shape (fact-dim join + two-way conditional count by category) is
+    expressed over what exists: line items shipped > 90 days after their
+    order date, counted per order priority, split urgent/non-urgent.
+
+    Plan shape: orders (2 cols) joins lineitem on orderkey — the one
+    shuffle; the conditional counts fold into one partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 90)
+    )
+    urgent = F.sum(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    ).cast("long")
+    other = F.sum(
+        F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(urgent.alias("high_line_count"), other.alias("low_line_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q12_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -32,6 +32,7 @@ from hadoop_stuff_spark.operators import (
     relational,
     sampling,
     scoring,
+    sketches,
     shards,
     similarity,
     skew,
@@ -368,6 +369,7 @@ QUERIES: dict[str, QuerySpec] = {
     "n2_topk_cosine_lsh": QuerySpec(similarity.topk_cosine_lsh, None),
     "n2_topk_cosine_ivf": QuerySpec(similarity.topk_cosine_ivf, None),
     "n2_topk_cosine_pq": QuerySpec(pq.topk_cosine_pq, None),
+    "hll_sketch_distinct_users": QuerySpec(sketches.sketch_distinct_users_by_type, None),
 }
 
 # Oracle-backed queries cut from the driver window (near-duplicates of
@@ -425,6 +427,16 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n3_corpus_shuffle": QuerySpec(
         shards.corpus_shuffle_order, shards.CORPUS_SHUFFLE_SQL
     ),
+    "q8_nation_market_share": QuerySpec(
+        relational.q8_nation_market_share, relational.Q8_SQL
+    ),
+    "q12_ship_delay_distribution": QuerySpec(
+        relational.q12_ship_delay_distribution, relational.Q12_SQL
+    ),
+    "q13_customer_order_distribution": QuerySpec(
+        relational.q13_customer_order_distribution, relational.Q13_SQL
+    ),
+    "q15_top_supplier": QuerySpec(relational.q15_top_supplier, relational.Q15_SQL),
 }
 
 _N_ORACLE_FIRST = 50

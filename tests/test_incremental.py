@@ -135,3 +135,46 @@ def test_streaming_ingest_dedup_pipeline(spark, tmp_path):
     landed = spark.read.parquet(out)
     vals = sorted(r.value for r in landed.select("value").collect())
     assert vals == ["rec one", "rec three", "rec two"]  # each content once, ever
+
+
+def test_incremental_rollup_refresh_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Folding a delta into the materialized rollup must equal rebuilding
+    from scratch over (history + delta) — exactly, not approximately."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.incremental import build_rollup, refresh_rollup
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    hist = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+    path = str(tmp_path / "rollup")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    sums = {"total_cents": "price_cents"}
+
+    build_rollup(hist, path, keys, sums)
+    refresh_rollup(spark, delta, path, keys, sums)
+    got = {
+        (r.o_orderpriority, r.o_orderstatus): (r.n_rows, r.total_cents)
+        for r in spark.read.parquet(path).collect()
+    }
+    full = {
+        (r.o_orderpriority, r.o_orderstatus): (r.n_rows, r.total_cents)
+        for r in orders.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == full
+
+    # refresh with an empty delta is a no-op
+    refresh_rollup(spark, delta.limit(0), path, keys, sums)
+    again = {
+        (r.o_orderpriority, r.o_orderstatus): (r.n_rows, r.total_cents)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == full
