@@ -22,7 +22,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hadoop_stuff_spark.plans.registry import QUERIES  # noqa: E402
+from hadoop_stuff_spark.plans.registry import EXTRA_QUERIES, QUERIES  # noqa: E402
+
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 from hadoop_stuff_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -47,6 +49,8 @@ HEADLINE = [
     "skew_salted_join_enriched_counts",
     "asof_purchase_last_click",
     "range_error_window_activity",
+    "q8_nation_market_share",
+    "hll_sketch_distinct_users",
 ]
 
 
@@ -101,7 +105,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
     for name in HEADLINE:
-        fn = QUERIES[name].fn
+        fn = ALL_QUERIES[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count() if name not in _COLLECT else len(df.collect())

@@ -109,3 +109,41 @@ def test_shard_key_is_map_only(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(docs.select(shard_key("doc_id", 8).alias("s")))
     assert "Exchange" not in plan, plan
+
+
+def test_q8_broadcasts_every_dim(spark, sf_dir):
+    """Q8's only fact-sized shuffle should be the lineitem<->orders join;
+    part/customer/supplier/nation/region all broadcast."""
+    from hadoop_stuff_spark.operators.relational import q8_nation_market_share
+
+    plan = _plan(q8_nation_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # exactly one sort-merge or shuffled-hash join at most (fact-fact)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_pq_topk_single_python_stage_and_broadcast_rerank(spark, sf_dir):
+    """The PQ pipeline's scale contract: ONE fused Python pass over the
+    corpus (encode+ADC+partial top-k in mapInPandas), and the exact
+    re-rank joins via broadcast (candidate list is tiny) — the corpus is
+    never shuffled for the re-rank."""
+    from hadoop_stuff_spark.operators.pq import topk_cosine_pq
+
+    plan = _plan(topk_cosine_pq(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sketch_rollup_shuffles_sketch_bytes_not_users(spark, sf_dir):
+    """The HLL rollup's shuffle carries per-cell sketches (one partial
+    HashAggregate with hll_sketch_agg below the exchange), never raw
+    user_ids: partial_hllsketchagg must appear BELOW the exchange."""
+    from hadoop_stuff_spark.operators.sketches import sketch_distinct_users_by_type
+
+    plan = _plan(sketch_distinct_users_by_type(spark, sf_dir))
+    lower = plan.lower()
+    # plan prints top-down: the partial sketch agg must sit BELOW (after)
+    # the last exchange, i.e. map-side against the scan
+    last_exchange = lower.rindex("exchange")
+    assert "partial_hll_sketch_agg" in lower[last_exchange:], plan
