@@ -1,0 +1,167 @@
+"""Data-quality constraint checking — the admission gate every pipeline
+table needs (null rates, domains, ranges, uniqueness, referential
+integrity), computed in as few scans as the constraint classes allow.
+
+Three constraint classes, three plan shapes:
+- **row rules** (null / range / domain / regex): ONE scan, every rule a
+  conditional-count aggregate fused into a single partial+final agg —
+  adding a rule adds a column, not a pass.
+- **uniqueness**: count(*) - count(distinct key) — one hash agg on the
+  key (map-side partial), reported in the same summary.
+- **referential integrity**: child LEFT ANTI parent on the key; the
+  parent side is dim-sized in every real schema, so Spark broadcasts it.
+
+`check(...)` returns the violation summary (one row per rule);
+`enforce(...)` splits a frame into (clean, quarantine) with a
+per-row `failed_rules` array — quarantine keeps every original column,
+nothing is silently dropped (the structured-source `_corrupt` pattern,
+sources/structured.py, applied to semantic rules).
+
+Reference provenance: the reference validates nothing — a malformed CDR
+line crashes the job (RecordFinderMap.java:28 raises on bad splits).
+This is the engine-native replacement: malformed rows are counted,
+quarantined, and never take the pipeline down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table
+
+
+def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One-scan violation summary for row-level rules. ``rules`` maps
+    rule name -> boolean Column that is True when the row PASSES.
+    Output: (rule, n_violations, n_rows) — one row per rule."""
+    aggs = [F.count(F.lit(1)).alias("__n_rows")] + [
+        F.sum(F.when(~cond | cond.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias(f"__v_{name}")
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into (rule, n_violations, n_rows)
+    pairs = []
+    for name in rules:
+        pairs.append(F.struct(
+            F.lit(name).alias("rule"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            F.col("__n_rows").alias("n_rows"),
+        ))
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("r"))
+        .select("r.rule", "r.n_violations", "r.n_rows")
+    )
+
+
+def check_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Uniqueness violations: rows beyond the first per key."""
+    return df.agg(
+        F.lit("unique(" + ",".join(key_cols) + ")").alias("rule"),
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols]))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def check_referential(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Orphaned child rows (no matching parent key): LEFT ANTI join,
+    parent broadcasts when dim-sized (Spark's size estimate decides)."""
+    n_rows = child.count()
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit(f"fk({child_key})").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_violations"),
+        F.lit(n_rows).cast("long").alias("n_rows"),
+    )
+
+
+def enforce(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): quarantine rows fail >= 1 rule and carry a
+    ``failed_rules array<string>`` naming each; clean rows pass all.
+    One scan each side (Spark shares the cached plan when persisted)."""
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~cond | cond.isNull(), F.lit(name))
+                for name, cond in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    clean = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantine = tagged.filter(F.size("failed_rules") > 0)
+    return clean, quarantine
+
+
+ORDER_RULES_DOC = """rules certified by the registry query:
+  positive_price    o_totalprice > 0
+  known_status      o_orderstatus IN ('O','F','P')
+  known_priority    o_orderpriority LIKE '_-%'
+  custkey_present   o_custkey IS NOT NULL
+"""
+
+
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: row rules + uniqueness + referential integrity over
+    orders, one summary frame (sorted by rule name)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = check_rows(
+        orders,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "known_priority": F.col("o_orderpriority").rlike("^[0-9]-"),
+            "custkey_present": F.col("o_custkey").isNotNull(),
+        },
+    )
+    uniq = check_unique(orders, ["o_orderkey"])
+    fk = check_referential(orders, "o_custkey", cust, "c_custkey")
+    return rows.unionByName(uniq).unionByName(fk).orderBy("rule")
+
+
+DQ_ORDERS_SQL = """
+WITH rows_checks AS (
+  SELECT * FROM (
+    SELECT 'positive_price' AS rule,
+           CAST(sum(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           count(*) AS n_rows FROM orders
+    UNION ALL
+    SELECT 'known_status',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(*) FROM orders
+    UNION ALL
+    SELECT 'known_priority',
+           CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-') OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(*) FROM orders
+    UNION ALL
+    SELECT 'custkey_present',
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(*) FROM orders
+  )
+), uniq AS (
+  SELECT 'unique(o_orderkey)' AS rule,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+         count(*) AS n_rows
+  FROM orders
+), fk AS (
+  SELECT 'fk(o_custkey)' AS rule,
+         CAST(count(*) AS BIGINT) AS n_violations,
+         (SELECT count(*) FROM orders) AS n_rows
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT * FROM rows_checks UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM fk
+ORDER BY rule
+"""

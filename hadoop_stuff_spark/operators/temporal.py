@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.catalog import load_table
@@ -275,4 +275,122 @@ FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
 LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
   ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 5 MINUTE
 GROUP BY 1
+"""
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    agg_cols: dict[str, Column],
+    step: str = "1 hour",
+    fill: str = "zero",
+) -> DataFrame:
+    """Regular-grid time-series resampling with gap fill — the op that
+    turns irregular event streams into model-ready aligned series.
+
+    Buckets rows per key to ``step`` boundaries, aggregates, then
+    DENSIFIES: every key gets a row for every step between its own first
+    and last bucket. Missing buckets fill with zero/null (``fill='zero'``)
+    or carry the last observation forward (``fill='ffill'``, classic
+    time-series imputation).
+
+    Scale shape: one grouped agg over the facts (bucket+key — map-side
+    partials), then per-key `sequence()` + `explode` generates the grid
+    JVM-side (rows = sum of per-key span/step, i.e. the OUTPUT size — no
+    driver loop, no cross join against a global calendar, and a key
+    active for one day never pays for a ten-year table span). The grid
+    left-joins the aggregates on (key, bucket) — one co-partitioned
+    shuffle; ffill is a window last-value-ignore-nulls per key ordered by
+    bucket (same partitioning, no extra exchange).
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.timestamp_seconds(
+        (F.unix_timestamp(ts_col) / F.expr(f"CAST(extract(epoch FROM INTERVAL {step}) AS LONG)")).cast("long")
+        * F.expr(f"CAST(extract(epoch FROM INTERVAL {step}) AS LONG)")
+    )
+    aggd = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*key_cols, "__bucket")
+        .agg(*[c.alias(n) for n, c in agg_cols.items()])
+    )
+    spans = aggd.groupBy(*key_cols).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias("__bucket"),
+    )
+    joined = grid.join(aggd, [*key_cols, "__bucket"], "left")
+    if fill == "zero":
+        filled = joined.select(
+            *key_cols,
+            F.col("__bucket").alias("bucket"),
+            *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in agg_cols],
+        )
+    elif fill == "ffill":
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = joined.select(
+            *key_cols,
+            F.col("__bucket").alias("bucket"),
+            *[
+                F.last(F.col(n), ignorenulls=True).over(w).alias(n)
+                for n in agg_cols
+            ],
+        )
+    else:
+        raise ValueError(f"unknown fill {fill!r} (use 'zero' or 'ffill')")
+    return filled
+
+
+def resampled_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: hourly per-type event count + exact-cents value sum,
+    zero-filled over each type's active span."""
+    from hadoop_stuff_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample(
+        ev.withColumn(
+            "value_cents", F.round(F.col("value") * 100, 0).cast("long")
+        ),
+        "ts",
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "total_cents": F.sum("value_cents").cast("long"),
+        },
+        step="1 hour",
+        fill="zero",
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    ).orderBy("event_type", "bucket")
+
+
+RESAMPLE_SQL = """
+WITH aggd AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM events
+  GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM aggd GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT g.event_type, g.bucket,
+       coalesce(a.n_events, 0) AS n_events,
+       coalesce(a.total_cents, 0) AS total_cents
+FROM grid g LEFT JOIN aggd a USING (event_type, bucket)
+ORDER BY g.event_type, g.bucket
 """

@@ -29,6 +29,7 @@ from hadoop_stuff_spark.operators import (
     multimodal,
     pq,
     profile,
+    quality,
     relational,
     sampling,
     scoring,
@@ -437,6 +438,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         relational.q13_customer_order_distribution, relational.Q13_SQL
     ),
     "q15_top_supplier": QuerySpec(relational.q15_top_supplier, relational.Q15_SQL),
+    "dq_orders_report": QuerySpec(quality.dq_orders_report, quality.DQ_ORDERS_SQL),
+    "resampled_event_values": QuerySpec(
+        temporal.resampled_event_values, temporal.RESAMPLE_SQL
+    ),
 }
 
 _N_ORACLE_FIRST = 50
