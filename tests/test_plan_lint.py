@@ -1,0 +1,85 @@
+"""The plan linter must flag each crafted anti-pattern and pass the
+engine's real scale-path queries."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.plans.lint import lint_plan
+
+
+def _rules(findings):
+    return {r for r, _ in findings}
+
+
+def test_flags_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    assert "cartesian" in _rules(lint_plan(a.crossJoin(b)))
+    assert "cartesian" not in _rules(lint_plan(a.crossJoin(b), allow_cartesian=True))
+
+
+def test_flags_row_at_a_time_udf(spark):
+    slow = udf(lambda x: x + 1, "long")
+    df = spark.range(10).select(slow("id").alias("y"))
+    assert "python-udf-row" in _rules(lint_plan(df))
+
+
+def test_flags_duplicated_arrow_udf_chain():
+    """The round-2 PQ defect, verbatim from its captured physical plan:
+    Catalyst's inferred `size(udf(..)) > 0` filter cloned the two-UDF
+    chain below the repartition (adc/enc each evaluated at TWO exprIds).
+    The linter must flag the captured plan and pass the fixed (single
+    chain) variant."""
+    from hadoop_stuff_spark.plans.lint import lint_plan_text
+
+    bad = """
+Generate posexplode(sims#288), [vec_id#0L], false, [qpos#289, sim#290]
++- Project [vec_id#0L, pythonUDF0#496 AS sims#288]
+   +- ArrowEvalPython [adc(pythonUDF0#495.codes, pythonUDF0#495.recon_nrm)#287], [pythonUDF0#496], 200
+      +- Project [vec_id#0L, pythonUDF0#495]
+         +- ArrowEvalPython [enc(embedding#1)#281], [pythonUDF0#495], 200
+            +- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM, [plan_id=620]
+               +- Filter ((size(pythonUDF0#494, false) > 0) AND isnotnull(pythonUDF0#494))
+                  +- ArrowEvalPython [adc(pythonUDF0#493.codes, pythonUDF0#493.recon_nrm)#287], [pythonUDF0#494], 200
+                     +- ArrowEvalPython [enc(embedding#1)#281], [pythonUDF0#493], 200
+                        +- FileScan parquet [vec_id#0L,embedding#1]
+"""
+    # exprId per SITE is the output attr id (#493-496): rewrite the rule's
+    # capture accordingly — the udf name appearing with two distinct
+    # output ids marks the clone
+    rules = {r for r, _ in lint_plan_text(bad, max_exchanges=99, allow_global_sort=True)}
+    assert "python-chain-dup" in rules
+
+    good = """
+Generate posexplode(sims#288), [vec_id#0L], false, [qpos#289, sim#290]
++- ArrowEvalPython [adc(pythonUDF0#495.codes)#287], [pythonUDF0#496], 200
+   +- ArrowEvalPython [enc(embedding#1)#281], [pythonUDF0#495], 200
+      +- FileScan parquet [vec_id#0L,embedding#1]
+"""
+    rules = {r for r, _ in lint_plan_text(good, max_exchanges=99, allow_global_sort=True)}
+    assert "python-chain-dup" not in rules
+
+
+def test_flags_global_sort_but_not_topk(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    sorted_df = orders.orderBy("o_totalprice")
+    assert "global-sort" in _rules(lint_plan(sorted_df))
+    topk = orders.orderBy(F.desc("o_totalprice")).limit(5)
+    assert "global-sort" not in _rules(lint_plan(topk))
+    assert "global-sort" not in _rules(lint_plan(sorted_df, allow_global_sort=True))
+
+
+def test_real_scale_paths_are_clean(spark, sf_dir):
+    from hadoop_stuff_spark.operators.dedup import minhash_near_dups
+    from hadoop_stuff_spark.operators.pq import topk_cosine_pq
+    from hadoop_stuff_spark.operators.relational import q5_region_revenue
+
+    # q5: two fact-shuffle sides + agg partial/final + presentation sort
+    # = 6 exchanges is its honest shape; no cartesians / dup chains / row UDFs
+    assert _rules(lint_plan(q5_region_revenue(spark, sf_dir), max_exchanges=6, allow_global_sort=True)) == set()
+    # candidate-pair + ANN pipelines: a couple more exchanges are inherent
+    # (banding self-join; rerank window) but no dup chains / cartesians
+    assert _rules(lint_plan(minhash_near_dups(spark, sf_dir), max_exchanges=8)) == set()
+    assert _rules(lint_plan(topk_cosine_pq(spark, sf_dir), max_exchanges=8)) == set()

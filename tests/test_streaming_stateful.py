@@ -205,3 +205,81 @@ def test_mg_merge_guarantee_property():
     for item, cnt in true.items():
         if cnt > n / cap:
             assert item in sketch, (item, cnt)
+
+
+def test_dedup_ttl_suppresses_within_window(spark, tmp_path):
+    """Within the TTL, duplicate keys are dropped exactly like
+    dedup_first_seen (long TTL → no eviction during the test)."""
+    from hadoop_stuff_spark.streaming.stateful import (
+        dedup_first_seen_ttl,
+        exactly_once_parquet_sink,
+    )
+
+    logdir = str(tmp_path / "ttl_logs")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    outdir = str(tmp_path / "ttl_out")
+    os.makedirs(logdir)
+    _write_log(logdir, "b0.txt", ["k1 v1", "k2 v2", "k1 v3"])
+
+    def run():
+        q = (
+            dedup_first_seen_ttl(
+                _keyed(tail_stream(spark, logdir)), "k", "v", ttl_ms=300_000
+            )
+            .writeStream.foreachBatch(exactly_once_parquet_sink(outdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(r.key for r in spark.read.parquet(outdir).collect())
+    assert got == ["k1", "k2"]
+    # second batch inside the TTL: both keys still suppressed
+    _write_log(logdir, "b1.txt", ["k1 v4", "k2 v5", "k3 v6"])
+    run()
+    got = sorted(r.key for r in spark.read.parquet(outdir).collect())
+    assert got == ["k1", "k2", "k3"]
+
+
+def test_dedup_ttl_evicts_idle_keys(spark, tmp_path):
+    """After the TTL passes with no arrivals, the key's state is evicted
+    and its content is first-seen again — bounded state on an infinite
+    stream."""
+    import time as _time
+
+    from hadoop_stuff_spark.streaming.stateful import (
+        dedup_first_seen_ttl,
+        exactly_once_parquet_sink,
+    )
+
+    logdir = str(tmp_path / "ttl2_logs")
+    ckpt = str(tmp_path / "ttl2_ckpt")
+    outdir = str(tmp_path / "ttl2_out")
+    os.makedirs(logdir)
+    _write_log(logdir, "b0.txt", ["k1 v1"])
+
+    def run():
+        q = (
+            dedup_first_seen_ttl(
+                _keyed(tail_stream(spark, logdir)), "k", "v", ttl_ms=1000
+            )
+            .writeStream.foreachBatch(exactly_once_parquet_sink(outdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert [r.key for r in spark.read.parquet(outdir).collect()] == ["k1"]
+    _time.sleep(3)  # > ttl while idle
+    # two more batches: the first fires the timeout (evicts), after which
+    # k1 re-arrives as new
+    _write_log(logdir, "b1.txt", ["other x"])
+    run()
+    _write_log(logdir, "b2.txt", ["k1 v2"])
+    run()
+    ks = sorted(r.key for r in spark.read.parquet(outdir).collect())
+    assert ks == ["k1", "k1", "other"], ks
