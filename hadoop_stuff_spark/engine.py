@@ -121,3 +121,38 @@ class Engine:
             checkpoint_dir=checkpoint_dir,
             trigger_available_now=available_now,
         )
+
+    # ------------------------------------------------------------------
+    # round-3 surface: quality gate, sketches, resample, plan lint
+
+    def check_quality(self, df: DataFrame, rules: dict) -> DataFrame:
+        """One-scan data-quality summary (operators/quality.check_rows)."""
+        from hadoop_stuff_spark.operators.quality import check_rows
+
+        return check_rows(df, rules)
+
+    def enforce_quality(self, df: DataFrame, rules: dict):
+        """(clean, quarantine) split with per-row failed_rules."""
+        from hadoop_stuff_spark.operators.quality import enforce
+
+        return enforce(df, rules)
+
+    def distinct_sketches(self, df: DataFrame, lg_k: int = 12) -> DataFrame:
+        """Mergeable per-(day,type) HLL sketch table over an events-shaped
+        frame (operators/sketches.build_user_sketches)."""
+        from hadoop_stuff_spark.operators.sketches import build_user_sketches
+
+        return build_user_sketches(df, lg_k=lg_k)
+
+    def resample(self, df: DataFrame, ts_col: str, key_cols: list[str],
+                 agg_cols: dict, step: str = "1 hour", fill: str = "zero") -> DataFrame:
+        """Regular-grid resampling with zero/ffill gap fill."""
+        from hadoop_stuff_spark.operators.temporal import resample
+
+        return resample(df, ts_col, key_cols, agg_cols, step=step, fill=fill)
+
+    def lint(self, df: DataFrame, **kwargs) -> list:
+        """Physical-plan anti-pattern findings (plans/lint.lint_plan)."""
+        from hadoop_stuff_spark.plans.lint import lint_plan
+
+        return lint_plan(df, **kwargs)

@@ -1,0 +1,74 @@
+"""Streaming materialized-view maintenance: the rollup tracks the stream
+exactly, and replayed batches never double-count."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from hadoop_stuff_spark.streaming.matview import streaming_rollup_sink
+from hadoop_stuff_spark.streaming.tail import tail_stream
+
+
+def _write_log(directory, name, lines):
+    with open(os.path.join(directory, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _parsed(stream):
+    return stream.select(
+        F.split("value", " ")[0].alias("k"),
+        F.split("value", " ")[1].cast("long").alias("cents"),
+    )
+
+
+def test_streaming_rollup_tracks_stream_and_survives_replay(spark, tmp_path):
+    logdir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    rollup = str(tmp_path / "rollup")
+    work = str(tmp_path / "work")
+    os.makedirs(logdir)
+
+    keys, sums = ["k"], {"total_cents": "cents"}
+    sink = streaming_rollup_sink(rollup, keys, sums, work)
+
+    def run():
+        q = (
+            _parsed(tail_stream(spark, logdir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    all_lines = []
+    batches = [
+        ["a 100", "b 250", "a 50"],
+        ["b 10", "c 7"],
+    ]
+    for i, lines in enumerate(batches):
+        _write_log(logdir, f"b{i}.txt", lines)
+        all_lines += lines
+        run()
+        got = {
+            r.k: (r.n_rows, r.total_cents)
+            for r in spark.read.parquet(rollup).collect()
+        }
+        exp = {}
+        for ln in all_lines:
+            k, c = ln.split(" ")
+            n, t = exp.get(k, (0, 0))
+            exp[k] = (n + 1, t + int(c))
+        assert got == exp, (got, exp)
+
+    # REPLAY: drive the sink directly with an already-folded batch id —
+    # the delta re-lands, the fold is skipped, totals unchanged
+    before = {
+        r.k: (r.n_rows, r.total_cents) for r in spark.read.parquet(rollup).collect()
+    }
+    replay = spark.createDataFrame([("a", 100), ("b", 250), ("a", 50)], "k string, cents long")
+    sink(replay, 0)
+    after = {
+        r.k: (r.n_rows, r.total_cents) for r in spark.read.parquet(rollup).collect()
+    }
+    assert after == before
