@@ -94,7 +94,13 @@ def lint_plan_text(
     allow_cartesian: bool = False,
     allow_global_sort: bool = False,
 ) -> list[tuple[str, str]]:
-    """Text-level rule engine (exposed so tests can lint captured plans)."""
+    """Text-level rule engine (exposed so tests can lint captured plans).
+
+    All structural counting runs on the cache-stripped plan: an
+    InMemoryRelation reprints its child subtree at every scan site, but
+    that subtree executes once (at cache fill) — counting its exchanges
+    or UDFs per-site would misread reuse as re-execution."""
+    plan = _strip_cached_subtrees(plan)
     findings: list[tuple[str, str]] = []
 
     if not allow_cartesian:
@@ -114,7 +120,7 @@ def lint_plan_text(
     # cached subtrees are stripped first (InMemoryRelation repeats its
     # child plan TEXT at every scan site, but executes it once).
     sig_counts: dict[str, int] = {}
-    for m in re.finditer(r"ArrowEvalPython \[([^\]]*)\]", _strip_cached_subtrees(plan)):
+    for m in re.finditer(r"ArrowEvalPython \[([^\]]*)\]", plan):
         sig = re.sub(r"#\d+", "", m.group(1))
         sig_counts[sig] = sig_counts.get(sig, 0) + 1
     for sig, n in sig_counts.items():

@@ -41,3 +41,64 @@ def write_range_sorted(
         .option("parquet.block.size", row_group_mb * 1024 * 1024)
         .parquet(path)
     )
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over 2+ numeric columns, pure Catalyst.
+
+    Each column is rank-normalized to ``bits`` bits via percent_rank (so
+    skewed distributions still spread evenly), then the bit planes are
+    interleaved with shift/OR folds — no UDF, whole-stage-codegen
+    eligible. Sorting by the result clusters rows so that row-group
+    min/max stats are selective on EVERY participating column at once
+    (a range sort is selective only on its leading column)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    assert n >= 2, "zorder needs >= 2 columns"
+    quant = [
+        F.least(
+            F.lit((1 << bits) - 1),
+            (F.percent_rank().over(Window.orderBy(c)) * ((1 << bits) - 1)).cast("long"),
+        )
+        for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for q in quant:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(q, bit).bitwiseAND(F.lit(1).cast("long"))
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    row_group_mb: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column pruning layout: range-partition + in-file sort on the
+    Morton key of ``cols``, so predicates on ANY of the columns skip row
+    groups from footer stats (test proves both dimensions prune vs a
+    single-column sort where only the leading column does).
+
+    Caveat (same as every Z-order implementation): percent_rank needs a
+    global rank — here one window over the write set. At 100 TB, replace
+    with approxQuantile-derived fixed bucket bounds computed on a sample
+    (the interleave stays identical); the window variant is exact and
+    fine at normal write-batch sizes (a day's partition, not the
+    lifetime table)."""
+    (
+        df.withColumn("__z", zorder_key(cols, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("parquet.block.size", row_group_mb * 1024 * 1024)
+        .parquet(path)
+    )

@@ -81,3 +81,42 @@ def test_rate_source_bounds_intake(spark):
         q.stop()
     # ~100 rows/s for the observed window; generous bounds for scheduling slop
     assert 0 < n <= 100 * 10, n
+
+
+def _span_fraction(ranges: list[tuple], lo, hi) -> float:
+    """Mean fraction of the key domain each row group's [min,max] covers —
+    small means stats are selective on that column."""
+    total = hi - lo
+    return sum((b - a) / total for a, b in ranges) / len(ranges)
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered layout: row-group stats are selective on BOTH columns;
+    a single-column range sort is selective only on its leading column."""
+    from hadoop_stuff_spark.sources.layout import write_zordered
+
+    n = 100000
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 1000).alias("x"),
+        ((F.col("id") * 40503) % 1000).alias("y"),
+    )
+    zpath = str(tmp_path / "zord")
+    spath = str(tmp_path / "xsort")
+    write_zordered(df, zpath, ["x", "y"], n_files=32, row_group_mb=1)
+    write_range_sorted(df, spath, "x", n_files=32, row_group_mb=1)
+
+    zx = _span_fraction(_row_group_ranges(zpath, "x"), 0, 999)
+    zy = _span_fraction(_row_group_ranges(zpath, "y"), 0, 999)
+    sx = _span_fraction(_row_group_ranges(spath, "x"), 0, 999)
+    sy = _span_fraction(_row_group_ranges(spath, "y"), 0, 999)
+
+    # x-sort: x is near-perfectly clustered, y not at all
+    assert sx < 0.2 and sy > 0.8, (sx, sy)
+    # z-order: BOTH columns substantially clustered (each row group covers
+    # a quadrant-ish of the 2-d domain, not the full axis)
+    assert zx < 0.35 and zy < 0.45, (zx, zy)
+
+    # round-trip: no rows lost, values intact
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
