@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions.money import sum_2dp_exact, sum_2dp_exact_sql
 from hadoop_stuff_spark.operators import (
+    chunking,
     cleaning,
     clusters,
     contamination,
@@ -439,6 +440,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "q15_top_supplier": QuerySpec(relational.q15_top_supplier, relational.Q15_SQL),
     "dq_orders_report": QuerySpec(quality.dq_orders_report, quality.DQ_ORDERS_SQL),
+    "n3_document_chunks": QuerySpec(chunking.n3_document_chunks, chunking.CHUNKS_SQL),
     "resampled_event_values": QuerySpec(
         temporal.resampled_event_values, temporal.RESAMPLE_SQL
     ),
