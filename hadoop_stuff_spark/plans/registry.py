@@ -446,6 +446,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
 }
 
+assert all(
+    s.oracle for s in EXTRA_QUERIES.values()
+), "EXTRA_QUERIES is the locally-certified oracle set: every entry needs SQL"
+
 _N_ORACLE_FIRST = 50
 assert (
     sum(1 for s in QUERIES.values() if s.oracle) == _N_ORACLE_FIRST
