@@ -443,6 +443,66 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", _simhash64_udf(F.col("text")).alias("simhash"))
 
 
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Generic banded Hamming blocking over a 64-bit signature column:
+    split into ``n_blocks`` equal bit blocks; any pair within Hamming
+    distance < n_blocks must share >= 1 exact block (pigeonhole), so the
+    candidate set is a bucketed equi-self-join — never a cartesian.
+    Returns (id_a, id_b, hamming) filtered to <= max_hamming.
+
+    Shared by text SimHash (`simhash_near_dups`) and media perceptual
+    hashes (`multimodal.media_near_dups`) — one scale-proof blocking
+    implementation, many signature sources."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col(sig_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.block", "bk.key")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 8, sort: bool = False
 ) -> DataFrame:
@@ -451,44 +511,9 @@ def simhash_near_dups(
     share at least one exact block (pigeonhole for hamming < 4 blocks).
     Bucketed self-join — no cartesian product."""
     sigs = simhash_signatures(spark, sf_dir)
-    blocks = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.block", "bk.key")
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    out = (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    out = banded_hamming_pairs(sigs, "doc_id", "simhash", max_hamming).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )
     return out.orderBy("doc_a", "doc_b") if sort else out

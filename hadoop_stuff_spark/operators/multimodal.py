@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from hadoop_stuff_spark.catalog import load_table
+from hadoop_stuff_spark.catalog import load_table, spread
 
 FEATURE_DIM = 8
 
@@ -351,3 +351,64 @@ SELECT doc_id, {AUDIO_SAMPLE_RATE} AS sample_rate,
        round(CAST(strlen(text) AS FLOAT) / {AUDIO_SAMPLE_RATE}, 4) AS duration_s
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup for media columns (N1 x N4)
+
+
+def _ahash64(arr) -> int:
+    """64-bit average hash of a byte stream: 64 equal segments, bit i set
+    iff segment i's mean > global mean. Deterministic; tolerant of small
+    payload edits (few bits flip), which is exactly the near-dup contract.
+    Real images would aHash the decoded grayscale thumbnail instead —
+    same 64-sample → threshold → packbits pipeline, swap the decode."""
+    import numpy as np
+
+    if arr.size == 0:
+        return 0
+    take = (arr.size // 64) * 64
+    if take == 0:
+        seg = np.pad(arr.astype(np.float64), (0, 64 - arr.size))[:64]
+    else:
+        seg = arr[:take].astype(np.float64).reshape(64, -1).mean(axis=1)
+    bits = (seg > arr.astype(np.float64).mean()).astype(np.uint8)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def media_ahash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, ahash long) per media row — one numpy pass per Arrow batch
+    over the payload bytes (the decode-stub policy: real thumbnails swap
+    in at `_ahash64`'s doc'd point; the Spark plumbing is the product)."""
+    import numpy as np
+
+    out_schema = f"{id_col} long, ahash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                np.int64(np.uint64(_ahash64(np.frombuffer(bytes(p or b""), dtype=np.uint8))))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "ahash": hashes})
+
+    return media.select(id_col, "payload").mapInPandas(run, out_schema)
+
+
+def media_near_dups(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate media pairs: perceptual hash + the SAME banded
+    Hamming blocking the text SimHash path certifies
+    (dedup.banded_hamming_pairs) — signature sources differ, the
+    scale-proof join is shared. Rows-only (hash algebra is not
+    SQL-expressible); tests seed byte-identical and lightly-corrupted
+    payloads and assert both are found with the expected distances."""
+    from hadoop_stuff_spark.operators.dedup import banded_hamming_pairs
+
+    blobs = spread(synthesize_blobs(spark, sf_dir))
+    return banded_hamming_pairs(
+        media_ahash(blobs), "doc_id", "ahash", max_hamming
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )

@@ -372,6 +372,7 @@ QUERIES: dict[str, QuerySpec] = {
     "n2_topk_cosine_ivf": QuerySpec(similarity.topk_cosine_ivf, None),
     "n2_topk_cosine_pq": QuerySpec(pq.topk_cosine_pq, None),
     "hll_sketch_distinct_users": QuerySpec(sketches.sketch_distinct_users_by_type, None),
+    "n4_media_near_dups": QuerySpec(multimodal.media_near_dups, None),
 }
 
 # Oracle-backed queries cut from the driver window (near-duplicates of

@@ -142,3 +142,46 @@ def test_audio_stats_against_numpy(spark, sf_dir):
         assert r.n_samples == len(payload)
         assert abs(r.rms - float(np.sqrt((wave**2).mean()))) < 1e-5
         assert abs(r.peak - float(np.abs(wave).max())) < 1e-6
+
+
+def test_media_ahash_near_dups_find_seeded_pairs(spark, tmp_path):
+    """Byte-identical payloads pair at hamming 0; a lightly-corrupted copy
+    pairs within the threshold; unrelated payloads do not pair."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.dedup import banded_hamming_pairs
+    from hadoop_stuff_spark.operators.multimodal import media_ahash
+
+    # ramp "image": 64 segments with distinct means (a uniform pattern
+    # would hash to 0 for everything — no signal)
+    base = bytes((i >> 6) & 0xFF for i in range(16384))
+    corrupt = bytearray(base)
+    corrupt[0:512] = b"\xff" * 512         # brighten 2 of 64 segments
+    other = bytes(255 - ((i >> 6) & 0xFF) for i in range(16384))  # inverted ramp
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),              # exact dup of 1
+        (3, corrupt),                      # near dup of 1
+        (4, bytearray(other)),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = media_ahash(media)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(hashes, "doc_id", "ahash", max_hamming=8)
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+        )
+        .collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_media_near_dups_runs_on_testdata(spark, sf_dir):
+    from hadoop_stuff_spark.operators.multimodal import media_near_dups
+
+    out = media_near_dups(spark, sf_dir, max_hamming=4)
+    assert out.columns == ["doc_a", "doc_b", "hamming"]
+    assert out.count() >= 0
