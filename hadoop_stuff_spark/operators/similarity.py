@@ -484,3 +484,38 @@ SELECT vec_id,
        round(list_max([abs(v[i] - codes[i] * scale) FOR i IN range(1, len(v) + 1)]), 9) AS max_err
 FROM c
 """
+
+
+def append_to_ivf_index(
+    spark: SparkSession, index_path: str, new_vectors: DataFrame
+) -> None:
+    """Day-2 index maintenance: add a batch of vectors to the persisted
+    IVF index WITHOUT rebuilding it — encode the batch against the SAVED
+    centroids (the quantizer must stay fixed or every existing cell
+    assignment is invalidated) and append into the cell partitions.
+
+    Cost is O(|batch|): one scan of the new vectors, a partitioned
+    append touching only the cells the batch lands in. Rebuild (and only
+    rebuild) when the quantizer drifts from the data distribution —
+    recall tests are the drift detector. Mirrors
+    `incremental.update_signature_store` for the dedup stores: history
+    immutable, appends only."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1))
+
+    (
+        new_vectors.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/corpus")
+    )

@@ -63,3 +63,52 @@ def streaming_rollup_sink(
             f.write("folded")
 
     return sink
+
+
+def streaming_sketch_sink(sketch_path: str, work_dir: str, lg_k: int = 12):
+    """The MERGE-ONLY twin of `streaming_rollup_sink`: maintain a
+    per-(day,type) HLL sketch table (operators/sketches.py) as events
+    stream in. Per micro-batch: sketch the batch (tiny), read the stored
+    sketch table (|cells| rows), union per cell with `hll_union_agg`,
+    staged-swap. Distinct-count dashboards then answer from the sketch
+    table seconds-stale, never rescanning the stream's history — and
+    because HLL union is idempotent-safe ONLY across distinct inputs,
+    replays use the same batch_id landing + fold-marker protocol as the
+    rollup sink (a replayed batch would otherwise inflate estimates)."""
+    import uuid
+
+    from hadoop_stuff_spark.operators.sketches import build_user_sketches
+
+    os.makedirs(os.path.join(work_dir, "_folded"), exist_ok=True)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta_path = os.path.join(work_dir, "deltas", f"batch_id={batch_id}")
+        batch.write.mode("overwrite").parquet(delta_path)
+        marker = os.path.join(work_dir, "_folded", str(batch_id))
+        if os.path.exists(marker):
+            return
+        delta = build_user_sketches(spark.read.parquet(delta_path), lg_k=lg_k)
+        if os.path.exists(os.path.join(sketch_path, "_SUCCESS")):
+            from pyspark.sql import functions as F
+
+            merged = (
+                spark.read.parquet(sketch_path)
+                .unionByName(delta)
+                .groupBy("event_date", "event_type")
+                .agg(
+                    F.hll_union_agg("user_sketch", F.lit(True)).alias("user_sketch")
+                )
+            )
+            staging = f"{sketch_path}__staging_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(staging)
+            import shutil
+
+            shutil.rmtree(sketch_path)
+            shutil.move(staging, sketch_path)
+        else:
+            delta.write.mode("overwrite").parquet(sketch_path)
+        with open(marker, "w") as f:
+            f.write("folded")
+
+    return sink

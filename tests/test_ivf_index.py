@@ -39,3 +39,48 @@ def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, sf_dir, tmp_pat
     assert {(r.query_id, r.rk, r.vec_id) for r in full.collect()} == {
         (r.query_id, r.rk, r.vec_id) for r in mem.collect()
     }
+
+
+def test_ivf_append_equals_full_rebuild_query(spark, sf_dir, tmp_path):
+    """Index built on half the corpus + appended other half must answer
+    queries IDENTICALLY to an index whose corpus was written in one shot
+    with the same quantizer (append reuses the saved centroids, so cell
+    assignments are the same)."""
+    from hadoop_stuff_spark.operators.similarity import append_to_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    # full index (quantizer trained on the FULL table via sf_dir)
+    full_idx = str(tmp_path / "ivf_full")
+    build_ivf_index(spark, sf_dir, full_idx, n_cells=16)
+
+    # incremental: same quantizer (same sf_dir training set), but corpus
+    # written as half + append of the other half
+    inc_idx = str(tmp_path / "ivf_inc")
+    build_ivf_index(spark, sf_dir, inc_idx, n_cells=16)
+    # rewrite corpus to only the first half, then append the second
+    spark.read.parquet(f"{inc_idx}/corpus").filter(
+        F.col("vec_id") % 2 == 0
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{inc_idx}/corpus2")
+    import shutil
+
+    shutil.rmtree(f"{inc_idx}/corpus")
+    shutil.move(f"{inc_idx}/corpus2", f"{inc_idx}/corpus")
+    append_to_ivf_index(spark, inc_idx, second.select("vec_id", "embedding"))
+
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    a = sorted(
+        (r.query_id, r.rk, r.vec_id, r.sim)
+        for r in topk_cosine_ivf_index(spark, full_idx, queries, k=10, n_probe=4).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rk, r.vec_id, r.sim)
+        for r in topk_cosine_ivf_index(spark, inc_idx, queries, k=10, n_probe=4).collect()
+    )
+    assert a == b
+    # append touched only the cells the batch landed in (corpus still
+    # partitioned; vec count = full corpus)
+    n = spark.read.parquet(f"{inc_idx}/corpus").count()
+    assert n == emb.count()

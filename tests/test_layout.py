@@ -120,3 +120,32 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == n
     assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
+
+
+def test_zorder_bounded_clusters_both_columns_without_window(spark, tmp_path):
+    """The approxQuantile-bounded key must cluster both columns like the
+    window variant, with no global-sort window in its plan."""
+    from hadoop_stuff_spark.sources.layout import zorder_key_bounded
+
+    n = 100000
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 1000).alias("x"),
+        ((F.col("id") * 40503) % 1000).alias("y"),
+    )
+    key = zorder_key_bounded(df, ["x", "y"], bits=8)
+    out = str(tmp_path / "zb")
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(32, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.option("parquet.block.size", 1024 * 1024)
+        .parquet(out)
+    )
+    zx = _span_fraction(_row_group_ranges(out, "x"), 0, 999)
+    zy = _span_fraction(_row_group_ranges(out, "y"), 0, 999)
+    assert zx < 0.4 and zy < 0.5, (zx, zy)
+
+    # plan shape: no Window operator anywhere (the scale win vs zorder_key)
+    plan = df.withColumn("__z", key)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan

@@ -72,3 +72,42 @@ def test_streaming_rollup_tracks_stream_and_survives_replay(spark, tmp_path):
         r.k: (r.n_rows, r.total_cents) for r in spark.read.parquet(rollup).collect()
     }
     assert after == before
+
+
+def test_streaming_sketch_maintenance_matches_direct(spark, sf_dir, tmp_path):
+    """Stream events in two batches through the sketch sink: the
+    maintained sketch table's rollup must equal sketching all events in
+    one batch pass (merge identity), and a replay must not inflate it."""
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.sketches import rollup_distinct_users
+    from hadoop_stuff_spark.streaming.matview import streaming_sketch_sink
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    b0 = events.filter(F.col("user_id") % 2 == 0)
+    b1 = events.filter(F.col("user_id") % 2 == 1)
+
+    sketch_path = str(tmp_path / "sketches")
+    work = str(tmp_path / "work")
+    sink = streaming_sketch_sink(sketch_path, work)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    got = {
+        r.event_type: r.approx_distinct_users
+        for r in rollup_distinct_users(spark.read.parquet(sketch_path)).collect()
+    }
+    from hadoop_stuff_spark.operators.sketches import build_user_sketches
+
+    want = {
+        r.event_type: r.approx_distinct_users
+        for r in rollup_distinct_users(build_user_sketches(events)).collect()
+    }
+    assert got == want
+
+    # replay of batch 0: estimates unchanged
+    sink(b0, 0)
+    again = {
+        r.event_type: r.approx_distinct_users
+        for r in rollup_distinct_users(spark.read.parquet(sketch_path)).collect()
+    }
+    assert again == want
