@@ -1067,3 +1067,41 @@ WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / cume_dist) — per-segment
+    account-balance quartiles with each quartile's bounds and size.
+
+    Plan shape: one shuffle on the window key (c_mktsegment), local sort
+    inside partitions, then a small re-agg; no global sort."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    tiles = cust.select(
+        "c_mktsegment",
+        F.col("c_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return (
+        tiles.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+NTILE_SQL = """
+WITH t AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile, count(*) AS n,
+       round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+FROM t
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+"""

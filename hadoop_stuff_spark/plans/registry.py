@@ -440,6 +440,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         relational.q13_customer_order_distribution, relational.Q13_SQL
     ),
     "q15_top_supplier": QuerySpec(relational.q15_top_supplier, relational.Q15_SQL),
+    "ntile_customer_quartiles": QuerySpec(
+        relational.ntile_customer_quartiles, relational.NTILE_SQL
+    ),
     "dq_orders_report": QuerySpec(quality.dq_orders_report, quality.DQ_ORDERS_SQL),
     "n3_document_chunks": QuerySpec(chunking.n3_document_chunks, chunking.CHUNKS_SQL),
     "resampled_event_values": QuerySpec(

@@ -111,6 +111,7 @@ def write_zordered(
     bits: int = 16,
     row_group_mb: int = 8,
     mode: str = "overwrite",
+    bounded: bool = False,
 ) -> None:
     """Multi-column pruning layout: range-partition + in-file sort on the
     Morton key of ``cols``, so predicates on ANY of the columns skip row
@@ -118,13 +119,16 @@ def write_zordered(
     single-column sort where only the leading column does).
 
     Caveat (same as every Z-order implementation): percent_rank needs a
-    global rank — here one window over the write set. At 100 TB, replace
-    with approxQuantile-derived fixed bucket bounds computed on a sample
-    (the interleave stays identical); the window variant is exact and
-    fine at normal write-batch sizes (a day's partition, not the
-    lifetime table)."""
+    global rank — here one window over the write set. The window variant
+    is exact and fine at normal write-batch sizes (a day's partition,
+    not the lifetime table); pass ``bounded=True`` for the 100 TB path
+    (`zorder_key_bounded`: approxQuantile cutpoint buckets, no global
+    window, same interleave)."""
+    key = (
+        zorder_key_bounded(df, cols, min(bits, 8)) if bounded else zorder_key(cols, bits)
+    )
     (
-        df.withColumn("__z", zorder_key(cols, bits))
+        df.withColumn("__z", key)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
