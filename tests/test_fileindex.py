@@ -1,0 +1,53 @@
+"""File-level min/max index: pruned reads open a fraction of the files
+and return exactly the full-scan answer."""
+
+import pyspark.sql.functions as F
+
+from hadoop_stuff_spark.sources.fileindex import (
+    build_file_index,
+    prune_files,
+    read_pruned,
+)
+from hadoop_stuff_spark.sources.layout import write_range_sorted
+
+
+def test_file_index_prunes_and_matches_full_scan(spark, tmp_path):
+    n = 200000
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % n).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    table = str(tmp_path / "table")
+    index = str(tmp_path / "index")
+    write_range_sorted(df, table, "k", n_files=16)
+    build_file_index(spark, table, ["k"], index)
+
+    lo, hi = 1000.0, 11000.0  # ~5% of the key domain
+    files = prune_files(spark, index, "k", lo, hi)
+    import glob
+
+    all_files = glob.glob(f"{table}/*.parquet")
+    assert 0 < len(files) < len(all_files) / 2, (len(files), len(all_files))
+
+    got = read_pruned(spark, index, "k", lo, hi)
+    want = spark.read.parquet(table).filter((F.col("k") >= lo) & (F.col("k") <= hi))
+    assert got.count() == want.count()
+    assert (
+        got.agg(F.sum("k"), F.sum("payload")).collect()
+        == want.agg(F.sum("k"), F.sum("payload")).collect()
+    )
+
+
+def test_file_index_never_wrong_on_unclustered_table(spark, tmp_path):
+    """On a randomly-laid-out table the index degrades to opening all
+    files — never to a wrong answer."""
+    df = spark.range(50000).select(
+        ((F.col("id") * 2654435761) % 50000).alias("k")
+    )
+    table = str(tmp_path / "t2")
+    index = str(tmp_path / "i2")
+    df.repartition(8).write.parquet(table)  # no clustering
+    build_file_index(spark, table, ["k"], index)
+    got = read_pruned(spark, index, "k", 100.0, 200.0).count()
+    want = spark.read.parquet(table).filter(F.col("k").between(100, 200)).count()
+    assert got == want
