@@ -6,6 +6,8 @@ subcommands:
     python -m hadoop_stuff_spark count   PATH [--format chunked|text|parquet]
     python -m hadoop_stuff_spark sql     QUERY [--sf-dir DIR]
     python -m hadoop_stuff_spark wiretap LOG_DIR "REGEX HOST:PORT" [...] [--available-now]
+    python -m hadoop_stuff_spark dq      [--sf-dir DIR]
+    python -m hadoop_stuff_spark lint    QUERY [--sf-dir DIR]   # exit 1 on findings
 
 The reference packed these args into one comma-delimited string parsed
 positionally (DistributedGrep.java:85-93); argparse replaces that."""
@@ -46,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     wt.add_argument("subscription", nargs="+", help='"<regex> <host>:<port>"')
     wt.add_argument("--checkpoint", default=None)
     wt.add_argument("--available-now", action="store_true")
+
+    dq = sub.add_parser("dq", help="data-quality report over the orders testdata table")
+    dq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    ql = sub.add_parser("lint", help="lint the physical plan of an ANSI SQL query")
+    ql.add_argument("query")
+    ql.add_argument("--sf-dir", default=None)
     return p
 
 
@@ -74,6 +83,17 @@ def main(argv: list[str] | None = None) -> int:
             available_now=args.available_now,
         )
         q.awaitTermination()
+    elif args.cmd == "dq":
+        from hadoop_stuff_spark.operators.quality import dq_orders_report
+
+        dq_orders_report(eng.spark, args.sf_dir).show(truncate=False)
+    elif args.cmd == "lint":
+        findings = eng.lint(eng.sql(args.query, args.sf_dir))
+        if findings:
+            for rule, ev in findings:
+                print(f"{rule}: {ev}")
+            return 1
+        print("plan clean")
     return 0
 
 
