@@ -458,7 +458,14 @@ def banded_hamming_pairs(
 
     Shared by text SimHash (`simhash_near_dups`) and media perceptual
     hashes (`multimodal.media_near_dups`) — one scale-proof blocking
-    implementation, many signature sources."""
+    implementation, many signature sources.
+
+    The self-join references ``sigs`` from two branches; without
+    materialization each branch would recompute the signature UDF over
+    the whole corpus (caught by the plan linter on simhash), so the
+    frame is persisted here — at cluster scale, land signatures as a
+    table instead (the minhash store pattern, incremental.py)."""
+    sigs = sigs.persist()
     width = 64 // n_blocks
     mask = (1 << width) - 1
     blocks = sigs.select(

@@ -230,6 +230,12 @@ def topk_cosine_ivf(
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(m @ cents.T, axis=1))
 
+    # deterministic in fact, but marked nondeterministic so Catalyst's
+    # inferred isnotnull(cell) join constraint cannot clone the UDF below
+    # the repartition (the python-chain-dup lint rule; same class as the
+    # round-2 PQ defect)
+    cell_of = cell_of.asNondeterministic()
+
     @pandas_udf("array<int>")
     def probe_cells(embs: pd.Series) -> pd.Series:
         m = np.stack(embs.to_numpy()).astype(np.float64)

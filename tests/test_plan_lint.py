@@ -83,3 +83,36 @@ def test_real_scale_paths_are_clean(spark, sf_dir):
     # (banding self-join; rerank window) but no dup chains / cartesians
     assert _rules(lint_plan(minhash_near_dups(spark, sf_dir), max_exchanges=8)) == set()
     assert _rules(lint_plan(topk_cosine_pq(spark, sf_dir), max_exchanges=8)) == set()
+
+
+def test_every_registry_query_free_of_hard_antipatterns(spark):
+    """Blanket invariant over the WHOLE registry: no query may contain a
+    row-at-a-time Python UDF or a duplicated Arrow-UDF chain, and only
+    the documented exact baselines / single-row-broadcast scalar shapes
+    may contain a nested-loop join. This is the sweep that caught (and
+    now pins fixed) the simhash and IVF double-evaluations."""
+    from hadoop_stuff_spark.plans.registry import EXTRA_QUERIES, QUERIES
+
+    # cartesian allowlist, each with its reason:
+    CARTESIAN_OK = {
+        "n1_embedding_cosine_dups",    # documented exact O(n^2) oracle baseline
+        "n2_topk_cosine_bruteforce",   # documented exact baseline (broadcast queries)
+        "q22_idle_rich_customers",     # 1-row stats frame crossJoin (scalar subquery shape)
+        "n3_corpus_mix",               # 1-row totals frame broadcast
+        "n3_tfidf_top_terms",          # 1-row corpus-size frame broadcast
+    }
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, spec in {**QUERIES, **EXTRA_QUERIES}.items():
+        findings = lint_plan(
+            spec.fn(spark, sf), max_exchanges=999, allow_global_sort=True,
+            allow_cartesian=(name in CARTESIAN_OK),
+        )
+        hard = [
+            (r, e)
+            for r, e in findings
+            if r in ("python-udf-row", "python-chain-dup", "cartesian")
+        ]
+        if hard:
+            bad.append((name, hard))
+    assert bad == [], bad
