@@ -53,6 +53,8 @@ HEADLINE = [
     "hll_sketch_distinct_users",
     "dq_orders_report",
     "n3_document_chunks",
+    "copurchase_pairs",
+    "funnel_conversion",
 ]
 
 

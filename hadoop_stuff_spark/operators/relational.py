@@ -1105,3 +1105,133 @@ FROM t
 GROUP BY c_mktsegment, quartile
 ORDER BY c_mktsegment, quartile
 """
+
+
+def copurchase_pairs(
+    spark: SparkSession, sf_dir: str, min_support: int = 12, top: int = 25
+) -> DataFrame:
+    """Market-basket co-occurrence with A-priori pruning: top part pairs
+    appearing together in the most orders, counting only parts that are
+    individually frequent (>= min_support orders).
+
+    Plan shape — the pruning IS the scale story: the raw self-join on
+    l_orderkey is quadratic in parts-per-order and linear in parts'
+    popularity skew; filtering to frequent parts FIRST (one cheap
+    pre-agg, broadcast back as a semi-join) cuts the join input before
+    any pair is formed — the same monotonicity argument as A-priori's
+    candidate pruning. Pairs themselves aggregate map-side partial."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+        .select("l_partkey")
+    )
+    pruned = baskets.join(broadcast(freq), "l_partkey")
+    a = pruned.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = pruned.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(top)
+    )
+    return pairs
+
+
+COPURCHASE_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), freq AS (
+  SELECT l_partkey FROM baskets GROUP BY 1 HAVING count(*) >= 12
+), pruned AS (
+  SELECT b.l_orderkey, b.l_partkey FROM baskets b JOIN freq USING (l_partkey)
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM pruned a JOIN pruned b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+def funnel_conversion(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionized funnel: per event_type-agnostic user session (gaps >
+    ``gap_minutes`` start a new session), did the user view → purchase IN
+    ORDER within the session? Reports per-stage session counts and the
+    ordered-conversion count.
+
+    Plan shape: one shuffle on user_id for the session window (lag +
+    running sum of gap flags — the gaps-and-islands sessionizer already
+    certified by `sessionized_event_counts`), then a per-session
+    conditional agg comparing first view time vs last purchase time.
+    No self-join: the ordering test is min/max inside the group."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.lit(gap_minutes * 60)
+    sess = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("first_view").isNotNull().cast("long")).alias("n_with_view"),
+        F.sum(F.col("last_purchase").isNotNull().cast("long")).alias(
+            "n_with_purchase"
+        ),
+        F.sum(
+            (
+                F.col("first_view").isNotNull()
+                & F.col("last_purchase").isNotNull()
+                & (F.col("last_purchase") > F.col("first_view"))
+            ).cast("long")
+        ).alias("n_converted"),
+    )
+
+
+FUNNEL_SQL = """
+WITH sess AS (
+  SELECT user_id, ts, event_type,
+         sum(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+  )
+), per_sess AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM sess
+  GROUP BY 1, 2
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_view,
+       CAST(sum(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_purchase,
+       CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+                          AND last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM per_sess
+"""

@@ -443,6 +443,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "ntile_customer_quartiles": QuerySpec(
         relational.ntile_customer_quartiles, relational.NTILE_SQL
     ),
+    "copurchase_pairs": QuerySpec(relational.copurchase_pairs, relational.COPURCHASE_SQL),
+    "funnel_conversion": QuerySpec(relational.funnel_conversion, relational.FUNNEL_SQL),
     "dq_orders_report": QuerySpec(quality.dq_orders_report, quality.DQ_ORDERS_SQL),
     "n3_document_chunks": QuerySpec(chunking.n3_document_chunks, chunking.CHUNKS_SQL),
     "resampled_event_values": QuerySpec(
