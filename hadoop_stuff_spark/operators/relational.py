@@ -1235,3 +1235,34 @@ SELECT count(*) AS n_sessions,
                           AND last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM per_sess
 """
+
+
+def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface (stddev/variance/correlation/
+    covariance) per group — one scan, all moments in a single partial+
+    final agg (each is a sum-of-powers accumulator, so map-side combine
+    applies exactly like plain sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_extendedprice), 2) AS var_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

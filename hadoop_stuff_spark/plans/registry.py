@@ -447,6 +447,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "copurchase_pairs": QuerySpec(relational.copurchase_pairs, relational.COPURCHASE_SQL),
     "funnel_conversion": QuerySpec(relational.funnel_conversion, relational.FUNNEL_SQL),
     "scd2_customer_history": QuerySpec(scd.scd2_customer_history, scd.SCD2_SQL),
+    "stats_by_returnflag": QuerySpec(relational.stats_by_returnflag, relational.STATS_SQL),
     "dq_orders_report": QuerySpec(quality.dq_orders_report, quality.DQ_ORDERS_SQL),
     "n3_document_chunks": QuerySpec(chunking.n3_document_chunks, chunking.CHUNKS_SQL),
     "resampled_event_values": QuerySpec(
