@@ -156,3 +156,23 @@ class Engine:
         from hadoop_stuff_spark.plans.lint import lint_plan
 
         return lint_plan(df, **kwargs)
+
+    def chunk(self, df: DataFrame, window: int = 64, overlap: int = 16) -> DataFrame:
+        """Split documents into overlapping token windows (RAG prep)."""
+        from hadoop_stuff_spark.operators.chunking import chunk_documents
+
+        return chunk_documents(df, window=window, overlap=overlap)
+
+    def embed(self, df: DataFrame, text_col: str = "chunk_text") -> DataFrame:
+        """Add an L2-normalized embedding column (stub encoder; swap point
+        documented in operators/embedding.py)."""
+        from hadoop_stuff_spark.operators.embedding import embed_text
+
+        return embed_text(df, text_col=text_col)
+
+    def scd2_merge(self, history: DataFrame, snapshot: DataFrame,
+                   key_cols: list[str], tracked_cols: list[str], batch_ts: str) -> DataFrame:
+        """Fold a dimension snapshot into an SCD2 history table."""
+        from hadoop_stuff_spark.operators.scd import scd2_merge
+
+        return scd2_merge(history, snapshot, key_cols, tracked_cols, batch_ts)
