@@ -77,3 +77,51 @@ def test_bad_params_raise(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, window=4, overlap=4)
+
+
+def test_chunk_count_formula_property(spark):
+    """Property (hypothesis): for any token count n >= 1 and valid
+    (window, overlap), the number of chunks is ceil(n / stride), every
+    chunk has 1..window tokens, and the union of chunk tokens covers the
+    document (sum of n_tokens >= n, == n when overlap == 0)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=300),
+        window=st.integers(min_value=2, max_value=50),
+        overlap=st.integers(min_value=0, max_value=49),
+    )
+    def gen(n, window, overlap):
+        if overlap < window:
+            cases.append((n, window, overlap))
+
+    gen()
+    # one Spark job for all sampled cases (row per case, distinct params
+    # exercised via separate chunk_documents calls grouped by param pair)
+    by_params = {}
+    for i, (n, w, o) in enumerate(cases):
+        by_params.setdefault((w, o), []).append((i, n))
+    for (w, o), docs in by_params.items():
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n))) for i, n in docs],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(df, window=w, overlap=o).collect()
+        stride = w - o
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        for i, n in docs:
+            chunks = per_doc[i]
+            assert len(chunks) == math.ceil(n / stride), (n, w, o)
+            assert all(1 <= r.n_tokens <= w for r in chunks)
+            total = sum(r.n_tokens for r in chunks)
+            assert total >= n
+            if o == 0:
+                assert total == n
