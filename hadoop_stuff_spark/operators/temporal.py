@@ -278,6 +278,22 @@ GROUP BY 1
 """
 
 
+_STEP_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _step_seconds(step: str) -> int:
+    """'15 minutes' -> 900. Python-side (interval EXTRACT(epoch) does not
+    exist in Spark SQL); the grid's sequence() still uses the interval
+    literal directly."""
+    n, unit = step.strip().split()
+    return int(n) * _STEP_UNITS[unit.lower()]
+
+
 def resample(
     df: DataFrame,
     ts_col: str,
@@ -304,10 +320,14 @@ def resample(
     shuffle; ffill is a window last-value-ignore-nulls per key ordered by
     bucket (same partitioning, no extra exchange).
     """
-    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.timestamp_seconds(
-        (F.unix_timestamp(ts_col) / F.expr(f"CAST(extract(epoch FROM INTERVAL {step}) AS LONG)")).cast("long")
-        * F.expr(f"CAST(extract(epoch FROM INTERVAL {step}) AS LONG)")
-    )
+    if step == "1 hour":
+        bucket = F.date_trunc("hour", F.col(ts_col))
+    else:
+        step_s = _step_seconds(step)
+        bucket = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(ts_col) / F.lit(step_s)).cast("long")
+            * F.lit(step_s)
+        )
     aggd = (
         df.withColumn("__bucket", bucket)
         .groupBy(*key_cols, "__bucket")

@@ -109,3 +109,19 @@ def test_udtf_lateral_join_and_malformed_tolerance(spark):
         (1, "caller", "alice"),
         (1, "dur", "42"),
     ]
+
+
+def test_resample_sub_hour_step(spark):
+    rows = [
+        ("a", "2026-01-01 00:07:00", 1.0),
+        ("a", "2026-01-01 00:40:00", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = resample(
+        df, "ts", ["k"], {"n": F.count(F.lit(1)).cast("long")},
+        step="15 minutes", fill="zero",
+    ).collect()
+    got = sorted((r.bucket.minute, r.n) for r in out)
+    assert got == [(0, 1), (15, 0), (30, 1)]
