@@ -146,6 +146,7 @@ class _GrepLogReader(DataSourceReader):
         self._pattern = options.get("pattern", "*")
         self._contains: list[str] = []
         self._equals: list[str] = []
+        self._file_contains: list[str] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -153,11 +154,18 @@ class _GrepLogReader(DataSourceReader):
                 self._contains.append(f.value)
             elif isinstance(f, EqualTo) and f.attribute == ("value",):
                 self._equals.append(f.value)
+            elif isinstance(f, StringContains) and f.attribute == ("source_file",):
+                # planning-time FILE pruning: a non-matching file is never
+                # opened (the Python-source analog of partition pruning)
+                self._file_contains.append(f.value)
             else:
                 yield f  # not ours — Spark applies it after the scan
 
     def partitions(self) -> Sequence[InputPartition]:
         files = sorted(glob.glob(os.path.join(self._dir, self._pattern)))
+        files = [
+            p for p in files if all(c in p for c in self._file_contains)
+        ]
         return [_FileSlice(p, 0, os.path.getsize(p)) for p in files]
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:

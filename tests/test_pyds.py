@@ -75,8 +75,9 @@ def test_greplog_reader_retains_only_supported_filters():
         )
     )
     assert r._contains == ["x"]
-    # IsNotNull and the source_file filter are handed back to Spark
-    assert len(unsupported) == 2
+    assert r._file_contains == ["y"]  # file pruning filter consumed
+    # IsNotNull is handed back to Spark
+    assert len(unsupported) == 1
 
 
 def test_last_complete_offset_caps_at_newline(tmp_path):
@@ -135,3 +136,33 @@ def test_tailf_picks_up_in_place_appends_and_restarts(registered, tmp_path):
         assert got == ["l1", "l2", "l3", "l4", "l5 halfdone", "l6"]
     finally:
         q.stop()
+
+
+def test_greplog_source_file_filter_prunes_files(registered, tmp_path):
+    """A source_file filter prunes at PLANNING time: only matching files
+    become partitions (never opened otherwise), and results equal the
+    post-scan filter semantics."""
+    spark = registered
+    d = str(tmp_path / "logs2")
+    os.makedirs(d)
+    with open(f"{d}/app.log", "w") as f:
+        f.write("app line 1\napp line 2\n")
+    with open(f"{d}/sys.log", "w") as f:
+        f.write("sys line 1\n")
+
+    df = (
+        spark.read.format("greplog")
+        .option("path", d)
+        .load()
+        .filter(F.col("source_file").contains("app."))
+    )
+    rows = df.collect()
+    assert sorted(r.value for r in rows) == ["app line 1", "app line 2"]
+
+    # reader-level check: the planner only sees the matching file
+    r = _GrepLogReader({"path": d})
+    from pyspark.sql.datasource import StringContains
+
+    list(r.pushFilters([StringContains(("source_file",), "app.")]))
+    parts = r.partitions()
+    assert [os.path.basename(p.path) for p in parts] == ["app.log"]
