@@ -44,3 +44,26 @@ def test_cli_parser_grammar():
     assert a.subscription == [".*x.* h1:99"] and a.available_now
     a = p.parse_args(["ingest", "src.txt", "dst", "--chunk-size", "200"])
     assert a.chunk_size == 200
+
+
+def test_engine_round3_facade(spark, sf_dir, tmp_path):
+    """chunk -> embed -> lint + quality gate through the facade."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    chunks = eng.chunk(docs, window=16, overlap=4)
+    embedded = eng.embed(chunks)
+    assert "embedding" in embedded.columns and embedded.count() >= 20
+    assert eng.lint(chunks) == []
+
+    clean, quarantine = eng.enforce_quality(
+        docs, {"has_text": F.length("text") > 0}
+    )
+    assert clean.count() + quarantine.count() == 20
+
+    rep = eng.check_quality(docs, {"has_text": F.length("text") > 0}).collect()
+    assert rep[0].rule == "has_text" and rep[0].n_rows == 20
