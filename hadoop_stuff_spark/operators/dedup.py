@@ -448,13 +448,26 @@ def banded_hamming_pairs(
     id_col: str,
     sig_col: str,
     max_hamming: int,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Generic banded Hamming blocking over a 64-bit signature column:
     split into ``n_blocks`` equal bit blocks; any pair within Hamming
-    distance < n_blocks must share >= 1 exact block (pigeonhole), so the
-    candidate set is a bucketed equi-self-join — never a cartesian.
-    Returns (id_a, id_b, hamming) filtered to <= max_hamming.
+    distance <= max_hamming flips at most max_hamming blocks, so with
+    ``n_blocks > max_hamming`` it MUST share >= 1 exact block
+    (pigeonhole) — the candidate set is a bucketed equi-self-join with
+    guaranteed complete recall, never a cartesian. Returns
+    (id_a, id_b, hamming) filtered to <= max_hamming.
+
+    ``n_blocks`` is derived from ``max_hamming`` when not given: the
+    smallest power-of-two divisor of 64 strictly above it, so the
+    completeness contract holds by construction (r3 ADVICE: the old
+    fixed n_blocks=4 silently dropped pairs at distance 4..max_hamming).
+    The tradeoff is explicit: wider max_hamming → more, narrower block
+    keys (64/n_blocks bits) → denser buckets → a bigger candidate join.
+    max_hamming >= 16 would need 4-bit keys (16 buckets/block — a
+    near-cartesian) and is rejected; use MinHash banding for loose
+    thresholds. An explicit ``n_blocks <= max_hamming`` override is also
+    rejected rather than silently incomplete.
 
     Shared by text SimHash (`simhash_near_dups`) and media perceptual
     hashes (`multimodal.media_near_dups`) — one scale-proof blocking
@@ -463,9 +476,21 @@ def banded_hamming_pairs(
     The self-join references ``sigs`` from two branches; without
     materialization each branch would recompute the signature UDF over
     the whole corpus (caught by the plan linter on simhash), so the
-    frame is persisted here — at cluster scale, land signatures as a
+    frame is materialized here via an eager localCheckpoint — unlike
+    `persist()`, whose InMemoryRelation the session's cache manager
+    holds until explicitly unpersisted (the r3 ADVICE leak), checkpoint
+    blocks are released by the ContextCleaner as soon as the returned
+    frame is garbage-collected. At cluster scale, land signatures as a
     table instead (the minhash store pattern, incremental.py)."""
-    sigs = sigs.persist()
+    if n_blocks is None:
+        n_blocks = next(b for b in (2, 4, 8, 16) if b > max_hamming)
+    if not (0 <= max_hamming < n_blocks <= 16):
+        raise ValueError(
+            f"banded Hamming blocking needs max_hamming < n_blocks <= 16 "
+            f"for complete recall on 64-bit signatures; got "
+            f"max_hamming={max_hamming}, n_blocks={n_blocks}"
+        )
+    sigs = sigs.localCheckpoint(eager=True)
     width = 64 // n_blocks
     mask = (1 << width) - 1
     blocks = sigs.select(
@@ -511,12 +536,14 @@ def banded_hamming_pairs(
 
 
 def simhash_near_dups(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 8, sort: bool = False
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3, sort: bool = False
 ) -> DataFrame:
-    """SimHash near-dup pairs via banded prefix blocking: split the 64-bit
-    signature into 4 × 16-bit blocks; pairs within max_hamming<=... must
-    share at least one exact block (pigeonhole for hamming < 4 blocks).
-    Bucketed self-join — no cartesian product."""
+    """SimHash near-dup pairs via banded block blocking: with the default
+    max_hamming=3 (the 64-bit near-dup threshold of Manku et al.,
+    WWW'07) the signature splits into 4 × 16-bit blocks and any
+    qualifying pair shares an exact block (pigeonhole, complete recall).
+    Bucketed self-join — no cartesian product; looser thresholds widen
+    n_blocks automatically (see `banded_hamming_pairs`)."""
     sigs = simhash_signatures(spark, sf_dir)
     out = banded_hamming_pairs(sigs, "doc_id", "simhash", max_hamming).select(
         F.col("id_a").alias("doc_a"),

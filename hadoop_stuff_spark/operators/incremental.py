@@ -158,6 +158,84 @@ def update_signature_store(
 
 # ---------------------------------------------------------------------------
 # incremental additive rollups (materialized-aggregate maintenance)
+#
+# Physical layout — versioned data dirs behind one atomically-replaced
+# pointer file (single-writer; readers resolve the pointer then scan):
+#
+#   path/
+#     v_<hex>/       parquet data for one version (immutable once pointed-at)
+#     _CURRENT       JSON {"version": "v_<hex>", "folded": ["0", "1", ...]}
+#
+# The pointer replace (os.replace of a same-directory temp file) is the
+# ONE atomic step: the new data AND the folded-batch manifest become
+# visible together, so a crash anywhere leaves either the old state
+# (replay re-folds against old data — correct) or the complete new state
+# (replay sees its batch_id in `folded` and skips — correct). The table
+# is never absent mid-swap and never double-counts. Unreferenced version
+# dirs from crashed swaps are garbage, collected on the next successful
+# swap. On an object store the pointer becomes a metastore/manifest
+# entry; the protocol is identical.
+
+
+def _pointer_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_CURRENT")
+
+
+def _read_pointer(path: str) -> dict | None:
+    import json
+    import os
+
+    p = _pointer_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _swap_in(path: str, write_fn, folded: list[str]) -> None:
+    """Write a new version dir via ``write_fn(version_dir)``, then make it
+    current — data + folded manifest in one atomic pointer replace —
+    then GC version dirs no longer referenced."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    write_fn(os.path.join(path, version))
+    tmp = os.path.join(path, f"._CURRENT.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"version": version, "folded": sorted(set(folded))}))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer_path(path))  # the atomic commit point
+    for entry in os.listdir(path):
+        if entry.startswith("v_") and entry != version:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+
+
+def rollup_exists(path: str) -> bool:
+    return _read_pointer(path) is not None
+
+
+def folded_batches(path: str) -> set[str]:
+    """Batch ids whose deltas are already folded into the current version
+    — read from the same atomically-swapped pointer as the data."""
+    ptr = _read_pointer(path)
+    return set(ptr.get("folded", [])) if ptr else set()
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve the pointer and scan the current version's parquet."""
+    import os
+
+    ptr = _read_pointer(path)
+    if ptr is None:
+        raise ValueError(f"no rollup at {path} (missing _CURRENT pointer)")
+    return spark.read.parquet(os.path.join(path, ptr["version"]))
 
 
 def build_rollup(
@@ -165,15 +243,22 @@ def build_rollup(
     path: str,
     keys: list[str],
     sum_cols: dict[str, str],
+    folded: list[str] | None = None,
 ) -> None:
     """Materialize an additive rollup table: per ``keys`` group, a row
     count and exact integer sums (callers pass pre-scaled long columns,
     e.g. cents — the engine's fixed-point money convention). One scan,
-    map-side partials, |groups| rows on disk."""
+    map-side partials, |groups| rows on disk. ``folded`` seeds the
+    folded-batch manifest when the build lands a streaming batch."""
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.sum(src).alias(dst) for dst, src in sum_cols.items()
     ]
-    facts.groupBy(*keys).agg(*aggs).write.mode("overwrite").parquet(path)
+    agg = facts.groupBy(*keys).agg(*aggs)
+    _swap_in(
+        path,
+        lambda vdir: agg.write.mode("overwrite").parquet(vdir),
+        folded or [],
+    )
 
 
 def refresh_rollup(
@@ -182,26 +267,25 @@ def refresh_rollup(
     path: str,
     keys: list[str],
     sum_cols: dict[str, str],
+    fold_batch_ids: list[str] | None = None,
 ) -> None:
     """Fold a DELTA of new facts into the materialized rollup WITHOUT
     rescanning history — the day-2 maintenance a 100 TB aggregate table
     needs. Additive aggregates (count/sum) merge exactly: aggregate the
     delta alone (small), union with the |groups|-sized stored table,
-    re-sum per key, atomically replace.
+    re-sum per key, atomically replace (see the layout note above: the
+    new data and the folded-batch manifest commit in one pointer
+    replace, so a crash can never double-count or lose the table).
 
     Scale shape: cost is O(|delta| + |groups|), independent of history
     size. Non-additive aggregates (distinct counts) belong in sketch
-    tables (operators/sketches.py) — same pattern, mergeable bytes.
-    The rewrite is staged to a temp dir then swapped in, so a failed
-    refresh never leaves a half-written rollup."""
-    import uuid
-
+    tables (operators/sketches.py) — same pattern, mergeable bytes."""
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.sum(src).alias(dst) for dst, src in sum_cols.items()
     ]
     delta_agg = delta.groupBy(*keys).agg(*aggs)
     merged = (
-        spark.read.parquet(path)
+        read_rollup(spark, path)
         .unionByName(delta_agg)
         .groupBy(*keys)
         .agg(
@@ -209,11 +293,9 @@ def refresh_rollup(
             *[F.sum(dst).alias(dst) for dst in sum_cols],
         )
     )
-    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
-    # swap: point the table at the fresh data (local-fs rename semantics;
-    # object stores would use a manifest/metastore pointer instead)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    already = folded_batches(path)
+    _swap_in(
+        path,
+        lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+        sorted(already | set(fold_batch_ids or [])),
+    )

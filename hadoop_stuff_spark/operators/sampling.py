@@ -99,7 +99,20 @@ def n3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source kept counts + id-sum (order-free exact summary of the kept
     SET)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    # Control-plane read, explicitly bounded (r3 VERDICT nit): the ladder
+    # needs a rank per distinct SOURCE NAME — corpus-source cardinality,
+    # dozens in practice. The cap turns "unbounded collect by type" into
+    # a loud failure instead of a silent driver OOM; corpora with more
+    # strata than this should carry fractions as a joined config table
+    # (the `corpus_mix` pattern).
+    _MAX_STRATA = 10_000
+    rows = docs.select("source").distinct().limit(_MAX_STRATA + 1).collect()
+    if len(rows) > _MAX_STRATA:
+        raise ValueError(
+            f"more than {_MAX_STRATA} distinct sources — pass fractions as "
+            "a joined table (see corpus_mix) instead of the rank ladder"
+        )
+    sources = sorted(r["source"] for r in rows)
     fractions = {s: _MIX_LADDER[i % len(_MIX_LADDER)] for i, s in enumerate(sources)}
     kept = stratified_sample(docs, "source", fractions, "doc_id")
     return kept.groupBy("source").agg(

@@ -105,10 +105,16 @@ def read_pruned(
     """
     files = prune_files(spark, index_path, col, lo, hi)
     if not files:
-        raise ValueError(
-            "no files match the predicate range — read the base table "
-            "directly if an empty result is expected"
+        # A legitimately-empty range query must return an empty frame
+        # with the base table's schema, not crash. Any indexed file
+        # carries the schema; an always-false filter folds to an empty
+        # LocalTableScan, so no data pages are read.
+        any_file = (
+            spark.read.parquet(index_path).select("file").limit(1).collect()
         )
+        if not any_file:
+            raise ValueError(f"index at {index_path} is empty — rebuild it")
+        return spark.read.parquet(any_file[0].file).filter(F.lit(False))
     return spark.read.parquet(*files).filter(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )

@@ -3,7 +3,7 @@ rollup current as records arrive, without ever rescanning history.
 
 Composition of two certified pieces:
 - `operators/incremental.refresh_rollup` (batch delta fold-in,
-  O(|delta| + |groups|), staged-swap rewrite), driven by
+  O(|delta| + |groups|), versioned-pointer atomic swap), driven by
 - `foreachBatch`, so each micro-batch is one delta.
 
 The result is the streaming twin of a nightly rollup rebuild: a
@@ -11,11 +11,14 @@ dashboard table that is seconds stale instead of a day stale, at
 per-batch cost proportional to the batch — the maintenance loop a
 100 TB metrics table actually runs. Replay safety: foreachBatch is
 at-least-once, and a replayed delta WOULD double-count in an additive
-rollup — so each batch's aggregated delta is landed idempotently by
-batch_id first (same pattern as `exactly_once_parquet_sink`), then
-folded; a replay overwrites its own delta landing and the fold is
-skipped for already-folded batch ids (recorded in a `_folded` marker
-directory).
+rollup — so each batch's rows are landed idempotently by batch_id
+first (same pattern as `exactly_once_parquet_sink`), then folded with
+the batch id recorded IN the rollup's atomically-swapped pointer
+manifest (`incremental._swap_in`): the new totals and the
+"batch N is folded" fact become visible in the SAME os.replace, so a
+crash at any instant leaves either the pre-fold state (replay re-folds
+— correct) or the complete post-fold state (replay skips — correct).
+There is no window where a replay can double-count.
 
 Reference provenance: the reference's only "materialized" output was
 stdout throughput printouts (IngestTest.java:90-94); any queryable
@@ -28,7 +31,14 @@ import os
 
 from pyspark.sql import DataFrame
 
-from hadoop_stuff_spark.operators.incremental import build_rollup, refresh_rollup
+from hadoop_stuff_spark.operators.incremental import (
+    _swap_in,
+    build_rollup,
+    folded_batches,
+    read_rollup,
+    refresh_rollup,
+    rollup_exists,
+)
 
 
 def streaming_rollup_sink(
@@ -41,26 +51,26 @@ def streaming_rollup_sink(
 
     Per micro-batch: (1) land the batch's rows under
     ``work_dir/deltas/batch_id=N`` with overwrite (idempotent on replay),
-    (2) if batch N is not yet folded, fold that landed delta into the
-    rollup and write the ``_folded/N`` marker. A replayed batch re-lands
-    identical rows and skips the fold — the rollup never double-counts.
+    (2) if batch N is not in the rollup pointer's folded manifest, fold
+    the landed delta in — the fold's data swap and the manifest entry
+    commit atomically together. A replayed batch re-lands identical rows
+    and skips the fold — the rollup never double-counts.
     """
-    os.makedirs(os.path.join(work_dir, "_folded"), exist_ok=True)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         delta_path = os.path.join(work_dir, "deltas", f"batch_id={batch_id}")
         batch.write.mode("overwrite").parquet(delta_path)
-        marker = os.path.join(work_dir, "_folded", str(batch_id))
-        if os.path.exists(marker):
+        bid = str(batch_id)
+        if bid in folded_batches(rollup_path):
             return  # replay of an already-folded batch
         delta = spark.read.parquet(delta_path)
-        if not os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
-            build_rollup(delta, rollup_path, keys, sum_cols)
+        if not rollup_exists(rollup_path):
+            build_rollup(delta, rollup_path, keys, sum_cols, folded=[bid])
         else:
-            refresh_rollup(spark, delta, rollup_path, keys, sum_cols)
-        with open(marker, "w") as f:
-            f.write("folded")
+            refresh_rollup(
+                spark, delta, rollup_path, keys, sum_cols, fold_batch_ids=[bid]
+            )
 
     return sink
 
@@ -70,45 +80,41 @@ def streaming_sketch_sink(sketch_path: str, work_dir: str, lg_k: int = 12):
     per-(day,type) HLL sketch table (operators/sketches.py) as events
     stream in. Per micro-batch: sketch the batch (tiny), read the stored
     sketch table (|cells| rows), union per cell with `hll_union_agg`,
-    staged-swap. Distinct-count dashboards then answer from the sketch
-    table seconds-stale, never rescanning the stream's history — and
-    because HLL union is idempotent-safe ONLY across distinct inputs,
-    replays use the same batch_id landing + fold-marker protocol as the
-    rollup sink (a replayed batch would otherwise inflate estimates)."""
-    import uuid
+    atomic pointer swap. Distinct-count dashboards then answer from the
+    sketch table seconds-stale, never rescanning the stream's history —
+    and because HLL union is idempotent-safe ONLY across distinct
+    inputs, replays use the same batch_id landing + pointer-manifest
+    protocol as the rollup sink (a replayed batch would otherwise
+    inflate estimates); the fold and its manifest entry commit in one
+    atomic pointer replace."""
+    from pyspark.sql import functions as F
 
     from hadoop_stuff_spark.operators.sketches import build_user_sketches
-
-    os.makedirs(os.path.join(work_dir, "_folded"), exist_ok=True)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         delta_path = os.path.join(work_dir, "deltas", f"batch_id={batch_id}")
         batch.write.mode("overwrite").parquet(delta_path)
-        marker = os.path.join(work_dir, "_folded", str(batch_id))
-        if os.path.exists(marker):
+        bid = str(batch_id)
+        if bid in folded_batches(sketch_path):
             return
         delta = build_user_sketches(spark.read.parquet(delta_path), lg_k=lg_k)
-        if os.path.exists(os.path.join(sketch_path, "_SUCCESS")):
-            from pyspark.sql import functions as F
-
+        if rollup_exists(sketch_path):
             merged = (
-                spark.read.parquet(sketch_path)
+                read_rollup(spark, sketch_path)
                 .unionByName(delta)
                 .groupBy("event_date", "event_type")
                 .agg(
                     F.hll_union_agg("user_sketch", F.lit(True)).alias("user_sketch")
                 )
             )
-            staging = f"{sketch_path}__staging_{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(staging)
-            import shutil
-
-            shutil.rmtree(sketch_path)
-            shutil.move(staging, sketch_path)
+            out, folded = merged, folded_batches(sketch_path) | {bid}
         else:
-            delta.write.mode("overwrite").parquet(sketch_path)
-        with open(marker, "w") as f:
-            f.write("folded")
+            out, folded = delta, {bid}
+        _swap_in(
+            sketch_path,
+            lambda vdir: out.write.mode("overwrite").parquet(vdir),
+            sorted(folded),
+        )
 
     return sink

@@ -51,3 +51,19 @@ def test_file_index_never_wrong_on_unclustered_table(spark, tmp_path):
     got = read_pruned(spark, index, "k", 100.0, 200.0).count()
     want = spark.read.parquet(table).filter(F.col("k").between(100, 200)).count()
     assert got == want
+
+
+def test_read_pruned_empty_range_returns_empty_frame(spark, tmp_path):
+    """A legitimately-empty range query (no file's [min,max] intersects)
+    must return an EMPTY frame with the base schema — not crash (r3
+    ADVICE: the old code raised, contradicting the 'degrades to no-skip,
+    never to wrong' contract)."""
+    df = spark.range(1000).select(F.col("id").cast("double").alias("k"))
+    table = str(tmp_path / "t3")
+    index = str(tmp_path / "i3")
+    df.repartition(4).write.parquet(table)
+    build_file_index(spark, table, ["k"], index)
+
+    out = read_pruned(spark, index, "k", 1e9, 2e9)  # beyond every file's max
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k"]

@@ -143,7 +143,7 @@ def test_incremental_rollup_refresh_matches_full_rebuild(spark, sf_dir, tmp_path
     import pyspark.sql.functions as F
 
     from hadoop_stuff_spark.catalog import load_table
-    from hadoop_stuff_spark.operators.incremental import build_rollup, refresh_rollup
+    from hadoop_stuff_spark.operators.incremental import build_rollup, read_rollup, refresh_rollup
 
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "price_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
@@ -158,7 +158,7 @@ def test_incremental_rollup_refresh_matches_full_rebuild(spark, sf_dir, tmp_path
     refresh_rollup(spark, delta, path, keys, sums)
     got = {
         (r.o_orderpriority, r.o_orderstatus): (r.n_rows, r.total_cents)
-        for r in spark.read.parquet(path).collect()
+        for r in read_rollup(spark, path).collect()
     }
     full = {
         (r.o_orderpriority, r.o_orderstatus): (r.n_rows, r.total_cents)
@@ -175,6 +175,41 @@ def test_incremental_rollup_refresh_matches_full_rebuild(spark, sf_dir, tmp_path
     refresh_rollup(spark, delta.limit(0), path, keys, sums)
     again = {
         (r.o_orderpriority, r.o_orderstatus): (r.n_rows, r.total_cents)
-        for r in spark.read.parquet(path).collect()
+        for r in read_rollup(spark, path).collect()
     }
     assert again == full
+
+
+def test_rollup_swap_is_atomic_on_crash(spark, tmp_path):
+    """A fold that dies mid-write (before the pointer replace) must leave
+    the previous data AND folded manifest fully intact — the crash
+    window ADVICE r3 flagged: data-swap and marker must commit together."""
+    import pytest
+
+    from hadoop_stuff_spark.operators.incremental import (
+        _swap_in,
+        build_rollup,
+        folded_batches,
+        read_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    facts = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+    build_rollup(facts, path, ["k"], {"total": "v"}, folded=["0"])
+    before = {r.k: (r.n_rows, r.total) for r in read_rollup(spark, path).collect()}
+
+    def dying_write(vdir):
+        import os
+
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "partial.parquet"), "w") as f:
+            f.write("garbage")
+        raise RuntimeError("simulated executor/driver crash mid-write")
+
+    with pytest.raises(RuntimeError):
+        _swap_in(path, dying_write, ["0", "1"])
+
+    # pointer untouched: same data, same folded set — replay will re-fold
+    assert folded_batches(path) == {"0"}
+    after = {r.k: (r.n_rows, r.total) for r in read_rollup(spark, path).collect()}
+    assert after == before

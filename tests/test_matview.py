@@ -5,6 +5,7 @@ import os
 
 import pyspark.sql.functions as F
 
+from hadoop_stuff_spark.operators.incremental import read_rollup
 from hadoop_stuff_spark.streaming.matview import streaming_rollup_sink
 from hadoop_stuff_spark.streaming.tail import tail_stream
 
@@ -52,7 +53,7 @@ def test_streaming_rollup_tracks_stream_and_survives_replay(spark, tmp_path):
         run()
         got = {
             r.k: (r.n_rows, r.total_cents)
-            for r in spark.read.parquet(rollup).collect()
+            for r in read_rollup(spark, rollup).collect()
         }
         exp = {}
         for ln in all_lines:
@@ -64,12 +65,12 @@ def test_streaming_rollup_tracks_stream_and_survives_replay(spark, tmp_path):
     # REPLAY: drive the sink directly with an already-folded batch id —
     # the delta re-lands, the fold is skipped, totals unchanged
     before = {
-        r.k: (r.n_rows, r.total_cents) for r in spark.read.parquet(rollup).collect()
+        r.k: (r.n_rows, r.total_cents) for r in read_rollup(spark, rollup).collect()
     }
     replay = spark.createDataFrame([("a", 100), ("b", 250), ("a", 50)], "k string, cents long")
     sink(replay, 0)
     after = {
-        r.k: (r.n_rows, r.total_cents) for r in spark.read.parquet(rollup).collect()
+        r.k: (r.n_rows, r.total_cents) for r in read_rollup(spark, rollup).collect()
     }
     assert after == before
 
@@ -94,7 +95,7 @@ def test_streaming_sketch_maintenance_matches_direct(spark, sf_dir, tmp_path):
 
     got = {
         r.event_type: r.approx_distinct_users
-        for r in rollup_distinct_users(spark.read.parquet(sketch_path)).collect()
+        for r in rollup_distinct_users(read_rollup(spark, sketch_path)).collect()
     }
     from hadoop_stuff_spark.operators.sketches import build_user_sketches
 
@@ -108,6 +109,6 @@ def test_streaming_sketch_maintenance_matches_direct(spark, sf_dir, tmp_path):
     sink(b0, 0)
     again = {
         r.event_type: r.approx_distinct_users
-        for r in rollup_distinct_users(spark.read.parquet(sketch_path)).collect()
+        for r in rollup_distinct_users(read_rollup(spark, sketch_path)).collect()
     }
     assert again == want

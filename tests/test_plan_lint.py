@@ -116,3 +116,25 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         if hard:
             bad.append((name, hard))
     assert bad == [], bad
+
+
+def test_no_rdd_on_the_query_path():
+    """Source-level sweep (r3 VERDICT #4): `.rdd` on a DataFrame triggers
+    a physical-planning + RDD-conversion round trip per call and drops
+    out of Catalyst entirely — nothing on the query path may use it.
+    Allowlist: the SequenceFile sink, where saveAsSequenceFile has no
+    DataFrame equivalent (the RDD hop IS the operator)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "hadoop_stuff_spark"
+    ALLOW = {"sources/sequencefile.py"}
+    hits = []
+    for py in sorted(root.rglob("*.py")):
+        rel = str(py.relative_to(root))
+        if rel in ALLOW:
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\.rdd\b", line):
+                hits.append(f"{rel}:{i}: {line.strip()}")
+    assert hits == [], hits
