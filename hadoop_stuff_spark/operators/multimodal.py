@@ -2,11 +2,18 @@
 treated as opaque ``binary`` columns + typed metadata, processed via
 Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(deterministic fake features derived from the bytes — clearly marked); the
-Spark-side plumbing is real and tested: schema, binary column handling,
-mapInPandas batch shape, partitioning. Swapping the stub for PIL/librosa
-changes ONE function.
+Decode is REAL where the container format allows it without codec
+libraries (functions/media.py): RIFF/WAV audio is chunk-walked and its
+PCM samples decoded (sample rate, duration, RMS, peak are computed from
+actual audio), PNG/BMP/GIF/JPEG headers yield real dimensions, and BMP
+images are fully decoded / nearest-neighbor resized / re-encoded. PIL,
+when importable, extends real decode to every other image format
+(capability gate `media.pil_available()` — same code lights up where the
+dependency exists). Only payloads in none of those formats fall back to
+the documented deterministic stubs, so the operators never crash on the
+text-derived testdata blobs while behaving as real decoders on real
+media. Video frame extraction remains a stub (containers genuinely need
+PyAV).
 
 The testdata has no binary table, so :func:`synthesize_blobs` derives a
 binary column from ``documents.text`` (utf-8 bytes) — the same shape a real
@@ -88,14 +95,10 @@ def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> tuple[list[float], int, int]:
-    """STUB decode/feature-extract. Real impl would be e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload)); ...
-
-    Here: deterministic fake — byte-histogram moments as an
-    ``FEATURE_DIM``-dim feature and fake dimensions from the length. Raises
-    nothing; a genuinely unsupported codec should raise NotImplementedError.
-    """
+    """FALLBACK decode/feature-extract for payloads in no parseable
+    format: deterministic byte-histogram moments as the FEATURE_DIM-dim
+    feature and fake dimensions from the length. Kept so unknown blobs
+    flow through the pipeline instead of crashing the scan."""
     import numpy as np
 
     n = len(payload)
@@ -106,6 +109,52 @@ def _decode_stub(payload: bytes) -> tuple[list[float], int, int]:
     else:
         feats = [0.0] * FEATURE_DIM
     return feats, int(n % 1024), int(n // 1024 + 1)
+
+
+def _decode_media(payload: bytes) -> tuple[list[float], int, int]:
+    """REAL decode where the format allows (functions/media.py), stub
+    fallback otherwise. BMP pixels yield real per-channel mean/std
+    features + exact dims; other known containers yield exact dims with
+    histogram features; PIL (when present) covers the rest."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions import media as M
+
+    try:
+        dims = M.parse_image_dims(payload)
+    except Exception:
+        dims = None
+    if dims is not None:
+        fmt, w, h = dims
+        if fmt == "bmp":
+            try:
+                img = M.decode_bmp(payload).astype(np.float32) / 255.0
+                feats = (
+                    list(img.mean(axis=(0, 1)))
+                    + list(img.std(axis=(0, 1)))
+                    + [w / max(h, 1), 1.0]
+                )
+                return [float(x) for x in feats[:FEATURE_DIM]], w, h
+            except (ValueError, NotImplementedError):
+                pass
+        if M.pil_available():
+            import io
+
+            import PIL.Image
+
+            img = np.asarray(
+                PIL.Image.open(io.BytesIO(payload)).convert("RGB"),
+                dtype=np.float32,
+            ) / 255.0
+            feats = (
+                list(img.mean(axis=(0, 1)))
+                + list(img.std(axis=(0, 1)))
+                + [w / max(h, 1), 1.0]
+            )
+            return [float(x) for x in feats[:FEATURE_DIM]], w, h
+        feats, _, _ = _decode_stub(payload)
+        return feats, w, h
+    return _decode_stub(payload)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -120,7 +169,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             feats, widths, heights = [], [], []
             for payload in pdf["payload"]:
-                f, w, h = _decode_stub(bytes(payload) if payload is not None else b"")
+                f, w, h = _decode_media(bytes(payload) if payload is not None else b"")
                 feats.append(f)
                 widths.append(w)
                 heights.append(h)
@@ -150,18 +199,49 @@ RESIZED_SCHEMA = StructType(
 
 
 def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB resize. Real impl::
-
-        img = PIL.Image.open(io.BytesIO(payload)).resize((width, height))
-
-    Here: deterministic fake — payload truncated/cycled to width*height
-    bytes, so output size is exactly the 'pixel count' and content is a
-    pure function of the input."""
+    """FALLBACK resize for unknown formats: payload truncated/cycled to
+    width*height bytes — deterministic, keeps unknown blobs flowing."""
     target = width * height
     if not payload:
         return bytes(target)
     reps = (target // len(payload)) + 1
     return (payload * reps)[:target]
+
+
+def _resize_media(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize where decodable: BMP via the zero-dep decode →
+    nearest-neighbor → re-encode path (functions/media.py); any
+    PIL-supported format when PIL is importable (emitted as BMP so the
+    output stays decodable in this environment); stub otherwise."""
+    from hadoop_stuff_spark.functions import media as M
+
+    try:
+        dims = M.parse_image_dims(payload)
+    except Exception:
+        dims = None
+    if dims is not None:
+        fmt = dims[0]
+        if fmt == "bmp":
+            try:
+                return M.encode_bmp(
+                    M.resize_nearest(M.decode_bmp(payload), width, height)
+                )
+            except (ValueError, NotImplementedError):
+                pass
+        if M.pil_available():
+            import io
+
+            import numpy as np
+            import PIL.Image
+
+            img = np.asarray(
+                PIL.Image.open(io.BytesIO(payload))
+                .convert("RGB")
+                .resize((width, height)),
+                dtype=np.uint8,
+            )
+            return M.encode_bmp(img)
+    return _resize_stub(payload, width, height)
 
 
 def resize_media(
@@ -177,7 +257,7 @@ def resize_media(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                _resize_stub(bytes(p) if p is not None else b"", width, height)
+                _resize_media(bytes(p) if p is not None else b"", width, height)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -290,13 +370,9 @@ AUDIO_SAMPLE_RATE = 16000  # stub container metadata
 
 
 def _audio_stub(payload: bytes) -> tuple[int, int, float, float, float]:
-    """STUB audio decode. Real impl would be e.g.::
-
-        import soundfile; data, sr = soundfile.read(io.BytesIO(payload))
-
-    Here: bytes ARE the waveform (uint8 centered at 128, one 'sample' per
-    byte at a fixed fake sample rate) — deterministic, and the metadata +
-    waveform-statistics shapes are identical to the real thing."""
+    """FALLBACK for non-WAV payloads: bytes ARE the waveform (uint8
+    centered at 128, one 'sample' per byte at a fixed nominal sample
+    rate) — deterministic, same output shape as the real decode."""
     import numpy as np
 
     wave = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -304,6 +380,29 @@ def _audio_stub(payload: bytes) -> tuple[int, int, float, float, float]:
     rms = float(np.sqrt((wave**2).mean())) if n else 0.0
     peak = float(np.abs(wave).max()) if n else 0.0
     return AUDIO_SAMPLE_RATE, n, n / AUDIO_SAMPLE_RATE, rms, peak
+
+
+def _audio_decode(payload: bytes) -> tuple[int, int, float, float, float]:
+    """REAL RIFF/WAV decode (functions/media.py — chunk walk, PCM
+    8/16/32-bit, multi-channel averaged): sample rate and duration come
+    from the actual container, RMS/peak from the actual samples. Non-WAV
+    payloads take the documented byte-waveform fallback; malformed or
+    non-PCM WAVs also fall back rather than crash the scan (a DQ gate is
+    where rejection policy belongs)."""
+    from hadoop_stuff_spark.functions import media as M
+
+    if M.is_wav(payload):
+        import numpy as np
+
+        try:
+            info = M.parse_wav(payload)
+            wave = info.waveform
+            rms = float(np.sqrt((wave**2).mean())) if len(wave) else 0.0
+            peak = float(np.abs(wave).max()) if len(wave) else 0.0
+            return info.sample_rate, info.n_samples, info.duration_s, rms, peak
+        except (ValueError, NotImplementedError):
+            pass
+    return _audio_stub(payload)
 
 
 def extract_audio_stats(media: DataFrame) -> DataFrame:
@@ -314,7 +413,7 @@ def extract_audio_stats(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _audio_stub(bytes(p) if p is not None else b"")
+                _audio_decode(bytes(p) if p is not None else b"")
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -373,23 +472,56 @@ def _ahash64(arr) -> int:
     else:
         seg = arr[:take].astype(np.float64).reshape(64, -1).mean(axis=1)
     bits = (seg > arr.astype(np.float64).mean()).astype(np.uint8)
-    return int(np.packbits(bits).view(">u8")[0])
+    # signed view keeps all 64 bits intact for a Spark `long` column —
+    # int(np.packbits(...).view('>u8')) would overflow int64 whenever the
+    # top bit is set, and NumPy 2.x raises on that instead of wrapping
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def _ahash_payload(payload: bytes) -> int:
+    """True average-hash for decodable images: decode → 8×8
+    nearest-neighbor thumbnail → grayscale → bit i set iff pixel i >
+    mean. Non-image payloads hash their raw bytes through the same
+    64-segment threshold kernel (`_ahash64`) so every blob gets a
+    comparable 64-bit signature."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions import media as M
+
+    try:
+        dims = M.parse_image_dims(payload)
+    except Exception:
+        dims = None
+    if dims is not None and dims[0] == "bmp":
+        try:
+            thumb = M.resize_nearest(M.decode_bmp(payload), 8, 8)
+            gray = thumb.astype(np.float64).mean(axis=2).ravel()
+            bits = (gray > gray.mean()).astype(np.uint8)
+            return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+        except (ValueError, NotImplementedError):
+            pass
+    if dims is not None and M.pil_available():
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+        gray = np.asarray(img, dtype=np.float64).ravel()
+        bits = (gray > gray.mean()).astype(np.uint8)
+        return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+    return _ahash64(np.frombuffer(payload, dtype=np.uint8))
 
 
 def media_ahash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, ahash long) per media row — one numpy pass per Arrow batch
-    over the payload bytes (the decode-stub policy: real thumbnails swap
-    in at `_ahash64`'s doc'd point; the Spark plumbing is the product)."""
-    import numpy as np
+    over the payload bytes; decodable images get a TRUE 8×8 perceptual
+    average-hash over their pixels (`_ahash_payload`)."""
 
     out_schema = f"{id_col} long, ahash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = [
-                np.int64(np.uint64(_ahash64(np.frombuffer(bytes(p or b""), dtype=np.uint8))))
-                for p in pdf["payload"]
-            ]
+            hashes = [_ahash_payload(bytes(p or b"")) for p in pdf["payload"]]
             yield pd.DataFrame({id_col: pdf[id_col], "ahash": hashes})
 
     return media.select(id_col, "payload").mapInPandas(run, out_schema)

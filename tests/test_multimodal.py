@@ -185,3 +185,224 @@ def test_media_near_dups_runs_on_testdata(spark, sf_dir):
     out = media_near_dups(spark, sf_dir, max_hamming=4)
     assert out.columns == ["doc_a", "doc_b", "hamming"]
     assert out.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# real byte-level decode (functions/media.py) — golden-byte fixtures
+
+
+def test_parse_wav_golden_bytes():
+    """A handcrafted PCM WAV decodes to its exact container metadata and
+    real sample statistics — no audio library involved."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import is_wav, make_wav, parse_wav
+
+    t = np.arange(8000) / 8000.0
+    wave = 0.5 * np.sin(2 * np.pi * 440 * t)  # 1 s of A440 at half scale
+    payload = make_wav(wave, sample_rate=8000)
+    assert is_wav(payload)
+    info = parse_wav(payload)
+    assert info.sample_rate == 8000
+    assert info.channels == 1
+    assert info.bits == 16
+    assert info.n_samples == 8000
+    assert abs(info.duration_s - 1.0) < 1e-9
+    # sine RMS = amp/sqrt(2); 16-bit quantization error << 1e-3
+    assert abs(float(np.sqrt((info.waveform**2).mean())) - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_parse_wav_skips_foreign_chunks_and_handles_8bit_stereo():
+    """Chunk walk must skip LIST/other chunks, and 8-bit stereo PCM must
+    average to mono at the right frame count."""
+    import struct
+
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import parse_wav
+
+    # 4 frames of 8-bit stereo: L=128+d, R=128-d → mono mean exactly 128 (0.0)
+    data = bytes([138, 118, 148, 108, 158, 98, 168, 88])
+    fmt = struct.pack("<HHIIHH", 1, 2, 11025, 11025 * 2, 2, 8)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"          # foreign chunk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size + pad
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    info = parse_wav(payload)
+    assert (info.sample_rate, info.channels, info.bits) == (11025, 2, 8)
+    assert info.n_samples == 4
+    assert np.allclose(info.waveform, 0.0)
+
+
+def test_parse_image_dims_golden_bytes():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import encode_bmp, parse_image_dims
+
+    # PNG: signature + IHDR chunk for 640x480
+    ihdr = struct.pack(">II", 640, 480) + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert parse_image_dims(png) == ("png", 640, 480)
+
+    # GIF89a 320x200
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_dims(gif) == ("gif", 320, 200)
+
+    # JPEG: SOI + APP0 + SOF0 (100x50)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 50, 100) + b"\x01"
+    assert parse_image_dims(b"\xff\xd8" + app0 + sof0) == ("jpeg", 100, 50)
+
+    # BMP through our own encoder
+    img = np.zeros((2, 3, 3), dtype=np.uint8)
+    assert parse_image_dims(encode_bmp(img)) == ("bmp", 3, 2)
+
+    # not an image → None
+    assert parse_image_dims(b"plain old text") is None
+
+
+def test_bmp_roundtrip_and_nearest_resize():
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint16).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)  # exact roundtrip
+
+    big = resize_nearest(img, 6, 10)  # 2x in each dim: pure pixel doubling
+    assert big.shape == (10, 6, 3)
+    assert np.array_equal(big[::2, ::2], img)
+    assert np.array_equal(big[1::2, 1::2], img)
+
+
+def test_audio_stats_decodes_real_wav_through_spark(spark):
+    """The Spark operator path: WAV rows get REAL container sample rate
+    and duration; non-WAV rows take the documented byte-waveform
+    fallback."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import make_wav
+    from hadoop_stuff_spark.operators.multimodal import (
+        AUDIO_SAMPLE_RATE,
+        extract_audio_stats,
+    )
+
+    t = np.arange(4000) / 8000.0
+    wav = make_wav(0.25 * np.sin(2 * np.pi * 220 * t), sample_rate=8000)
+    rows = [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_audio_stats(media).collect()}
+
+    assert got[1].sample_rate == 8000
+    assert got[1].n_samples == 4000
+    assert abs(got[1].duration_s - 0.5) < 1e-6
+    assert abs(got[1].rms - 0.25 / np.sqrt(2)) < 1e-3
+    assert got[2].sample_rate == AUDIO_SAMPLE_RATE  # fallback path
+    assert got[2].n_samples == len(b"not audio at all")
+
+
+def test_resize_media_real_bmp_through_spark(spark):
+    """resize_media on a real BMP decodes, nearest-neighbor resizes and
+    re-encodes — the output payload is a valid BMP with the target dims
+    and the exact expected pixels."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+    from hadoop_stuff_spark.operators.multimodal import resize_media
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint16).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(img)), "image/bmp")],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = resize_media(media, width=6, height=8).collect()[0]
+    decoded = decode_bmp(bytes(out.payload))
+    assert decoded.shape == (8, 6, 3)
+    assert np.array_equal(decoded, resize_nearest(img, 6, 8))
+
+
+def test_media_features_real_dims_for_images(spark):
+    """extract_media_features reports the TRUE container dimensions for
+    decodable images (BMP real pixels; PNG header), stub dims otherwise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import encode_bmp
+    from hadoop_stuff_spark.operators.multimodal import extract_media_features
+
+    img = np.full((4, 7, 3), 200, dtype=np.uint8)
+    img[:2, :, 0] = 10
+    ihdr = struct.pack(">II", 33, 44) + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    rows = [
+        (1, bytearray(encode_bmp(img)), "image/bmp", 0),
+        (2, bytearray(png), "image/png", 0),
+        (3, bytearray(b"free text"), "text/plain", 0),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, n_bytes long"
+    )
+    got = {r.doc_id: r for r in extract_media_features(media).collect()}
+    assert (got[1].width, got[1].height) == (7, 4)
+    # BMP features are real per-channel means: G and B uniform at 200/255
+    assert abs(got[1].feature[1] - 200 / 255) < 1e-6
+    assert abs(got[1].feature[2] - 200 / 255) < 1e-6
+    assert (got[2].width, got[2].height) == (33, 44)
+    assert (got[3].width, got[3].height) == (len(b"free text") % 1024, 1)
+
+
+def test_media_ahash_is_true_perceptual_hash_for_bmp(spark):
+    """Identical images hash identically; a lightly-noised copy lands
+    within a small Hamming distance; an inverted image lands far away —
+    over REAL decoded pixels, not payload bytes."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import encode_bmp
+    from hadoop_stuff_spark.operators.multimodal import media_ahash
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint16).astype(np.uint8)
+    noised = base.copy()
+    noised[0, 0] = 255 - noised[0, 0]  # one pixel of 1024
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_bmp(base))),
+        (3, bytearray(encode_bmp(noised))),
+        (4, bytearray(encode_bmp(255 - base))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = {r.doc_id: r.ahash for r in media_ahash(media).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert h[1] == h[2]
+    assert ham(h[1], h[3]) <= 2
+    assert ham(h[1], h[4]) >= 50
