@@ -122,6 +122,36 @@ class Engine:
             trigger_available_now=available_now,
         )
 
+    def grep_to_wiretap(
+        self,
+        df: DataFrame,
+        pattern: str,
+        subscriptions: list[str],
+        record_col: str = "value",
+        deliver=None,
+        drop_stats: dict | None = None,
+    ) -> None:
+        """The batch→stream bridge the reference sketched but never wired
+        (DistributedGrep.java:33,38-47,57 — grep matches pushed to the
+        wiretap channel): run a BATCH grep over ``df`` and deliver the
+        matches to live wiretap subscribers through the SAME executor-side
+        socket path the streaming wiretap uses. Subscriptions use the
+        reference's wire grammar "<regex> <host>:<port>"; each match must
+        also satisfy the subscriber's own regex (the wiretap contract), so
+        the batch result is multicast, not broadcast. Matched payload
+        bytes flow executor→subscriber, never through the driver."""
+        from hadoop_stuff_spark.operators.grep import grep
+        from hadoop_stuff_spark.streaming.wiretap import route_and_deliver_batch
+
+        subs = [parse_subscription(s, i + 1) for i, s in enumerate(subscriptions)]
+        route_and_deliver_batch(
+            grep(df, pattern, record_col),
+            subs,
+            record_col=record_col,
+            deliver=deliver,
+            drop_stats=drop_stats,
+        )
+
     # ------------------------------------------------------------------
     # round-3 surface: quality gate, sketches, resample, plan lint
 

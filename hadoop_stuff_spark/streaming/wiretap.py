@@ -222,6 +222,52 @@ def _deliver_partition(rows, record_col, deliver, drop_acc):
         drop_acc.add(dropped)
 
 
+def deliver_routed(
+    routed: DataFrame,
+    record_col: str = "value",
+    deliver: Callable[[str, int, list[str]], None] | None = None,
+    drop_stats: dict | None = None,
+    _drop_acc=None,
+) -> None:
+    """Executor-side delivery of an already-routed frame (rows carrying
+    sub_id/host/port/proto + the record): repartition on sub_id so each
+    subscriber's records land in one task, then each task opens the
+    subscriber's socket itself. Shared by the streaming wiretap's
+    per-micro-batch path AND the batch→stream bridge
+    (`Engine.grep_to_wiretap`) — payload bytes never pass through the
+    driver in either. ST4 drop+warn semantics apply (dead subscribers'
+    records are tallied into ``drop_stats``)."""
+    spark = routed.sparkSession
+    drop_acc = _drop_acc or spark.sparkContext.accumulator({}, _DropTallyParam())
+    rc, dl = record_col, deliver
+    routed.repartition("sub_id").foreachPartition(
+        lambda rows: _deliver_partition(rows, rc, dl, drop_acc)
+    )
+    if drop_stats is not None:
+        drop_stats.clear()
+        drop_stats.update(drop_acc.value)
+
+
+def route_and_deliver_batch(
+    batch: DataFrame,
+    subs_rows: list[dict],
+    record_col: str = "value",
+    deliver: Callable[[str, int, list[str]], None] | None = None,
+    drop_stats: dict | None = None,
+) -> None:
+    """The reference's commented-out intent, composed for real
+    (DistributedGrep.java:33,38-47,57 — batch grep results pushed into
+    the live wiretap channel): fan a BATCH query's result out to the
+    current subscriber set with the same literal-pattern matcher and the
+    same executor-side socket delivery the streaming path uses."""
+    deliver_routed(
+        route_batch_literal(batch, subs_rows, record_col),
+        record_col=record_col,
+        deliver=deliver,
+        drop_stats=drop_stats,
+    )
+
+
 def start_wiretap(
     stream: DataFrame,
     get_subscriptions: Callable[[SparkSession], DataFrame],
@@ -263,14 +309,15 @@ def start_wiretap(
             return
         matched = route_batch_literal(batch, subs_rows, record_col)
         # co-locate each subscriber's records into one task; delivery runs
-        # where the data is
-        rc, dl, acc = record_col, deliver, drop_acc
-        matched.repartition("sub_id").foreachPartition(
-            lambda rows: _deliver_partition(rows, rc, dl, acc)
+        # where the data is (accumulator persists across batches so
+        # drop_stats reflects the stream's lifetime tallies)
+        deliver_routed(
+            matched,
+            record_col=record_col,
+            deliver=deliver,
+            drop_stats=drop_stats,
+            _drop_acc=drop_acc,
         )
-        if drop_stats is not None:
-            drop_stats.clear()
-            drop_stats.update(drop_acc.value)
 
     writer = stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:

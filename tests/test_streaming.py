@@ -257,3 +257,41 @@ def test_udp_delivery(spark, tmp_path):
     finally:
         udp.close()
         tcp.close()
+
+
+def test_grep_to_wiretap_batch_stream_bridge(spark):
+    """The reference's commented-out batch→stream bridge, demonstrated end
+    to end (DistributedGrep.java:33,38-47,57: grep matches pushed to the
+    wiretap channel): a BATCH grep's matches arrive at a live TCP
+    subscriber over a real socket, multicast per each subscriber's own
+    regex, with a dead subscriber dropped and tallied — same executor-side
+    delivery path as the streaming wiretap."""
+    from hadoop_stuff_spark.engine import Engine
+
+    live = TcpReceiver()
+    dead_port = _free_port()
+    df = spark.createDataFrame(
+        [("CALL alpha",), ("FLOW beta",), ("CALL gamma 42",), ("noise",)],
+        "value string",
+    )
+    drops: dict = {}
+    try:
+        Engine(spark).grep_to_wiretap(
+            df,
+            pattern="^(CALL|FLOW)",
+            subscriptions=[
+                f"CALL 127.0.0.1:{live.port}",
+                f"FLOW 127.0.0.1:{dead_port}",
+            ],
+            drop_stats=drops,
+        )
+        import time
+
+        deadline = time.time() + 5
+        while time.time() < deadline and len(live.received) < 2:
+            time.sleep(0.05)
+    finally:
+        live.close()
+
+    assert sorted(live.received) == ["CALL alpha", "CALL gamma 42"]
+    assert drops == {("127.0.0.1", dead_port): 1}
