@@ -106,24 +106,92 @@ def main() -> None:
         ).alias("sig")
     ).count()
 
+    # median-of-N timings (r3 VERDICT #6): single-run numbers on this
+    # co-tenant VM swing 2-3x between identical runs; the median is the
+    # signal, and all runs are kept so round-over-round deltas are
+    # attributable. Interleaving would randomize cache effects further but
+    # keeping per-query runs adjacent keeps the log readable.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    t_min: dict[str, float] = {}
+    t_max: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     row_counts: dict[str, int] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if name not in _COLLECT else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count() if name not in _COLLECT else len(df.collect())
+            runs.append(round(time.perf_counter() - t0, 3))
+        runs_sorted = sorted(runs)
+        timings[name] = runs_sorted[len(runs_sorted) // 2]
+        t_min[name] = runs_sorted[0]
+        t_max[name] = runs_sorted[-1]
+        all_runs[name] = runs
         row_counts[name] = n
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: median {timings[name]:.3f}s "
+            f"(min {t_min[name]:.3f} max {t_max[name]:.3f}, {n} rows)",
+            file=sys.stderr,
+        )
 
-    # ingest throughput — the reference's own headline benchmark
-    # (TailFTest.java steps 1-4: gzip-chunked write of line records).
-    # 1M synthetic flow records → chunked store, records/s.
+    ingest, matrix = _ingest_benchmarks(spark)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "queries_min": t_min,
+                "queries_max": t_max,
+                "runs": all_runs,
+                "n_runs": n_runs,
+                "rows": row_counts,
+                "ingest": ingest,
+                "ingest_matrix": matrix,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _ingest_benchmarks(spark):
+    """The reference's only real performance artifact is TailFTest's
+    numbered ingest protocol (TailFTest.java:100-377): write line records
+    through chunk-size x codec variants and compare elapsed/size. This is
+    that sweep on the engine's sinks (r3 VERDICT #8):
+
+    - chunked layout (python-gzip line blobs in parquet) at chunk sizes
+      200 / 1000 / 10000 — the reference's P5 tradeoff: bigger chunks
+      compress better but make coarser split units;
+    - plain one-line-per-row parquet under snappy / zstd / gzip — the
+      'uncompressed-vs-chunked' axis, with the columnar codecs the
+      JVM provides (no python zstd exists in this container; parquet's
+      zstd is JVM-side and is the codec a production table would use).
+
+    Each variant records write seconds, records/s, on-disk bytes and a
+    full read-back (decode + count) — the canonical 1000-line gzip chunk
+    config is also reported as `ingest` for round-over-round continuity.
+    """
     import shutil
     import tempfile
 
-    from hadoop_stuff_spark.sources.chunks import write_chunked
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.sources.chunks import read_chunked, write_chunked
 
     n_rec = 1_000_000
     lines = spark.range(n_rec).select(
@@ -136,34 +204,63 @@ def main() -> None:
             ),
         ).alias("value")
     )
+    raw_bytes = n_rec * 120  # ~record length; ratio denominator
+    matrix: list[dict] = []
+    ingest = None
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
-        t0 = time.perf_counter()
-        write_chunked(lines, "value", os.path.join(tmp, "store"), chunk_size=1000)
-        ingest_s = time.perf_counter() - t0
+        for chunk_size in (200, 1000, 10000):
+            store = os.path.join(tmp, f"chunked_{chunk_size}")
+            t0 = time.perf_counter()
+            write_chunked(lines, "value", store, chunk_size=chunk_size)
+            w = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            assert read_chunked(spark, store).count() == n_rec
+            r = time.perf_counter() - t0
+            entry = {
+                "layout": "chunked",
+                "codec": "gzip",
+                "chunk_size": chunk_size,
+                "records": n_rec,
+                "write_s": round(w, 3),
+                "read_s": round(r, 3),
+                "records_per_s": round(n_rec / w),
+                "bytes": _dir_bytes(store),
+                "ratio": round(raw_bytes / max(_dir_bytes(store), 1), 2),
+            }
+            matrix.append(entry)
+            if chunk_size == 1000:
+                ingest = {
+                    "records": n_rec,
+                    "seconds": entry["write_s"],
+                    "records_per_s": entry["records_per_s"],
+                }
+            print(f"# ingest {entry}", file=sys.stderr)
+        for codec in ("snappy", "zstd", "gzip"):
+            store = os.path.join(tmp, f"plain_{codec}")
+            t0 = time.perf_counter()
+            lines.write.option("compression", codec).parquet(store)
+            w = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            assert spark.read.parquet(store).count() == n_rec
+            r = time.perf_counter() - t0
+            entry = {
+                "layout": "plain",
+                "codec": codec,
+                "chunk_size": None,
+                "records": n_rec,
+                "write_s": round(w, 3),
+                "read_s": round(r, 3),
+                "records_per_s": round(n_rec / w),
+                "bytes": _dir_bytes(store),
+                "ratio": round(raw_bytes / max(_dir_bytes(store), 1), 2),
+            }
+            matrix.append(entry)
+            print(f"# ingest {entry}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    ingest = {
-        "records": n_rec,
-        "seconds": round(ingest_s, 3),
-        "records_per_s": round(n_rec / ingest_s),
-    }
     print(f"# ingest: {ingest}", file=sys.stderr)
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows": row_counts,
-                "ingest": ingest,
-                "sf": sf,
-            }
-        )
-    )
+    return ingest, matrix
 
 
 # queries whose result is the deliverable (collect it); others just count

@@ -129,7 +129,10 @@ def chunk_lines_partitionwise(
 
 
 def explode_chunks(
-    chunks: DataFrame, line_name: str = "line", permissive: bool = False
+    chunks: DataFrame,
+    line_name: str = "line",
+    permissive: bool = False,
+    rebalance: bool = False,
 ) -> DataFrame:
     """chunk[key, value, ...] -> one row per record line (reference T1+T3:
     gunzip then tokenize on \\n — RecordCount.java:41-42). Non-value
@@ -139,21 +142,36 @@ def explode_chunks(
     (decode-to-NULL then filtered) instead of failing the job — the
     posture for large backfills where a torn chunk must not kill the run;
     count them separately via ``gzip_decompress_permissive(...).isNull()``
-    if a quarantine tally is needed."""
+    if a quarantine tally is needed.
+
+    ``rebalance=True``: round-robin repartition AFTER the explode. A
+    chunk's lines are born in the partition that decoded it, so one
+    pathological chunk (a 100 MB chunk among 1 KB chunks — SURVEY §7's
+    skew case) turns into one straggler task for everything downstream;
+    the explicit shuffle spreads the exploded lines evenly, and with AQE
+    (`optimizeSkewsInRebalancePartitions`) the runtime further splits any
+    oversized shuffle partition. Costs one shuffle of the line data —
+    pay it when chunk sizes are adversarial and the downstream work is
+    CPU-heavy per line; skip it when chunks are uniform (the normal
+    ingest layout) and the explode stays map-only."""
     other = [c for c in chunks.columns if c != "value"]
     if permissive:
         from hadoop_stuff_spark.functions.codecs import gzip_decompress_permissive
 
         text = gzip_decompress_permissive("value").cast("string")
-        return (
+        out = (
             chunks.select(*other, text.alias("_text"))
             .filter(F.col("_text").isNotNull())
             .select(*other, F.explode(F.split("_text", "\n")).alias(line_name))
         )
-    return chunks.select(
-        *other,
-        F.explode(F.split(gzip_decompress_str("value"), "\n")).alias(line_name),
-    )
+    else:
+        out = chunks.select(
+            *other,
+            F.explode(F.split(gzip_decompress_str("value"), "\n")).alias(line_name),
+        )
+    if rebalance:
+        return out.repartition(chunks.sparkSession.sparkContext.defaultParallelism)
+    return out
 
 
 def write_chunked(

@@ -147,3 +147,52 @@ def test_observe_metric(spark):
     df = spark.range(5000).observe(obs, F.count(F.lit(1)).alias("records"))
     df.write.format("noop").mode("overwrite").save()
     assert obs.get["records"] == 5000
+
+
+def test_explode_chunks_rebalances_pathological_skew(spark):
+    """SURVEY §7 skew case (r3 VERDICT #7): ONE huge chunk among many tiny
+    ones. Without rebalance every line of the big chunk stays in the
+    decoding task's partition — a straggler that dominates any CPU-heavy
+    downstream stage. With rebalance=True the exploded lines spread
+    evenly: no partition holds more than a small multiple of the mean,
+    and the pipeline completes with the exact line count."""
+    import gzip
+
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.sources.chunks import explode_chunks
+
+    def chunk(lines):
+        return gzip.compress("\n".join(lines).encode("utf-8"), 6, mtime=0)
+
+    big = chunk([f"big {i} xxxxxxxxxxxxxxxxxxxxxxxx" for i in range(100_000)])
+    rows = [(0, bytearray(big))] + [
+        (k, bytearray(chunk([f"small {k} {i}" for i in range(10)])))
+        for k in range(1, 101)
+    ]
+    chunks = spark.createDataFrame(rows, "key long, value binary")
+    n_expected = 100_000 + 100 * 10
+
+    # skewed baseline: the big chunk's lines all land in one partition
+    skewed = explode_chunks(chunks, "line")
+    skew_counts = [
+        r.n
+        for r in skewed.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(skew_counts) >= 100_000  # the straggler exists
+
+    balanced = explode_chunks(chunks, "line", rebalance=True)
+    counts = [
+        r.n
+        for r in balanced.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert sum(counts) == n_expected
+    mean = n_expected / len(counts)
+    assert max(counts) <= 2 * mean, (max(counts), mean, len(counts))
+    # and the rebalanced plan actually carries the round-robin exchange
+    plan = balanced._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
