@@ -51,6 +51,8 @@ HEADLINE = [
     "range_error_window_activity",
     "q8_nation_market_share",
     "hll_sketch_distinct_users",
+    "theta_overlap_users",
+    "kll_value_quantiles",
     "dq_orders_report",
     "n3_document_chunks",
     "copurchase_pairs",

@@ -97,3 +97,186 @@ def sketch_distinct_users_by_type(
     pytest pins <2% error vs exact and the union==direct identity."""
     events = load_table(spark, sf_dir, "events")
     return rollup_distinct_users(build_user_sketches(events))
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch tables — distinct-count SET ALGEBRA without fact rescans
+#
+# HLL answers "how many distinct" for any UNION of cells; it cannot answer
+# overlap questions ("users who did BOTH purchase AND click", "users active
+# in week 1 but not week 2") because HLL has no intersection. DataSketches
+# Theta sketches do: union / intersection / a-not-b all operate on the
+# sketch bytes. Spark 4.1 ships them natively (theta_sketch_agg /
+# theta_union(_agg) / theta_intersection(_agg) / theta_difference /
+# theta_sketch_estimate) — JVM-side, mergeable, so the same
+# build-once-roll-up-forever table pattern extends from counts to
+# audience algebra. Below 2^lg_k distinct values a theta sketch is in
+# exact mode, so small cells cost no accuracy at all.
+
+THETA_LG_K = 14  # exact below ~16k distinct per cell; ~0.8% rse beyond
+
+
+def build_user_theta_sketches(
+    events: DataFrame, lg_k: int = THETA_LG_K
+) -> DataFrame:
+    """One theta sketch of distinct user_ids per (event_date, event_type)
+    cell — same one-scan, map-side-partial shape as the HLL build; the
+    persisted table additionally supports intersections/differences."""
+    return (
+        events.select(
+            F.to_date("ts").alias("event_date"), "event_type", "user_id"
+        )
+        .groupBy("event_date", "event_type")
+        .agg(F.theta_sketch_agg("user_id", F.lit(lg_k)).alias("user_theta"))
+    )
+
+
+def theta_distinct_users_by_type(sketches: DataFrame) -> DataFrame:
+    """Distinct users per event_type across all days (theta-union rollup
+    — the HLL rollup's twin, from the algebra-capable table)."""
+    return (
+        sketches.groupBy("event_type")
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_union_agg("user_theta")
+            ).alias("approx_distinct_users")
+        )
+        .orderBy("event_type")
+    )
+
+
+def theta_audience_overlap(
+    sketches: DataFrame, type_a: str, type_b: str
+) -> DataFrame:
+    """The query HLL cannot answer from ANY table: audience overlap.
+    Union each type's daily sketches into one per-type sketch (two rows),
+    then estimate |A|, |B|, |A ∩ B|, |A ∪ B|, |A \\ B|, |B \\ A| — pure
+    sketch algebra over a |cells|-row table; the year of raw events is
+    never rescanned. Jaccard similarity of the two audiences falls out."""
+    per_type = (
+        sketches.filter(F.col("event_type").isin(type_a, type_b))
+        .groupBy("event_type")
+        .agg(F.theta_union_agg("user_theta").alias("s"))
+    )
+    a = per_type.filter(F.col("event_type") == type_a).select(
+        F.col("s").alias("sa")
+    )
+    b = per_type.filter(F.col("event_type") == type_b).select(
+        F.col("s").alias("sb")
+    )
+    both = a.crossJoin(b)  # 1 x 1 rows: scalar-shape cross join
+    est = F.theta_sketch_estimate
+    return both.select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        est(F.col("sa")).alias("n_a"),
+        est(F.col("sb")).alias("n_b"),
+        est(F.theta_intersection("sa", "sb")).alias("n_both"),
+        est(F.theta_union("sa", "sb")).alias("n_either"),
+        est(F.theta_difference("sa", "sb")).alias("n_only_a"),
+        est(F.theta_difference("sb", "sa")).alias("n_only_b"),
+        (
+            est(F.theta_intersection("sa", "sb"))
+            / est(F.theta_union("sa", "sb"))
+        ).alias("jaccard"),
+    )
+
+
+def theta_retention(
+    sketches: DataFrame, date_a: str, date_b: str
+) -> DataFrame:
+    """Day-over-day retention from the sketch table: users active on
+    date_a who returned on date_b (intersection) and who churned
+    (difference) — the cohort question a 100 TB events table answers
+    daily, here at |cells|-row cost."""
+    day = lambda d: (  # noqa: E731
+        sketches.filter(F.col("event_date") == F.lit(d).cast("date"))
+        .agg(F.theta_union_agg("user_theta").alias("s"))
+    )
+    a = day(date_a).select(F.col("s").alias("sa"))
+    b = day(date_b).select(F.col("s").alias("sb"))
+    est = F.theta_sketch_estimate
+    return a.crossJoin(b).select(
+        F.lit(date_a).alias("date_a"),
+        F.lit(date_b).alias("date_b"),
+        est(F.col("sa")).alias("n_day_a"),
+        est(F.theta_intersection("sa", "sb")).alias("n_retained"),
+        est(F.theta_difference("sa", "sb")).alias("n_churned"),
+    )
+
+
+def theta_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification query: purchase-vs-click audience algebra from the
+    daily theta table. Rows-only (DataSketches != DuckDB's algorithm);
+    pytest pins every estimate against exact set algebra at sf0.01."""
+    events = load_table(spark, sf_dir, "events")
+    return theta_audience_overlap(
+        build_user_theta_sketches(events), "purchase", "click"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch tables — mergeable percentiles without fact rescans
+#
+# Exact percentiles do not merge (the p95 of two partitions' p95s is not
+# the global p95), so a percentile dashboard over raw facts rescans
+# history per query. KLL sketches merge with proven rank-error bounds:
+# build one small sketch per cell once, then any rollup's quantiles come
+# from merging |cells| sketches. Spark 4.1 ships DataSketches KLL
+# (kll_sketch_agg_* / kll_sketch_merge_* / kll_sketch_get_quantile_*).
+# The merge function is pairwise, so cross-cell rollups fold the
+# collected sketch array with the aggregate() HOF — the array holds
+# |cells-per-group| sketch blobs (bounded by the calendar, not the data).
+
+KLL_K = 200  # ~1.65% worst-case rank error
+
+
+def build_value_kll_sketches(events: DataFrame, k: int = KLL_K) -> DataFrame:
+    """One KLL sketch of `value` per (event_date, event_type) cell — one
+    fact scan, map-side partials, a few KB per cell persisted."""
+    return (
+        events.select(
+            F.to_date("ts").alias("event_date"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+        .groupBy("event_date", "event_type")
+        .agg(F.kll_sketch_agg_double("value", F.lit(k)).alias("value_kll"))
+    )
+
+
+def _kll_fold(col: str):
+    """Fold an array of KLL sketch blobs into one via pairwise merge."""
+    arr = F.collect_list(col)
+    return F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+
+
+def kll_quantiles_by_type(
+    sketches: DataFrame, probs: list[float] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Per-type value quantiles across ALL days from the sketch table —
+    the percentile dashboard that never rescans facts. Estimates carry
+    KLL's rank-error guarantee (~1.65% at k=200): the returned p95 is an
+    actual data value whose true rank is within eps of 0.95."""
+    merged = sketches.groupBy("event_type").agg(
+        _kll_fold("value_kll").alias("s")
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("s", F.lit(float(p))).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return merged.select("event_type", *cols).orderBy("event_type")
+
+
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification query: daily KLL table → per-type p50/p95/p99.
+    Rows-only; pytest pins each estimate's TRUE rank within the sketch's
+    error bound against exact order statistics at sf0.01."""
+    events = load_table(spark, sf_dir, "events")
+    return kll_quantiles_by_type(build_value_kll_sketches(events))

@@ -374,6 +374,11 @@ QUERIES: dict[str, QuerySpec] = {
     "n2_topk_cosine_pq": QuerySpec(pq.topk_cosine_pq, None),
     "hll_sketch_distinct_users": QuerySpec(sketches.sketch_distinct_users_by_type, None),
     "n4_media_near_dups": QuerySpec(multimodal.media_near_dups, None),
+    # theta set algebra / KLL quantiles: DataSketches estimates (exact
+    # below sketch capacity but not DuckDB-reproducible) — rows-only;
+    # pytest pins exact-mode equality and error bounds (test_sketches.py)
+    "theta_overlap_users": QuerySpec(sketches.theta_overlap_report, None),
+    "kll_value_quantiles": QuerySpec(sketches.kll_value_quantiles, None),
 }
 
 # Oracle-backed queries cut from the driver window (near-duplicates of

@@ -70,3 +70,186 @@ def test_sketch_range_rollup_and_persistence(spark, sf_dir, tmp_path):
     est = distinct_users_between(reloaded, lo, hi).collect()[0].approx_distinct_users
     exact = events.agg(F.countDistinct("user_id").alias("n")).collect()[0].n
     assert abs(est - exact) / exact < 0.02
+
+
+# ---------------------------------------------------------------------------
+# theta sketch set algebra
+
+
+def test_theta_set_algebra_exact_below_k(spark):
+    """Below 2^lg_k distinct values a theta sketch is in exact mode, so
+    on constructed sets with known overlap every estimate must be EXACT:
+    |A|, |B|, A∩B, A∪B, A\\B, B\\A."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_user_theta_sketches,
+        theta_audience_overlap,
+    )
+
+    a = spark.range(0, 1000).select(
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        F.lit("purchase").alias("event_type"),
+        F.col("id").alias("user_id"),
+    )
+    b = spark.range(500, 1500).select(
+        F.lit("2024-01-02").cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.col("id").alias("user_id"),
+    )
+    # duplicates must not matter: double up A's rows
+    events = a.unionAll(a).unionAll(b)
+    row = theta_audience_overlap(
+        build_user_theta_sketches(events), "purchase", "click"
+    ).collect()[0]
+    assert (row.n_a, row.n_b) == (1000.0, 1000.0)
+    assert row.n_both == 500.0
+    assert row.n_either == 1500.0
+    assert (row.n_only_a, row.n_only_b) == (500.0, 500.0)
+    assert abs(row.jaccard - 500 / 1500) < 1e-12
+
+
+def test_theta_union_of_cells_matches_direct_sketch(spark, sf_dir):
+    """Merge identity: unioning the daily per-cell sketches must estimate
+    the same distinct count as one sketch over the raw facts — the
+    property that makes the persisted table answer any rollup."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.sketches import (
+        THETA_LG_K,
+        build_user_theta_sketches,
+        theta_distinct_users_by_type,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    via_table = {
+        r.event_type: r.approx_distinct_users
+        for r in theta_distinct_users_by_type(
+            build_user_theta_sketches(events)
+        ).collect()
+    }
+    direct = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg("user_id", F.lit(THETA_LG_K))
+            ).alias("n")
+        )
+        .collect()
+    }
+    assert via_table == direct
+
+
+def test_theta_estimation_mode_error_bounded(spark):
+    """Past exact mode (100k distinct at lg_k=12) estimates stay within
+    a few standard errors (~0.8% rse at 2^12 entries → assert 5%)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_user_theta_sketches,
+        theta_distinct_users_by_type,
+    )
+
+    events = spark.range(100_000).select(
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"),
+        F.col("id").alias("user_id"),
+    )
+    est = theta_distinct_users_by_type(
+        build_user_theta_sketches(events, lg_k=12)
+    ).collect()[0]
+    assert abs(est.approx_distinct_users - 100_000) / 100_000 < 0.05
+
+
+def test_theta_retention_matches_exact_sets(spark, sf_dir):
+    """Retention report vs exact per-day user sets on the testdata
+    (well below exact-mode threshold → equality, not tolerance)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.sketches import (
+        build_user_theta_sketches,
+        theta_retention,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    d0, d1 = [
+        str(r.d)
+        for r in events.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(2)
+        .collect()
+    ]
+    row = theta_retention(
+        build_user_theta_sketches(events), d0, d1
+    ).collect()[0]
+    day = lambda d: {  # noqa: E731
+        r.user_id
+        for r in events.filter(F.to_date("ts") == d)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    a, b = day(d0), day(d1)
+    assert row.n_day_a == float(len(a))
+    assert row.n_retained == float(len(a & b))
+    assert row.n_churned == float(len(a - b))
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch tables
+
+
+def test_kll_merged_quantiles_within_rank_error(spark, sf_dir):
+    """Each merged-sketch quantile must be a value whose TRUE rank in the
+    exact per-type distribution is within the sketch's rank-error bound
+    (~1.65% at k=200; assert 3% for merge headroom)."""
+    import bisect
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.sketches import (
+        build_value_kll_sketches,
+        kll_quantiles_by_type,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    got = kll_quantiles_by_type(build_value_kll_sketches(events)).collect()
+    exact: dict[str, list[float]] = {}
+    for r in events.select("event_type", "value").collect():
+        exact.setdefault(r.event_type, []).append(float(r.value))
+    for vals in exact.values():
+        vals.sort()
+    for row in got:
+        vals = exact[row.event_type]
+        for p, est in ((0.5, row.p50), (0.95, row.p95), (0.99, row.p99)):
+            rank = bisect.bisect_right(vals, est) / len(vals)
+            assert abs(rank - p) <= 0.03, (row.event_type, p, est, rank)
+
+
+def test_kll_fold_matches_single_sketch(spark):
+    """Folding daily sketches must agree with one sketch over all rows
+    (same quantile within twice the single-sketch rank error)."""
+    import bisect
+
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_value_kll_sketches,
+        kll_quantiles_by_type,
+    )
+
+    rows = spark.range(50_000).select(
+        F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"))
+        .cast("timestamp")
+        .alias("ts"),
+        F.lit("view").alias("event_type"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(100_000)).cast("double") / 100).alias("value"),
+    )
+    got = kll_quantiles_by_type(build_value_kll_sketches(rows)).collect()[0]
+    vals = sorted(float(r.value) for r in rows.select("value").collect())
+    for p, est in ((0.5, got.p50), (0.95, got.p95), (0.99, got.p99)):
+        rank = bisect.bisect_right(vals, est) / len(vals)
+        assert abs(rank - p) <= 0.033, (p, est, rank)
