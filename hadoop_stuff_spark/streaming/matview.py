@@ -91,6 +91,39 @@ def streaming_sketch_sink(sketch_path: str, work_dir: str, lg_k: int = 12):
 
     from hadoop_stuff_spark.operators.sketches import build_user_sketches
 
+    return _merge_only_sink(
+        sketch_path,
+        work_dir,
+        build=lambda df: build_user_sketches(df, lg_k=lg_k),
+        merge_agg=lambda: F.hll_union_agg("user_sketch", F.lit(True)).alias(
+            "user_sketch"
+        ),
+    )
+
+
+def streaming_theta_sink(sketch_path: str, work_dir: str, lg_k: int = 14):
+    """Streaming maintenance for the THETA sketch table
+    (operators/sketches.build_user_theta_sketches) — same merge-only
+    matview protocol as the HLL sink, but the maintained table supports
+    set algebra (overlap / retention / difference), so the streaming
+    pipeline keeps audience-algebra dashboards seconds-stale too."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.operators.sketches import build_user_theta_sketches
+
+    return _merge_only_sink(
+        sketch_path,
+        work_dir,
+        build=lambda df: build_user_theta_sketches(df, lg_k=lg_k),
+        merge_agg=lambda: F.theta_union_agg("user_theta").alias("user_theta"),
+    )
+
+
+def _merge_only_sink(sketch_path: str, work_dir: str, build, merge_agg):
+    """Shared merge-only matview foreachBatch body: idempotent delta
+    landing by batch_id, per-cell sketch union, atomic pointer swap
+    carrying the folded manifest (see module docstring)."""
+
     def sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         delta_path = os.path.join(work_dir, "deltas", f"batch_id={batch_id}")
@@ -98,15 +131,13 @@ def streaming_sketch_sink(sketch_path: str, work_dir: str, lg_k: int = 12):
         bid = str(batch_id)
         if bid in folded_batches(sketch_path):
             return
-        delta = build_user_sketches(spark.read.parquet(delta_path), lg_k=lg_k)
+        delta = build(spark.read.parquet(delta_path))
         if rollup_exists(sketch_path):
             merged = (
                 read_rollup(spark, sketch_path)
                 .unionByName(delta)
                 .groupBy("event_date", "event_type")
-                .agg(
-                    F.hll_union_agg("user_sketch", F.lit(True)).alias("user_sketch")
-                )
+                .agg(merge_agg())
             )
             out, folded = merged, folded_batches(sketch_path) | {bid}
         else:

@@ -112,3 +112,62 @@ def test_streaming_sketch_maintenance_matches_direct(spark, sf_dir, tmp_path):
         for r in rollup_distinct_users(read_rollup(spark, sketch_path)).collect()
     }
     assert again == want
+
+
+def test_streaming_theta_maintenance_matches_direct_and_supports_algebra(
+    spark, sf_dir, tmp_path
+):
+    """Theta twin of the sketch sink: the maintained table's per-type
+    estimates equal one-pass direct sketching, a replay changes nothing,
+    and the maintained table still answers the set-algebra query
+    (audience overlap) correctly."""
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.sketches import (
+        build_user_theta_sketches,
+        theta_audience_overlap,
+        theta_distinct_users_by_type,
+    )
+    from hadoop_stuff_spark.streaming.matview import streaming_theta_sink
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    b0 = events.filter(F.col("user_id") % 2 == 0)
+    b1 = events.filter(F.col("user_id") % 2 == 1)
+
+    sketch_path = str(tmp_path / "theta")
+    sink = streaming_theta_sink(sketch_path, str(tmp_path / "work"))
+    sink(b0, 0)
+    sink(b1, 1)
+
+    maintained = read_rollup(spark, sketch_path)
+    got = {
+        r.event_type: r.approx_distinct_users
+        for r in theta_distinct_users_by_type(maintained).collect()
+    }
+    want = {
+        r.event_type: r.approx_distinct_users
+        for r in theta_distinct_users_by_type(
+            build_user_theta_sketches(events)
+        ).collect()
+    }
+    assert got == want
+
+    # replay: unchanged
+    sink(b0, 0)
+    again = {
+        r.event_type: r.approx_distinct_users
+        for r in theta_distinct_users_by_type(
+            read_rollup(spark, sketch_path)
+        ).collect()
+    }
+    assert again == want
+
+    # the maintained table supports the algebra the HLL table cannot:
+    # overlap vs exact sets (sf0.01 cardinalities are in exact mode)
+    row = theta_audience_overlap(
+        read_rollup(spark, sketch_path), "purchase", "click"
+    ).collect()[0]
+    ex = events.select("event_type", "user_id").distinct()
+    a = {r.user_id for r in ex.filter(F.col("event_type") == "purchase").collect()}
+    b = {r.user_id for r in ex.filter(F.col("event_type") == "click").collect()}
+    assert row.n_both == float(len(a & b))
+    assert row.n_either == float(len(a | b))
