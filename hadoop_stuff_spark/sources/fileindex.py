@@ -35,11 +35,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _norm_stat(v) -> tuple[str, float | None, str | None]:
+    """Normalize a parquet footer statistic (or a query bound) into the
+    index's two comparison domains: ("num", float, None) for numeric /
+    temporal values, ("str", None, str) for strings. Both sides of a
+    probe normalize through THIS function, so comparisons are consistent
+    by construction (dates → ordinal days, timestamps → epoch seconds)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "num", float(v), None
+    if isinstance(v, (int, float)):
+        return "num", float(v), None
+    if isinstance(v, datetime.datetime):
+        return "num", v.timestamp(), None
+    if isinstance(v, datetime.date):
+        return "num", float(v.toordinal()), None
+    if isinstance(v, bytes):
+        return "str", None, v.decode("utf-8", "replace")
+    return "str", None, str(v)
+
+
+_INDEX_SCHEMA = (
+    "file string, col string, kind string, "
+    "min_num double, max_num double, min_str string, max_str string"
+)
+
+
 def build_file_index(
     spark: SparkSession, table_path: str, cols: list[str], index_path: str
 ) -> None:
-    """One row per (file, column): min/max from the parquet footer.
-    Footer reads are distributed — the driver ships only file PATHS."""
+    """One row per (file, column): min/max from the parquet footer, in a
+    TYPED layout — numeric/temporal columns index into the `*_num`
+    domain (dates as ordinals, timestamps as epoch seconds), string
+    columns into `*_str` — so date-range and string-range predicates
+    prune too, not just doubles. Footer reads are distributed — the
+    driver ships only file PATHS."""
     files = sorted(glob.glob(os.path.join(table_path, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {table_path}")
@@ -65,26 +96,40 @@ def build_file_index(
                             continue
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
-                    rows.append((f, c, float(lo), float(hi)))
-            yield pd.DataFrame(rows, columns=["file", "col", "min", "max"])
+                    kind, lo_n, lo_s = _norm_stat(lo)
+                    _, hi_n, hi_s = _norm_stat(hi)
+                    rows.append((f, c, kind, lo_n, hi_n, lo_s, hi_s))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "col", "kind",
+                    "min_num", "max_num", "min_str", "max_str",
+                ],
+            )
 
     (
-        paths_df.mapInPandas(footers, "file string, col string, min double, max double")
+        paths_df.mapInPandas(footers, _INDEX_SCHEMA)
         .write.mode("overwrite")
         .parquet(index_path)
     )
 
 
 def prune_files(
-    spark: SparkSession, index_path: str, col: str, lo: float, hi: float
+    spark: SparkSession, index_path: str, col: str, lo, hi
 ) -> list[str]:
     """Files whose [min,max] for ``col`` intersects [lo,hi] — the tiny
-    driver-side result that replaces a full directory listing + open."""
+    driver-side result that replaces a full directory listing + open.
+    ``lo``/``hi`` may be numbers, strings, dates or datetimes; they are
+    normalized exactly as the footer stats were at build time."""
+    kind, lo_n, lo_s = _norm_stat(lo)
+    _, hi_n, hi_s = _norm_stat(hi)
+    if kind == "num":
+        pred = (F.col("max_num") >= lo_n) & (F.col("min_num") <= hi_n)
+    else:
+        pred = (F.col("max_str") >= lo_s) & (F.col("min_str") <= hi_s)
     idx = spark.read.parquet(index_path)
     rows = (
-        idx.filter(
-            (F.col("col") == col) & (F.col("max") >= lo) & (F.col("min") <= hi)
-        )
+        idx.filter((F.col("col") == col) & (F.col("kind") == kind) & pred)
         .select("file")
         .collect()
     )
@@ -95,8 +140,8 @@ def read_pruned(
     spark: SparkSession,
     index_path: str,
     col: str,
-    lo: float,
-    hi: float,
+    lo,
+    hi,
 ) -> DataFrame:
     """Range-filtered read that opens ONLY index-matched files. The
     predicate is re-applied on the scan (the index is an optimization,

@@ -67,3 +67,54 @@ def test_read_pruned_empty_range_returns_empty_frame(spark, tmp_path):
     out = read_pruned(spark, index, "k", 1e9, 2e9)  # beyond every file's max
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["k"]
+
+
+def test_file_index_prunes_date_ranges(spark, tmp_path):
+    """Typed index: a DATE-sorted table pruned by a date range opens a
+    strict subset of files and returns exact results — the most common
+    100 TB predicate (event_date BETWEEN ...) now skips files."""
+    import datetime
+
+    df = spark.range(20000).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") / 60).cast("int"))
+        .alias("d"),
+        F.col("id").alias("v"),
+    )
+    table = str(tmp_path / "dates")
+    index = str(tmp_path / "dates_idx")
+    df.repartitionByRange(16, "d").write.parquet(table)
+    build_file_index(spark, table, ["d"], index)
+
+    lo, hi = datetime.date(2024, 2, 1), datetime.date(2024, 2, 7)
+    files = prune_files(spark, index, "d", lo, hi)
+    import glob
+
+    assert 0 < len(files) < len(glob.glob(f"{table}/*.parquet"))
+
+    got = read_pruned(spark, index, "d", lo, hi)
+    want = spark.read.parquet(table).filter(F.col("d").between(lo, hi))
+    assert got.count() == want.count() > 0
+    assert got.agg(F.sum("v")).collect() == want.agg(F.sum("v")).collect()
+
+
+def test_file_index_prunes_string_ranges(spark, tmp_path):
+    """Typed index: string min/max prune prefix/range predicates (e.g.
+    tenant-id or key-prefix scans) without touching the numeric domain."""
+    df = spark.range(10000).select(
+        F.concat(F.lit("key_"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    table = str(tmp_path / "strs")
+    index = str(tmp_path / "strs_idx")
+    df.repartitionByRange(10, "k").write.parquet(table)
+    build_file_index(spark, table, ["k"], index)
+
+    files = prune_files(spark, index, "k", "key_001000", "key_001999")
+    import glob
+
+    assert 0 < len(files) < len(glob.glob(f"{table}/*.parquet"))
+    got = read_pruned(spark, index, "k", "key_001000", "key_001999")
+    want = spark.read.parquet(table).filter(
+        F.col("k").between("key_001000", "key_001999")
+    )
+    assert got.count() == want.count() == 1000
