@@ -149,22 +149,20 @@ def theta_audience_overlap(
     sketches: DataFrame, type_a: str, type_b: str
 ) -> DataFrame:
     """The query HLL cannot answer from ANY table: audience overlap.
-    Union each type's daily sketches into one per-type sketch (two rows),
-    then estimate |A|, |B|, |A ∩ B|, |A ∪ B|, |A \\ B|, |B \\ A| — pure
-    sketch algebra over a |cells|-row table; the year of raw events is
-    never rescanned. Jaccard similarity of the two audiences falls out."""
-    per_type = (
-        sketches.filter(F.col("event_type").isin(type_a, type_b))
-        .groupBy("event_type")
-        .agg(F.theta_union_agg("user_theta").alias("s"))
+    Union each type's daily sketches into one per-type sketch via
+    CONDITIONAL aggregation — one scan, one 1-row result, no join (a
+    two-branch filter + crossJoin would re-evaluate the upstream sketch
+    build once per branch: two fact scans when composed over raw
+    events) — then estimate |A|, |B|, |A ∩ B|, |A ∪ B|, |A \\ B|,
+    |B \\ A| by pure sketch algebra. Jaccard falls out."""
+    both = sketches.agg(
+        F.theta_union_agg(
+            F.when(F.col("event_type") == type_a, F.col("user_theta"))
+        ).alias("sa"),
+        F.theta_union_agg(
+            F.when(F.col("event_type") == type_b, F.col("user_theta"))
+        ).alias("sb"),
     )
-    a = per_type.filter(F.col("event_type") == type_a).select(
-        F.col("s").alias("sa")
-    )
-    b = per_type.filter(F.col("event_type") == type_b).select(
-        F.col("s").alias("sb")
-    )
-    both = a.crossJoin(b)  # 1 x 1 rows: scalar-shape cross join
     est = F.theta_sketch_estimate
     return both.select(
         F.lit(type_a).alias("type_a"),
@@ -189,14 +187,13 @@ def theta_retention(
     date_a who returned on date_b (intersection) and who churned
     (difference) — the cohort question a 100 TB events table answers
     daily, here at |cells|-row cost."""
-    day = lambda d: (  # noqa: E731
-        sketches.filter(F.col("event_date") == F.lit(d).cast("date"))
-        .agg(F.theta_union_agg("user_theta").alias("s"))
+    day = lambda d: F.col("event_date") == F.lit(d).cast("date")  # noqa: E731
+    both = sketches.agg(
+        F.theta_union_agg(F.when(day(date_a), F.col("user_theta"))).alias("sa"),
+        F.theta_union_agg(F.when(day(date_b), F.col("user_theta"))).alias("sb"),
     )
-    a = day(date_a).select(F.col("s").alias("sa"))
-    b = day(date_b).select(F.col("s").alias("sb"))
     est = F.theta_sketch_estimate
-    return a.crossJoin(b).select(
+    return both.select(
         F.lit(date_a).alias("date_a"),
         F.lit(date_b).alias("date_b"),
         est(F.col("sa")).alias("n_day_a"),

@@ -100,7 +100,6 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "q22_idle_rich_customers",     # 1-row stats frame crossJoin (scalar subquery shape)
         "n3_corpus_mix",               # 1-row totals frame broadcast
         "n3_tfidf_top_terms",          # 1-row corpus-size frame broadcast
-        "theta_overlap_users",         # 1x1 crossJoin of per-type sketch scalars
     }
     sf = "/root/testdata/sf0.001"
     bad = []
