@@ -126,7 +126,7 @@ def make_wav(wave: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     if bits != 16:
         raise NotImplementedError("fixture encoder emits 16-bit PCM")
     pcm = np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0)
-    data = (pcm * 32767.0).astype("<i2").tobytes()
+    data = np.round(pcm * 32767.0).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = (
         b"WAVE"

@@ -178,3 +178,65 @@ def test_winnow_shared_run_guarantee(spark):
         for r in df.select("i", winnow_fingerprints("text").alias("fps")).collect()
     }
     assert fps[1] & fps[2], fps
+
+
+# ---------------------------------------------------------------------------
+# media container codecs (functions/media.py) — pure-python properties
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0, width=32), min_size=1, max_size=500),
+    st.sampled_from([8000, 11025, 16000, 44100]),
+)
+def test_wav_roundtrip_any_waveform(wave, rate):
+    """make_wav → parse_wav preserves container metadata exactly and the
+    waveform to 16-bit quantization error, for arbitrary mono input."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import make_wav, parse_wav
+
+    info = parse_wav(make_wav(np.array(wave, dtype=np.float64), rate))
+    assert info.sample_rate == rate
+    assert info.channels == 1
+    assert info.n_samples == len(wave)
+    # encode rounds to the nearest 16-bit level and decode divides by
+    # 32768 (one extra level of systematic shrink): bound = 1 lsb + shrink
+    assert np.allclose(
+        info.waveform, np.clip(wave, -1, 1), atol=1.5 / 32768, rtol=1e-4
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    """encode_bmp → decode_bmp is pixel-exact for every (h, w) shape —
+    incl. the 4-byte row-padding edge cases (w % 4 != 0)."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import decode_bmp, encode_bmp, parse_image_dims
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint16).astype(np.uint8)
+    blob = encode_bmp(img)
+    assert parse_image_dims(blob) == ("bmp", w, h)
+    assert np.array_equal(decode_bmp(blob), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_image_and_wav_parsers_never_crash_on_garbage(blob):
+    """Parsers must classify or reject arbitrary bytes — never raise
+    unhandled (quarantine policy belongs to the DQ gate, not the scan)."""
+    from hadoop_stuff_spark.functions.media import is_wav, parse_image_dims, parse_wav
+
+    parse_image_dims(blob)  # None or a tuple; never an exception
+    if is_wav(blob):
+        try:
+            parse_wav(blob)
+        except (ValueError, NotImplementedError):
+            pass  # the two documented rejection types
