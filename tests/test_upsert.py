@@ -1,0 +1,71 @@
+"""Keyed partition-scoped upsert: replaced keys, inserted keys, untouched
+sibling partitions, bounded rewrite scope, idempotency."""
+
+import glob
+import hashlib
+import os
+
+import pyspark.sql.functions as F
+
+from hadoop_stuff_spark.sources.upsert import upsert_by_key
+
+
+def _table_state(spark, path):
+    return {
+        (r.k): (r.day, r.v)
+        for r in spark.read.parquet(path).select("k", "day", "v").collect()
+    }
+
+
+def _partition_digest(path, day):
+    files = sorted(glob.glob(os.path.join(path, f"day={day}", "*.parquet")))
+    h = hashlib.sha256()
+    for f in files:
+        h.update(open(f, "rb").read())
+    return h.hexdigest()
+
+
+def test_upsert_replaces_inserts_and_leaves_siblings_untouched(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, k % 4, f"old_{k}") for k in range(40)], "k long, day int, v string"
+    )
+    base.write.partitionBy("day").parquet(path)
+    untouched_before = {d: _partition_digest(path, d) for d in (1, 3)}
+
+    delta = spark.createDataFrame(
+        [(0, 0, "new_0"), (8, 0, "new_8"), (100, 0, "ins_100"), (200, 5, "ins_200")],
+        "k long, day int, v string",
+    )
+    stats = upsert_by_key(spark, path, delta, keys=["k"], partition_cols=["day"])
+    assert stats == {
+        "partitions_touched": 2,
+        "rows_replaced": 2,
+        "rows_inserted": 2,
+    }
+
+    state = _table_state(spark, path)
+    assert len(state) == 42  # 40 original - 0 lost + 2 inserted
+    assert state[0] == (0, "new_0")
+    assert state[8] == (0, "new_8")
+    assert state[100] == (0, "ins_100")
+    assert state[200] == (5, "ins_200")
+    assert state[1] == (1, "old_1")  # sibling partition rows intact
+    # sibling partition DIRECTORIES byte-identical (never rewritten)
+    assert {d: _partition_digest(path, d) for d in (1, 3)} == untouched_before
+
+
+def test_upsert_is_idempotent_for_same_delta(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(30)], "k long, day int, v long"
+    ).write.partitionBy("day").parquet(path)
+    delta = spark.createDataFrame(
+        [(3, 0, -1), (300, 0, -2)], "k long, day int, v long"
+    )
+    upsert_by_key(spark, path, delta, ["k"], ["day"])
+    first = _table_state(spark, path)
+    stats = upsert_by_key(spark, path, delta, ["k"], ["day"])
+    assert _table_state(spark, path) == first
+    assert stats["rows_replaced"] == 2  # the delta's own prior landing
+    assert stats["rows_inserted"] == 0
