@@ -277,3 +277,74 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     error bound against exact order statistics at sf0.01."""
     events = load_table(spark, sf_dir, "events")
     return kll_quantiles_by_type(build_value_kll_sketches(events))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch tables — point FREQUENCY estimates without fact rescans
+#
+# The third leg of the sketch family: HLL/theta answer "how many
+# distinct", KLL answers "what value sits at rank p", CMS answers "how
+# often did key X occur" — with a one-sided guarantee (never under,
+# over by at most eps * N at the chosen confidence). Spark ships the
+# mergeable aggregate natively (`count_min_sketch`, JVM-side, map-side
+# partials); the ESTIMATE/MERGE side has no SQL function, so queries
+# deserialize the (bounded, ~100 KB x |cells|) sketch blobs driver-side
+# through the same JVM class that wrote them
+# (org.apache.spark.util.sketch.CountMinSketch) — a control-plane read
+# of |cells| rows, never a fact scan.
+
+CMS_EPS = 1e-3         # additive error bound: eps * total updates
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42          # all sketches that may merge MUST share the seed
+
+
+def build_user_cms(
+    events: DataFrame,
+    eps: float = CMS_EPS,
+    confidence: float = CMS_CONFIDENCE,
+) -> DataFrame:
+    """One CMS of user_id occurrences per event_date cell — one fact
+    scan, map-side partials; persist the result and answer per-user
+    activity counts for any date range forever after."""
+    return (
+        events.select(F.to_date("ts").alias("event_date"), "user_id")
+        .groupBy("event_date")
+        .agg(
+            F.count_min_sketch(
+                "user_id", F.lit(eps), F.lit(confidence), F.lit(CMS_SEED)
+            ).alias("user_cms")
+        )
+    )
+
+
+def _cms_from_bytes(spark: SparkSession, blob: bytes):
+    jvm = spark._jvm
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(blob))
+    )
+
+
+def cms_point_estimates(
+    spark: SparkSession,
+    sketches: DataFrame,
+    items: list[int],
+    start: str | None = None,
+    end: str | None = None,
+) -> dict[int, int]:
+    """Estimated occurrence count per item over [start, end) (or all
+    cells): merge the range's sketch blobs driver-side (|cells| blobs of
+    ~eps-determined size — control plane), then O(1) point lookups.
+    Estimates are >= the true count and <= true + eps * N with the
+    sketch's confidence."""
+    sel = sketches
+    if start is not None:
+        sel = sel.filter(F.col("event_date") >= F.lit(start))
+    if end is not None:
+        sel = sel.filter(F.col("event_date") < F.lit(end))
+    blobs = [r.user_cms for r in sel.select("user_cms").collect()]
+    if not blobs:
+        return {int(i): 0 for i in items}
+    merged = _cms_from_bytes(spark, blobs[0])
+    for b in blobs[1:]:
+        merged.mergeInPlace(_cms_from_bytes(spark, b))
+    return {int(i): int(merged.estimateCount(int(i))) for i in items}

@@ -253,3 +253,76 @@ def test_kll_fold_matches_single_sketch(spark):
     for p, est in ((0.5, got.p50), (0.95, got.p95), (0.99, got.p99)):
         rank = bisect.bisect_right(vals, est) / len(vals)
         assert abs(rank - p) <= 0.033, (p, est, rank)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch frequency tables
+
+
+def test_cms_point_estimates_one_sided_and_merge_consistent(spark):
+    """CMS guarantees: estimate >= true count, <= true + eps*N (with
+    high probability); merging per-day sketches must answer like one
+    sketch over everything. Constructed frequencies make both checkable
+    exactly."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        CMS_EPS,
+        build_user_cms,
+        cms_point_estimates,
+    )
+
+    # user u occurs (u+1) times, spread across 4 days
+    events = (
+        spark.range(200)
+        .select(F.col("id").alias("u"))
+        .select(
+            F.col("u"),
+            F.explode(F.sequence(F.lit(0), F.col("u"))).alias("i"),
+        )
+        .select(
+            F.concat(
+                F.lit("2024-03-0"), ((F.col("i") % 4) + 1).cast("string")
+            ).cast("timestamp").alias("ts"),
+            F.col("u").alias("user_id"),
+        )
+    )
+    n_total = events.count()
+    sketches = build_user_cms(events)
+    assert sketches.count() == 4
+
+    probes = [0, 1, 50, 123, 199, 100_000]
+    est = cms_point_estimates(spark, sketches, probes)
+    for u in probes[:-1]:
+        true = u + 1
+        assert est[u] >= true
+        assert est[u] <= true + CMS_EPS * n_total + 1
+    assert est[100_000] <= CMS_EPS * n_total + 1  # absent key
+
+    # date-range scoping: only days 1-2
+    est_range = cms_point_estimates(
+        spark, sketches, [199], start="2024-03-01", end="2024-03-03"
+    )
+    true_range = events.filter(
+        (F.col("user_id") == 199) & (F.to_date("ts") < F.lit("2024-03-03"))
+    ).count()
+    assert est_range[199] >= true_range
+    assert est_range[199] <= true_range + CMS_EPS * n_total + 1
+
+
+def test_cms_empty_range_returns_zeros(spark):
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_user_cms,
+        cms_point_estimates,
+    )
+
+    events = spark.range(10).select(
+        F.lit("2024-03-01").cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+    )
+    sketches = build_user_cms(events)
+    assert cms_point_estimates(
+        spark, sketches, [1, 2], start="2030-01-01"
+    ) == {1: 0, 2: 0}
