@@ -55,6 +55,22 @@ def upsert_by_key(
     replaced/inserted) — all bounded control-plane numbers."""
     if not keys or not partition_cols:
         raise ValueError("upsert_by_key needs key columns and partition columns")
+    # MERGE semantics are undefined when the source matches a target row
+    # twice (ANSI MERGE errors; so do we). Bounded guard: one job, at
+    # most one driver row.
+    dup = (
+        delta.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"delta contains duplicate key {tuple(dup[0][k] for k in keys)!r} "
+            f"for keys {keys} — deduplicate the delta first (MERGE semantics "
+            "are undefined for multi-matching sources)"
+        )
     parts = delta.select(*partition_cols).distinct()
     current = spark.read.parquet(target_path).join(
         F.broadcast(parts), partition_cols, "left_semi"

@@ -69,3 +69,17 @@ def test_upsert_is_idempotent_for_same_delta(spark, tmp_path):
     assert _table_state(spark, path) == first
     assert stats["rows_replaced"] == 2  # the delta's own prior landing
     assert stats["rows_inserted"] == 0
+
+
+def test_upsert_rejects_duplicate_delta_keys(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "t3")
+    spark.createDataFrame(
+        [(1, 0, 1)], "k long, day int, v long"
+    ).write.partitionBy("day").parquet(path)
+    dup_delta = spark.createDataFrame(
+        [(1, 0, 10), (1, 0, 20)], "k long, day int, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_by_key(spark, path, dup_delta, ["k"], ["day"])
