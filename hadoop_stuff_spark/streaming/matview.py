@@ -119,6 +119,25 @@ def streaming_theta_sink(sketch_path: str, work_dir: str, lg_k: int = 14):
     )
 
 
+def streaming_kll_sink(sketch_path: str, work_dir: str, k: int = 200):
+    """Streaming maintenance for the KLL quantile sketch table
+    (operators/sketches.build_value_kll_sketches): per-batch sketches
+    fold into the stored per-cell sketches (pairwise-merge HOF over the
+    collected blobs — bounded by cells, not rows), so p50/p95/p99
+    dashboards stay seconds-stale without fact rescans."""
+    from hadoop_stuff_spark.operators.sketches import (
+        _kll_fold,
+        build_value_kll_sketches,
+    )
+
+    return _merge_only_sink(
+        sketch_path,
+        work_dir,
+        build=lambda df: build_value_kll_sketches(df, k=k),
+        merge_agg=lambda: _kll_fold("value_kll").alias("value_kll"),
+    )
+
+
 def _merge_only_sink(sketch_path: str, work_dir: str, build, merge_agg):
     """Shared merge-only matview foreachBatch body: idempotent delta
     landing by batch_id, per-cell sketch union, atomic pointer swap

@@ -171,3 +171,48 @@ def test_streaming_theta_maintenance_matches_direct_and_supports_algebra(
     b = {r.user_id for r in ex.filter(F.col("event_type") == "click").collect()}
     assert row.n_both == float(len(a & b))
     assert row.n_either == float(len(a | b))
+
+
+def test_streaming_kll_maintenance_quantiles_track_stream(spark, sf_dir, tmp_path):
+    """KLL twin: after two batches + a replay, the maintained table's
+    per-type quantiles must match direct one-pass sketching, and each
+    estimate's true rank must sit within the sketch's error bound."""
+    import bisect
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.sketches import (
+        build_value_kll_sketches,
+        kll_quantiles_by_type,
+    )
+    from hadoop_stuff_spark.streaming.matview import streaming_kll_sink
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    b0 = events.filter(F.dayofmonth("ts") % 2 == 0)
+    b1 = events.filter(F.dayofmonth("ts") % 2 == 1)
+
+    path = str(tmp_path / "kll")
+    sink = streaming_kll_sink(path, str(tmp_path / "work"))
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # replay — must not change anything
+
+    got = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in kll_quantiles_by_type(read_rollup(spark, path)).collect()
+    }
+    direct = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in kll_quantiles_by_type(build_value_kll_sketches(events)).collect()
+    }
+    assert set(got) == set(direct)
+
+    exact: dict[str, list[float]] = {}
+    for r in events.select("event_type", "value").collect():
+        exact.setdefault(r.event_type, []).append(float(r.value))
+    for vals in exact.values():
+        vals.sort()
+    for etype, (p50, p95, p99) in got.items():
+        vals = exact[etype]
+        for p, est in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            rank = bisect.bisect_right(vals, est) / len(vals)
+            assert abs(rank - p) <= 0.035, (etype, p, est, rank)
