@@ -206,3 +206,66 @@ class Engine:
         from hadoop_stuff_spark.operators.scd import scd2_merge
 
         return scd2_merge(history, snapshot, key_cols, tracked_cols, batch_ts)
+
+    # ------------------------------------------------------------------
+    # round-4 surface: set-algebra/quantile/frequency sketches, upsert,
+    # typed file skipping
+
+    def theta_sketches(self, df: DataFrame, lg_k: int = 14) -> DataFrame:
+        """Per-(day,type) theta sketch table — distinct counts PLUS set
+        algebra (overlap/retention) from the persisted blobs."""
+        from hadoop_stuff_spark.operators.sketches import build_user_theta_sketches
+
+        return build_user_theta_sketches(df, lg_k=lg_k)
+
+    def audience_overlap(self, sketches: DataFrame, type_a: str, type_b: str) -> DataFrame:
+        """|A|, |B|, A∩B, A∪B, A\\B, B\\A, Jaccard between two event
+        types' audiences — one scan of the sketch table, no fact rescan."""
+        from hadoop_stuff_spark.operators.sketches import theta_audience_overlap
+
+        return theta_audience_overlap(sketches, type_a, type_b)
+
+    def retention(self, sketches: DataFrame, date_a: str, date_b: str) -> DataFrame:
+        """Users active on date_a who returned (or churned) by date_b."""
+        from hadoop_stuff_spark.operators.sketches import theta_retention
+
+        return theta_retention(sketches, date_a, date_b)
+
+    def quantile_sketches(self, df: DataFrame, k: int = 200) -> DataFrame:
+        """Per-(day,type) mergeable KLL sketch table of `value`."""
+        from hadoop_stuff_spark.operators.sketches import build_value_kll_sketches
+
+        return build_value_kll_sketches(df, k=k)
+
+    def quantiles(self, sketches: DataFrame, probs=(0.5, 0.95, 0.99)) -> DataFrame:
+        """Per-type quantiles from the KLL sketch table (rank-error
+        bounded), never rescanning facts."""
+        from hadoop_stuff_spark.operators.sketches import kll_quantiles_by_type
+
+        return kll_quantiles_by_type(sketches, probs=list(probs))
+
+    def frequency_sketches(self, df: DataFrame, eps: float = 1e-3) -> DataFrame:
+        """Per-day mergeable count-min sketch table of user_id occurrences."""
+        from hadoop_stuff_spark.operators.sketches import build_user_cms
+
+        return build_user_cms(df, eps=eps)
+
+    def frequency_estimates(
+        self, sketches: DataFrame, items: list[int],
+        start: str | None = None, end: str | None = None,
+    ) -> dict[int, int]:
+        """Point occurrence estimates (>= true, <= true + eps*N) for
+        ``items`` over a date range of the CMS table."""
+        from hadoop_stuff_spark.operators.sketches import cms_point_estimates
+
+        return cms_point_estimates(self.spark, sketches, items, start=start, end=end)
+
+    def upsert(
+        self, target_path: str, delta: DataFrame,
+        keys: list[str], partition_cols: list[str],
+    ) -> dict:
+        """MERGE a delta into a partitioned parquet table at O(affected
+        partitions) (sources/upsert.upsert_by_key)."""
+        from hadoop_stuff_spark.sources.upsert import upsert_by_key
+
+        return upsert_by_key(self.spark, target_path, delta, keys, partition_cols)

@@ -67,3 +67,44 @@ def test_engine_round3_facade(spark, sf_dir, tmp_path):
 
     rep = eng.check_quality(docs, {"has_text": F.length("text") > 0}).collect()
     assert rep[0].rule == "has_text" and rep[0].n_rows == 20
+
+
+def test_facade_round4_sketch_and_upsert_paths(spark, sf_dir, tmp_path):
+    """Smoke the round-4 facade surface end to end: theta overlap +
+    retention, KLL quantiles, CMS estimates, partition-scoped upsert."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.engine import Engine
+
+    eng = Engine(spark)
+    events = load_table(spark, sf_dir, "events")
+
+    th = eng.theta_sketches(events)
+    row = eng.audience_overlap(th, "purchase", "click").collect()[0]
+    assert row.n_both <= row.n_either
+    d0, d1 = [
+        str(r.d)
+        for r in events.select(F.to_date("ts").alias("d")).distinct().orderBy("d").limit(2).collect()
+    ]
+    ret = eng.retention(th, d0, d1).collect()[0]
+    assert ret.n_retained + ret.n_churned == ret.n_day_a
+
+    q = eng.quantiles(eng.quantile_sketches(events)).collect()
+    assert all(r.p50 <= r.p95 <= r.p99 for r in q)
+
+    cms = eng.frequency_sketches(events)
+    some_user = events.select("user_id").first().user_id
+    est = eng.frequency_estimates(cms, [some_user])
+    true = events.filter(F.col("user_id") == some_user).count()
+    assert est[some_user] >= true
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 0, "a"), (2, 1, "b")], "k long, day int, v string") \
+        .write.partitionBy("day").parquet(path)
+    stats = eng.upsert(
+        path,
+        spark.createDataFrame([(1, 0, "A"), (3, 0, "c")], "k long, day int, v string"),
+        ["k"], ["day"],
+    )
+    assert stats["rows_replaced"] == 1 and stats["rows_inserted"] == 1
