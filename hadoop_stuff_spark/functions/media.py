@@ -15,6 +15,10 @@ containers are parseable with `struct` + numpy are decoded FOR REAL —
   bottom-up or top-down, 4-byte row padding) to an H×W×3 numpy array,
   nearest-neighbor resize, and re-encode — a real image resize with zero
   dependencies.
+- **AVI (RIFF)**: full tree walk — true dims/fps/frame count from avih,
+  real per-frame chunks from the movi LIST; uncompressed ('DIB ')
+  frames decode to pixels. Compressed-codec pixel decode is the one
+  genuinely PyAV-gated step.
 
 Anything else goes through the capability gate: if PIL happens to be
 importable (`pil_available()`), `multimodal` uses it; otherwise callers
@@ -231,3 +235,135 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h // height).clip(0, h - 1)
     xs = (np.arange(width) * w // width).clip(0, w - 1)
     return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) video containers — real frame extraction, zero dependencies
+#
+# Same family as WAV: an AVI file is a RIFF tree whose 'movi' LIST holds
+# one chunk per frame ('NNdb'/'NNdc' = stream NN uncompressed/compressed
+# bits). Walking the tree with struct yields the true frame count, fps
+# and per-frame payloads — for uncompressed (BI_RGB 'DIB ') streams the
+# frames are literal bitmaps. Compressed codecs (H.264 etc.) still
+# yield correct frame boundaries and metadata here; decoding their
+# pixels is what genuinely needs PyAV and stays behind the stub.
+
+
+def is_avi(payload: bytes) -> bool:
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    )
+
+
+class AviInfo:
+    __slots__ = ("width", "height", "fps", "n_frames", "frames")
+
+    def __init__(self, width, height, fps, n_frames, frames):
+        self.width = width
+        self.height = height
+        self.fps = fps
+        self.n_frames = n_frames
+        self.frames = frames  # list[bytes] — raw per-frame chunk payloads
+
+
+def _walk_riff(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, body_start, body_end)."""
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body_start = pos + 8
+        body_end = min(body_start + size, end)
+        if cid in (b"LIST", b"RIFF"):
+            ltype = payload[body_start : body_start + 4]
+            yield cid, ltype, body_start + 4, body_end
+        else:
+            yield cid, None, body_start, body_end
+        pos = body_start + size + (size & 1)
+
+
+def parse_avi(payload: bytes) -> AviInfo:
+    """Walk the RIFF tree: 'avih' gives dims and frame interval, the
+    'movi' LIST gives the actual frame chunks. Raises ValueError on a
+    malformed container."""
+    if not is_avi(payload):
+        raise ValueError("not a RIFF/AVI container")
+    width = height = n_frames = 0
+    fps = 0.0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, n_frames, fps
+        for cid, ltype, s, e in _walk_riff(payload, pos, end):
+            if ltype is not None:  # a LIST — recurse; collect movi frames
+                if ltype == b"movi":
+                    for fcc, flt, fs, fe in _walk_riff(payload, s, e):
+                        if flt is None and fcc[2:4] in (b"db", b"dc"):
+                            frames.append(payload[fs:fe])
+                else:
+                    walk(s, e)
+            elif cid == b"avih" and e - s >= 40:
+                (us_per_frame, _maxbytes, _pad, _flags, total, _init,
+                 _streams, _bufsize, w, h) = struct.unpack_from("<10I", payload, s)
+                width, height, n_frames = w, h, total
+                fps = 1e6 / us_per_frame if us_per_frame else 0.0
+
+    walk(12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0]))
+    if width == 0 and not frames:
+        raise ValueError("no avih header or movi frames found")
+    return AviInfo(width, height, fps, n_frames or len(frames), frames)
+
+
+def make_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode H×W×3 RGB frames as an uncompressed ('DIB ') AVI — the
+    golden-fixture encoder, mirroring make_wav. Frames are stored as
+    bottom-up BGR bitmaps in '00db' chunks, the format every AVI reader
+    accepts."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frame_blobs = []
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one shape")
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        frame_blobs.append(chunk(b"00db", rows.tobytes()))
+
+    frame_bytes = max(len(b) for b in frame_blobs)
+    avih = struct.pack(
+        "<10I16x", int(1e6 / fps), frame_bytes * fps, 0, 0,
+        len(frames), 0, 1, frame_bytes, w, h,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_bytes, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * ((w * 3 + 3) & ~3), 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(frame_blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frame(info: AviInfo, idx: int) -> np.ndarray:
+    """Uncompressed AVI frame chunk → H×W×3 RGB (bottom-up BGR layout,
+    row pad — the BMP pixel format without the BMP header)."""
+    h, w = info.height, info.width
+    stride = (w * 3 + 3) & ~3
+    raw = info.frames[idx]
+    rows = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()

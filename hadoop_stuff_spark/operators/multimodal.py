@@ -12,8 +12,9 @@ when importable, extends real decode to every other image format
 dependency exists). Only payloads in none of those formats fall back to
 the documented deterministic stubs, so the operators never crash on the
 text-derived testdata blobs while behaving as real decoders on real
-media. Video frame extraction remains a stub (containers genuinely need
-PyAV).
+media. Video frames are REAL for RIFF/AVI containers (movi chunk walk;
+uncompressed frames decode to pixels) — only compressed-codec pixel
+decode genuinely needs PyAV and stays stubbed.
 
 The testdata has no binary table, so :func:`synthesize_blobs` derives a
 binary column from ``documents.text`` (utf-8 bytes) — the same shape a real
@@ -285,8 +286,7 @@ FRAME_SIZE = 256  # stub "frame" = 256-byte slice of the payload
 
 
 def _frames_stub(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
-    """STUB frame sampler. Real impl would decode the container (e.g.
-    PyAV) and emit every ``every_n``-th frame. Here: the payload is cut
+    """FALLBACK frame sampler for non-video payloads: the payload is cut
     into FRAME_SIZE-byte 'frames'; every n-th is kept — deterministic,
     and the 1→N row-expansion shape is identical to the real thing."""
     n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
@@ -294,6 +294,28 @@ def _frames_stub(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
     for idx in range(0, n_frames, every_n):
         out.append((idx, payload[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]))
     return out
+
+
+def _frames_decode(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """REAL frame sampling for RIFF/AVI containers (functions/media.py):
+    the RIFF tree's movi LIST yields the TRUE per-frame chunks; every
+    n-th frame's raw bytes are emitted with its real index. Uncompressed
+    ('00db') frames are literal bitmaps decodable downstream with
+    media.decode_avi_frame; compressed streams still get correct frame
+    boundaries (pixel decode of those is the one remaining PyAV-gated
+    stub). Non-AVI payloads take the byte-slice fallback."""
+    from hadoop_stuff_spark.functions import media as M
+
+    if M.is_avi(payload):
+        try:
+            info = M.parse_avi(payload)
+            return [
+                (idx, info.frames[idx])
+                for idx in range(0, len(info.frames), every_n)
+            ]
+        except ValueError:
+            pass
+    return _frames_stub(payload, every_n)
 
 
 def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
@@ -305,7 +327,7 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for idx, frame in _frames_stub(
+                for idx, frame in _frames_decode(
                     bytes(payload) if payload is not None else b"", every_n
                 ):
                     ids.append(doc_id)

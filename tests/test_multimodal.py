@@ -406,3 +406,63 @@ def test_media_ahash_is_true_perceptual_hash_for_bmp(spark):
     assert h[1] == h[2]
     assert ham(h[1], h[3]) <= 2
     assert ham(h[1], h[4]) >= 50
+
+
+def test_sample_frames_decodes_real_avi_through_spark(spark):
+    """sample_frames on a real (handcrafted, uncompressed) AVI emits the
+    TRUE every-n-th frames with their real indices, and each sampled
+    frame's bytes decode back to the exact source pixels; a non-video
+    payload on the same frame takes the documented byte-slice fallback."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import (
+        decode_avi_frame,
+        make_avi,
+        parse_avi,
+    )
+    from hadoop_stuff_spark.operators.multimodal import sample_frames
+
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint16).astype(np.uint8)
+        for _ in range(10)
+    ]
+    avi = make_avi(frames, fps=5)
+    media = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"x" * 600))],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(media, every_n=4).collect()
+    by_doc: dict[int, dict[int, bytes]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame)
+
+    assert sorted(by_doc[1]) == [0, 4, 8]  # true frame indices
+    info = parse_avi(avi)
+    for idx in (0, 4, 8):
+        assert by_doc[1][idx] == info.frames[idx]
+        decoded = np.frombuffer(by_doc[1][idx][: 8 * 20], dtype=np.uint8)
+        assert len(decoded) > 0
+        assert np.array_equal(decode_avi_frame(info, idx), frames[idx])
+    assert sorted(by_doc[2]) == [0]  # 600 bytes → 3 stub frames, every 4th
+
+
+def test_avi_roundtrip_and_metadata():
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import (
+        decode_avi_frame,
+        make_avi,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [
+        rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint16).astype(np.uint8)
+        for _ in range(4)
+    ]
+    info = parse_avi(make_avi(frames, fps=25))
+    assert (info.width, info.height, info.n_frames) == (7, 5, 4)
+    assert abs(info.fps - 25.0) < 1e-6
+    for i, f in enumerate(frames):
+        assert np.array_equal(decode_avi_frame(info, i), f)
