@@ -32,6 +32,7 @@ story at all. This is the beyond-reference §2.7 scale analog.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -348,3 +349,107 @@ def cms_point_estimates(
     for b in blobs[1:]:
         merged.mergeInPlace(_cms_from_bytes(spark, b))
     return {int(i): int(merged.estimateCount(int(i))) for i in items}
+
+
+# -- executor-side CMS estimation -------------------------------------------
+#
+# `cms_point_estimates` answers a handful of dashboard probes driver-side
+# through the JVM class. Joining estimates against a FRAME of keys (score
+# every row by its key's historical frequency) must not loop the driver,
+# so the estimator below reimplements the sketch READ path in vectorized
+# numpy. The binary layout and hash were verified bit-exact against the
+# JVM writer (test_sketches.py::test_cms_vectorized_estimates_match_jvm):
+#
+#   int32 version(1) | int64 totalCount | int32 depth | int32 width |
+#   int64 hashA[depth] | int64 table[depth][width]      (all big-endian)
+#   bucket_i(item) = ((hashA[i]*item + ((hashA[i]*item) >> 32)) & (2^31-1)) % width
+#
+# Merging = elementwise table addition, valid because every sketch the
+# engine builds shares CMS_SEED (same hashA family). The merged table
+# (depth x width longs, ~eps-determined size) ships to executors in the
+# UDF closure — KBs, not data.
+
+
+def _parse_cms_blob(blob: bytes):
+    import struct as _struct
+
+    import numpy as np
+
+    version, total = _struct.unpack_from(">iq", blob, 0)
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch version {version}")
+    depth, width = _struct.unpack_from(">ii", blob, 12)
+    hash_a = np.frombuffer(blob, dtype=">i8", count=depth, offset=20).astype(
+        np.uint64
+    )
+    table = (
+        np.frombuffer(
+            blob, dtype=">i8", count=depth * width, offset=20 + depth * 8
+        )
+        .reshape(depth, width)
+        .astype(np.int64)
+    )
+    return total, hash_a, table
+
+
+def _merged_cms_arrays(spark: SparkSession, sketches: DataFrame,
+                       start: str | None = None, end: str | None = None):
+    sel = sketches
+    if start is not None:
+        sel = sel.filter(F.col("event_date") >= F.lit(start))
+    if end is not None:
+        sel = sel.filter(F.col("event_date") < F.lit(end))
+    blobs = [bytes(r.user_cms) for r in sel.select("user_cms").collect()]
+    if not blobs:
+        return None
+    total, hash_a, table = _parse_cms_blob(blobs[0])
+    for b in blobs[1:]:
+        t2, a2, tb2 = _parse_cms_blob(b)
+        import numpy as np
+
+        if not np.array_equal(a2, hash_a) or tb2.shape != table.shape:
+            raise ValueError(
+                "cannot merge CMS sketches with different hash families "
+                "(eps/confidence/seed must match across builds)"
+            )
+        total += t2
+        table = table + tb2
+    return total, hash_a, table
+
+
+def with_frequency_estimates(
+    spark: SparkSession,
+    sketches: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    out_col: str = "est_count",
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """Add a CMS frequency-estimate column to ``probes`` — fully
+    executor-side: the merged table rides the closure, each Arrow batch
+    of keys is estimated in O(depth) vectorized numpy ops. Scales to
+    billions of probe rows with zero driver involvement per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    merged = _merged_cms_arrays(spark, sketches, start=start, end=end)
+    if merged is None:
+        return probes.withColumn(out_col, F.lit(0).cast("long"))
+    _, hash_a, table = merged
+    width = table.shape[1]
+    prime = (1 << 31) - 1
+
+    @pandas_udf("long")
+    def estimate(keys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        items = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        mins = None
+        for i in range(table.shape[0]):
+            h = hash_a[i] * items                      # uint64 modular
+            h = (h + (h >> np.uint64(32))) & np.uint64(prime)
+            vals = table[i][(h % np.uint64(width)).astype(np.int64)]
+            mins = vals if mins is None else np.minimum(mins, vals)
+        return pd.Series(mins)
+
+    return probes.withColumn(out_col, estimate(F.col(key_col)))

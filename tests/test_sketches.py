@@ -326,3 +326,68 @@ def test_cms_empty_range_returns_zeros(spark):
     assert cms_point_estimates(
         spark, sketches, [1, 2], start="2030-01-01"
     ) == {1: 0, 2: 0}
+
+
+def test_cms_vectorized_estimates_match_jvm(spark):
+    """The executor-side numpy estimator must be BIT-EXACT with the JVM
+    CountMinSketch reader on the same blob — including negative and
+    64-bit-range keys — and with_frequency_estimates must agree with the
+    driver-side cms_point_estimates for merged multi-day tables."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        _parse_cms_blob,
+        build_user_cms,
+        cms_point_estimates,
+        with_frequency_estimates,
+    )
+
+    events = spark.range(5000).select(
+        F.concat(F.lit("2024-04-0"), ((F.col("id") % 3) + 1).cast("string"))
+        .cast("timestamp")
+        .alias("ts"),
+        (F.col("id") % 37 - 5).alias("user_id"),  # includes negative keys
+    )
+    sketches = build_user_cms(events)
+
+    # bit-exact single-blob parity vs the JVM reader
+    blob = bytes(sketches.limit(1).collect()[0].user_cms)
+    total, hash_a, table = _parse_cms_blob(blob)
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(blob)
+    )
+    assert total == cms.totalCount()
+    import numpy as np
+
+    prime = (1 << 31) - 1
+    for item in [-5, -1, 0, 17, 31, 999, 2**40 + 7, -(2**40)]:
+        h_item = np.int64(np.array([item], dtype=np.int64)).view(np.uint64)
+        mins = None
+        for i in range(table.shape[0]):
+            h = hash_a[i] * h_item
+            h = (h + (h >> np.uint64(32))) & np.uint64(prime)
+            v = table[i][(h % np.uint64(table.shape[1])).astype(np.int64)]
+            mins = v if mins is None else np.minimum(mins, v)
+        assert int(mins[0]) == cms.estimateCount(int(item)), item
+
+    # frame-level estimates == driver-side point estimates (merged table)
+    probe_keys = [-5, 0, 17, 31, 100_000]
+    probes = spark.createDataFrame([(k,) for k in probe_keys], "user_id long")
+    got = {
+        r.user_id: r.est_count
+        for r in with_frequency_estimates(
+            spark, sketches, probes, "user_id"
+        ).collect()
+    }
+    want = cms_point_estimates(spark, sketches, probe_keys)
+    assert got == want
+
+    # and the estimates obey the one-sided guarantee vs true counts
+    true = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k in probe_keys[:-1]:
+        if k in true:
+            assert got[k] >= true[k]
