@@ -240,3 +240,32 @@ def test_image_and_wav_parsers_never_crash_on_garbage(blob):
             parse_wav(blob)
         except (ValueError, NotImplementedError):
             pass  # the two documented rejection types
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_avi_roundtrip_any_shape(w, h, n, seed):
+    """make_avi → parse_avi/decode_avi_frame is pixel-exact for every
+    frame shape/count — incl. row-padding widths."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions.media import (
+        decode_avi_frame,
+        make_avi,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint16).astype(np.uint8)
+        for _ in range(n)
+    ]
+    info = parse_avi(make_avi(frames, fps=12))
+    assert (info.width, info.height, info.n_frames) == (w, h, n)
+    for i, f in enumerate(frames):
+        assert np.array_equal(decode_avi_frame(info, i), f)
