@@ -453,3 +453,49 @@ def with_frequency_estimates(
         return pd.Series(mins)
 
     return probes.withColumn(out_col, estimate(F.col(key_col)))
+
+
+# ---------------------------------------------------------------------------
+# corpus-overlap estimation — theta sketches at DOCUMENT grain
+
+
+def corpus_overlap(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    lg_k: int = THETA_LG_K,
+) -> DataFrame:
+    """Estimate content overlap between two corpora WITHOUT a join: one
+    theta sketch per corpus over the normalized-content fingerprint
+    (functions/text.fingerprint_md5 — the exact-dedup key), then sketch
+    algebra gives |A|, |B|, shared, unique-to-each and Jaccard. This is
+    the dedup-planning question ("is it worth cross-deduplicating these
+    two crawls?") answered with two single scans and KBs of state —
+    where the exact answer is a fingerprint join of both corpora.
+    Below 2^lg_k distinct documents per corpus the estimates are exact."""
+    from hadoop_stuff_spark.functions.text import fingerprint_md5
+
+    def sk(df: DataFrame):
+        return df.agg(
+            F.theta_sketch_agg(
+                fingerprint_md5(text_col), F.lit(lg_k)
+            ).alias("s")
+        )
+
+    a = sk(corpus_a).select(F.col("s").alias("sa"))
+    b = sk(corpus_b).select(F.col("s").alias("sb"))
+    est = F.theta_sketch_estimate
+    # 1x1 scalar-shape join of two single-row aggregates (each corpus
+    # scanned exactly once; nothing re-evaluates across branches because
+    # the inputs are distinct frames)
+    return a.crossJoin(b).select(
+        est(F.col("sa")).alias("n_docs_a"),
+        est(F.col("sb")).alias("n_docs_b"),
+        est(F.theta_intersection("sa", "sb")).alias("n_shared"),
+        est(F.theta_difference("sa", "sb")).alias("n_only_a"),
+        est(F.theta_difference("sb", "sa")).alias("n_only_b"),
+        (
+            est(F.theta_intersection("sa", "sb"))
+            / est(F.theta_union("sa", "sb"))
+        ).alias("jaccard"),
+    )

@@ -391,3 +391,41 @@ def test_cms_vectorized_estimates_match_jvm(spark):
     for k in probe_keys[:-1]:
         if k in true:
             assert got[k] >= true[k]
+
+
+def test_corpus_overlap_exact_below_capacity(spark, sf_dir):
+    """Two constructed corpora with known content overlap: the no-join
+    theta report must be exact (document counts are far below sketch
+    capacity), including whitespace-normalization (same content, new
+    spacing → still shared)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.sketches import corpus_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 300)
+    # B shares docs 200-299 with A but with doubled whitespace (the
+    # fingerprint normalizes it), plus 200 docs A lacks
+    shared = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    ).withColumn("text", F.regexp_replace("text", " ", "  "))
+    only_b = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 500)
+    )
+    b = shared.unionByName(only_b)
+
+    # ground truth on the SAME fingerprint definition (content may repeat
+    # across doc_ids in the synthetic corpus, so count distinct contents)
+    from hadoop_stuff_spark.functions.text import fingerprint_md5
+
+    fp = lambda df: {r.fp for r in df.select(fingerprint_md5("text").alias("fp")).collect()}  # noqa: E731
+    fa, fb = fp(a), fp(b)
+
+    row = corpus_overlap(a, b).collect()[0]
+    assert row.n_docs_a == float(len(fa))
+    assert row.n_docs_b == float(len(fb))
+    assert row.n_shared == float(len(fa & fb))
+    assert row.n_only_a == float(len(fa - fb))
+    assert row.n_only_b == float(len(fb - fa))
+    assert len(fa & fb) > 0  # the scenario is non-degenerate
