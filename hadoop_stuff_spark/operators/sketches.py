@@ -499,3 +499,99 @@ def corpus_overlap(
             / est(F.theta_union("sa", "sb"))
         ).alias("jaccard"),
     )
+
+
+# -- string keys ------------------------------------------------------------
+#
+# Spark's CMS hashes string items with double hashing over Murmur3_x86_32
+# of the utf-8 bytes (signed tail bytes): h1 = murmur3(data, 0),
+# h2 = murmur3(data, h1), bucket_i = abs((h1 + i*h2) % width) in Java
+# int/mod semantics. Verified bucket-exact against the JVM's private
+# getHashBuckets via reflection (test_sketches.py). Variable-length keys
+# preclude full vectorization; the per-key work is O(len + depth) python
+# inside the Arrow batch — fine for scoring streams of string keys,
+# and still zero driver involvement.
+
+
+def _murmur3_32(data: bytes, seed: int) -> int:
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    nblocks = n // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 4 : (i + 1) * 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    for i in range(nblocks * 4, n):
+        k = data[i]
+        if k >= 128:  # java bytes are signed
+            k -= 256
+        k &= 0xFFFFFFFF
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _to_i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def _string_buckets(s: str, depth: int, width: int) -> list[int]:
+    data = s.encode("utf-8")
+    h1 = _to_i32(_murmur3_32(data, 0))
+    h2 = _to_i32(_murmur3_32(data, h1))
+    out = []
+    for i in range(depth):
+        c = _to_i32(h1 + i * h2)
+        r = abs(c) % width  # == abs(java c % width): java mod keeps sign
+        out.append(r)
+    return out
+
+
+def with_string_frequency_estimates(
+    spark: SparkSession,
+    sketches: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    out_col: str = "est_count",
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """`with_frequency_estimates` for STRING keys (CMS tables built over
+    a string column) — same merged-table-in-closure design, bucket
+    computation per key instead of vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    merged = _merged_cms_arrays(spark, sketches, start=start, end=end)
+    if merged is None:
+        return probes.withColumn(out_col, F.lit(0).cast("long"))
+    _, _hash_a, table = merged
+    depth, width = table.shape
+
+    @pandas_udf("long")
+    def estimate(keys: pd.Series) -> pd.Series:
+        out = []
+        for s in keys:
+            if s is None:
+                out.append(0)
+                continue
+            bk = _string_buckets(str(s), depth, width)
+            out.append(min(int(table[i][bk[i]]) for i in range(depth)))
+        return pd.Series(out)
+
+    return probes.withColumn(out_col, estimate(F.col(key_col)))

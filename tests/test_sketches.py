@@ -429,3 +429,56 @@ def test_corpus_overlap_exact_below_capacity(spark, sf_dir):
     assert row.n_only_a == float(len(fa - fb))
     assert row.n_only_b == float(len(fb - fa))
     assert len(fa & fb) > 0  # the scenario is non-degenerate
+
+
+def test_cms_string_keys_bit_exact_with_jvm(spark):
+    """String-key path: python buckets == the JVM's private
+    getHashBuckets (reflection), and frame estimates == JVM
+    estimateCount — incl. multi-byte utf-8 and empty strings."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        _string_buckets,
+        with_string_frequency_estimates,
+    )
+
+    words = ["apple", "banana", "apple", "cherry", "日本語テスト", "", "apple"]
+    df = spark.createDataFrame([(w,) for w in words], "k string")
+    sketch = df.agg(
+        F.count_min_sketch("k", F.lit(0.01), F.lit(0.95), F.lit(42)).alias("user_cms")
+    ).withColumn("event_date", F.lit("2024-01-01").cast("date"))
+
+    blob = bytes(sketch.collect()[0].user_cms)
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(blob)
+    )
+
+    # bucket-exact vs the JVM's private hash (reflection ground truth)
+    gw = spark.sparkContext._gateway
+    cls = jvm.java.lang.Class.forName(
+        "org.apache.spark.util.sketch.CountMinSketchImpl"
+    )
+    params = gw.new_array(jvm.java.lang.Class, 3)
+    params[0] = jvm.java.lang.Class.forName("[B")
+    params[1] = jvm.java.lang.Integer.TYPE
+    params[2] = jvm.java.lang.Integer.TYPE
+    m = cls.getDeclaredMethod("getHashBuckets", params)
+    m.setAccessible(True)
+    for s in ["apple", "x", "日本語", "", "a b c", "\x00\x7f"]:
+        args = gw.new_array(jvm.java.lang.Object, 3)
+        args[0] = bytearray(s.encode("utf-8"))
+        args[1] = jvm.java.lang.Integer(7)
+        args[2] = jvm.java.lang.Integer(2000)
+        assert _string_buckets(s, 7, 2000) == list(m.invoke(None, args)), s
+
+    probes = spark.createDataFrame(
+        [("apple",), ("banana",), ("missing",), ("日本語テスト",)], "k string"
+    )
+    got = {
+        r.k: r.est_count
+        for r in with_string_frequency_estimates(spark, sketch, probes, "k").collect()
+    }
+    for k, v in got.items():
+        assert v == cms.estimateCount(k), k
+    assert got["apple"] >= 3
