@@ -269,3 +269,31 @@ class Engine:
         from hadoop_stuff_spark.sources.upsert import upsert_by_key
 
         return upsert_by_key(self.spark, target_path, delta, keys, partition_cols)
+
+    def corpus_overlap(self, corpus_a: DataFrame, corpus_b: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+        """No-join content-overlap report between two corpora (theta
+        sketches over normalized fingerprints): shared/unique doc counts
+        and Jaccard — the cross-dedup planning query."""
+        from hadoop_stuff_spark.operators.sketches import corpus_overlap
+
+        return corpus_overlap(corpus_a, corpus_b, text_col=text_col)
+
+    def score_by_frequency(
+        self, sketches: DataFrame, probes: DataFrame, key_col: str,
+        out_col: str = "est_count",
+        start: str | None = None, end: str | None = None,
+    ) -> DataFrame:
+        """Executor-side CMS frequency column over a probe frame; picks
+        the vectorized long-key or string-key estimator by column type."""
+        from pyspark.sql.types import StringType
+
+        from hadoop_stuff_spark.operators.sketches import (
+            with_frequency_estimates,
+            with_string_frequency_estimates,
+        )
+
+        is_str = isinstance(probes.schema[key_col].dataType, StringType)
+        fn = with_string_frequency_estimates if is_str else with_frequency_estimates
+        return fn(self.spark, sketches, probes, key_col,
+                  out_col=out_col, start=start, end=end)

@@ -108,3 +108,24 @@ def test_facade_round4_sketch_and_upsert_paths(spark, sf_dir, tmp_path):
         ["k"], ["day"],
     )
     assert stats["rows_replaced"] == 1 and stats["rows_inserted"] == 1
+
+
+def test_facade_frequency_scoring_and_corpus_overlap(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.engine import Engine
+
+    eng = Engine(spark)
+    events = load_table(spark, sf_dir, "events")
+    cms = eng.frequency_sketches(events)
+    probes = events.select("user_id").distinct().limit(20)
+    scored = eng.score_by_frequency(cms, probes, "user_id")
+    rows = scored.collect()
+    assert all(r.est_count >= 1 for r in rows)  # every probed user occurred
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = eng.corpus_overlap(
+        docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 200)
+    ).collect()[0]
+    assert rep.n_shared >= 0 and rep.jaccard <= 1.0
