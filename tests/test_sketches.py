@@ -482,3 +482,48 @@ def test_cms_string_keys_bit_exact_with_jvm(spark):
     for k, v in got.items():
         assert v == cms.estimateCount(k), k
     assert got["apple"] >= 3
+
+
+def test_kll_drift_detects_shift_and_ignores_none(spark):
+    """KS drift from sketch tables: identical before/after distributions
+    → KS within sketch rank error of 0; a mean-shifted after-period →
+    KS within a few points of the exact empirical statistic."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_value_kll_sketches,
+        kll_drift_by_type,
+    )
+
+    n = 20_000
+    base = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "2024-05-01").otherwise("2024-05-20")
+        .cast("timestamp").alias("ts"),
+        F.lit("stable").alias("event_type"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(10_000)).cast("double") / 100).alias("value"),
+    )
+    shifted = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "2024-05-01").otherwise("2024-05-20")
+        .cast("timestamp").alias("ts"),
+        F.lit("drifted").alias("event_type"),
+        (
+            F.pmod(F.col("id") * 2654435761, F.lit(10_000)).cast("double") / 100
+            + F.when(F.to_date("ts") >= "2024-05-10", 40.0).otherwise(0.0)
+        ).alias("value"),
+    )
+    sketches = build_value_kll_sketches(base.unionByName(shifted))
+    got = {
+        r.event_type: r.ks_distance
+        for r in kll_drift_by_type(sketches, "2024-05-10").collect()
+    }
+    assert got["stable"] <= 0.05, got
+    # exact KS for uniform[0,100] vs uniform[40,140] is 0.4
+    vals_a = np.sort((np.arange(0, n, 2, dtype=np.uint64) * 2654435761 % 10_000) / 100)
+    vals_b = np.sort((np.arange(1, n, 2, dtype=np.uint64) * 2654435761 % 10_000) / 100 + 40.0)
+    grid = np.union1d(vals_a, vals_b)
+    exact_ks = np.max(np.abs(
+        np.searchsorted(vals_a, grid, side="right") / len(vals_a)
+        - np.searchsorted(vals_b, grid, side="right") / len(vals_b)
+    ))
+    assert abs(got["drifted"] - exact_ks) <= 0.06, (got["drifted"], exact_ks)
