@@ -297,3 +297,11 @@ class Engine:
         fn = with_string_frequency_estimates if is_str else with_frequency_estimates
         return fn(self.spark, sketches, probes, key_col,
                   out_col=out_col, start=start, end=end)
+
+    def drift_report(self, sketches: DataFrame, split_date: str,
+                     n_probes: int = 99) -> DataFrame:
+        """Per-type KS drift statistic between before/after ``split_date``
+        from a KLL sketch table — no fact rescan."""
+        from hadoop_stuff_spark.operators.sketches import kll_drift_by_type
+
+        return kll_drift_by_type(sketches, split_date, n_probes=n_probes)

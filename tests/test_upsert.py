@@ -83,3 +83,45 @@ def test_upsert_rejects_duplicate_delta_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate key"):
         upsert_by_key(spark, path, dup_delta, ["k"], ["day"])
+
+
+def test_upsert_sequence_matches_dict_model(spark, tmp_path):
+    """Model-based: a sequence of random upserts applied to the parquet
+    table must equal the same sequence applied to a plain dict —
+    replacement, insertion and partition scoping all composed."""
+    import random
+
+    path = str(tmp_path / "seq")
+    rng = random.Random(42)
+    model: dict[int, tuple[int, int]] = {}
+
+    rows = [(k, rng.randrange(4), rng.randrange(1000)) for k in range(50)]
+    for k, day, v in rows:
+        model[k] = (day, v)
+    spark.createDataFrame(rows, "k long, day int, v long").write.partitionBy(
+        "day"
+    ).parquet(path)
+
+    for step in range(5):
+        n = rng.randrange(1, 8)
+        delta_rows = []
+        seen = set()
+        for _ in range(n):
+            k = rng.randrange(80)  # mixes existing + new keys
+            if k in seen:
+                continue
+            seen.add(k)
+            # keep a key's partition stable on update (day is part of the
+            # row identity for partition-scoped upsert)
+            day = model[k][0] if k in model else rng.randrange(6)
+            delta_rows.append((k, day, 10_000 * step + k))
+        delta = spark.createDataFrame(delta_rows, "k long, day int, v long")
+        upsert_by_key(spark, path, delta, ["k"], ["day"])
+        for k, day, v in delta_rows:
+            model[k] = (day, v)
+
+        got = {
+            r.k: (r.day, r.v)
+            for r in spark.read.parquet(path).select("k", "day", "v").collect()
+        }
+        assert got == model, f"diverged at step {step}"
