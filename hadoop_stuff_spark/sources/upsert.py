@@ -80,10 +80,12 @@ def upsert_by_key(
 
     n_parts = parts.count()
     n_current = current.count()
-    n_survivors = merged.count() - delta.count()
+    n_delta = delta.count()
+    n_survivors = merged.count() - n_delta
+    replaced = n_current - n_survivors
     overwrite_partitions(merged, target_path, partition_cols)
     return {
         "partitions_touched": n_parts,
-        "rows_replaced": n_current - n_survivors,
-        "rows_inserted": delta.count() - (n_current - n_survivors),
+        "rows_replaced": replaced,
+        "rows_inserted": n_delta - replaced,
     }
