@@ -216,3 +216,43 @@ def test_streaming_kll_maintenance_quantiles_track_stream(spark, sf_dir, tmp_pat
         for p, est in ((0.5, p50), (0.95, p95), (0.99, p99)):
             rank = bisect.bisect_right(vals, est) / len(vals)
             assert abs(rank - p) <= 0.035, (etype, p, est, rank)
+
+
+def test_streaming_drift_monitor_end_to_end(spark, tmp_path):
+    """The monitoring loop composed: batches stream through the KLL
+    sink maintaining the sketch table; the drift query over the
+    MAINTAINED table flags a distribution shift between periods and
+    stays quiet for a stable stream — no fact rescans anywhere."""
+    from hadoop_stuff_spark.operators.sketches import kll_drift_by_type
+    from hadoop_stuff_spark.streaming.matview import streaming_kll_sink
+
+    def batch(day, event_type, shift):
+        return (
+            spark.range(8000)
+            .select(
+                F.lit(f"2024-06-{day:02d}").cast("timestamp").alias("ts"),
+                F.lit(event_type).alias("event_type"),
+                (
+                    F.pmod(F.col("id") * 2654435761, F.lit(10_000)).cast("double")
+                    / 100
+                    + F.lit(float(shift))
+                ).alias("value"),
+            )
+        )
+
+    path = str(tmp_path / "kll")
+    sink = streaming_kll_sink(path, str(tmp_path / "work"))
+    # week 1 batches, then week 2: 'drifted' shifts, 'stable' does not
+    sink(batch(1, "stable", 0).unionByName(batch(1, "drifted", 0)), 0)
+    sink(batch(3, "stable", 0).unionByName(batch(3, "drifted", 0)), 1)
+    sink(batch(10, "stable", 0).unionByName(batch(10, "drifted", 50)), 2)
+    sink(batch(12, "stable", 0).unionByName(batch(12, "drifted", 50)), 3)
+
+    from hadoop_stuff_spark.operators.incremental import read_rollup
+
+    ks = {
+        r.event_type: r.ks_distance
+        for r in kll_drift_by_type(read_rollup(spark, path), "2024-06-07").collect()
+    }
+    assert ks["stable"] <= 0.05, ks
+    assert ks["drifted"] >= 0.4, ks  # uniform[0,100] vs uniform[50,150] → 0.5
