@@ -197,23 +197,38 @@ def _read_pointer(path: str) -> dict | None:
 def _swap_in(path: str, write_fn, folded: list[str]) -> None:
     """Write a new version dir via ``write_fn(version_dir)``, then make it
     current — data + folded manifest in one atomic pointer replace —
-    then GC version dirs no longer referenced."""
+    then GC stale version dirs. The IMMEDIATELY-PREVIOUS version is
+    retained one extra swap: a reader that resolved the old pointer just
+    before this commit can still finish scanning it (the snapshot-
+    retention idea table formats implement with time-travel windows, at
+    its minimum useful setting). Older versions — crashed-swap garbage
+    or twice-superseded — are removed."""
     import json
     import os
     import shutil
     import uuid
 
     os.makedirs(path, exist_ok=True)
+    prev = _read_pointer(path)
+    prev_version = prev.get("version") if prev else None
     version = f"v_{uuid.uuid4().hex[:12]}"
     write_fn(os.path.join(path, version))
     tmp = os.path.join(path, f"._CURRENT.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
-        f.write(json.dumps({"version": version, "folded": sorted(set(folded))}))
+        f.write(
+            json.dumps(
+                {
+                    "version": version,
+                    "previous": prev_version,
+                    "folded": sorted(set(folded)),
+                }
+            )
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _pointer_path(path))  # the atomic commit point
     for entry in os.listdir(path):
-        if entry.startswith("v_") and entry != version:
+        if entry.startswith("v_") and entry not in (version, prev_version):
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 

@@ -213,3 +213,31 @@ def test_rollup_swap_is_atomic_on_crash(spark, tmp_path):
     assert folded_batches(path) == {"0"}
     after = {r.k: (r.n_rows, r.total) for r in read_rollup(spark, path).collect()}
     assert after == before
+
+
+def test_rollup_swap_retains_previous_version_one_generation(spark, tmp_path):
+    """The immediately-previous version survives one swap (in-flight
+    readers finish), and is GC'd after the next one."""
+    import os
+
+    from hadoop_stuff_spark.operators.incremental import (
+        build_rollup,
+        refresh_rollup,
+    )
+
+    path = str(tmp_path / "r")
+    facts = spark.createDataFrame([("a", 1)], "k string, v long")
+    delta = spark.createDataFrame([("b", 2)], "k string, v long")
+
+    def versions():
+        return sorted(e for e in os.listdir(path) if e.startswith("v_"))
+
+    build_rollup(facts, path, ["k"], {"t": "v"})
+    v1 = versions()
+    assert len(v1) == 1
+    refresh_rollup(spark, delta, path, ["k"], {"t": "v"})
+    v2 = versions()
+    assert len(v2) == 2 and v1[0] in v2  # previous retained
+    refresh_rollup(spark, delta, path, ["k"], {"t": "v"})
+    v3 = versions()
+    assert len(v3) == 2 and v1[0] not in v3  # twice-superseded GC'd
