@@ -8,6 +8,8 @@ subcommands:
     python -m hadoop_stuff_spark wiretap LOG_DIR "REGEX HOST:PORT" [...] [--available-now]
     python -m hadoop_stuff_spark dq      [--sf-dir DIR]
     python -m hadoop_stuff_spark lint    QUERY [--sf-dir DIR]   # exit 1 on findings
+    python -m hadoop_stuff_spark overlap TYPE_A TYPE_B [--sf-dir DIR]
+    python -m hadoop_stuff_spark drift   YYYY-MM-DD [--sf-dir DIR]
 
 The reference packed these args into one comma-delimited string parsed
 positionally (DistributedGrep.java:85-93); argparse replaces that."""
@@ -55,6 +57,19 @@ def build_parser() -> argparse.ArgumentParser:
     ql = sub.add_parser("lint", help="lint the physical plan of an ANSI SQL query")
     ql.add_argument("query")
     ql.add_argument("--sf-dir", default=None)
+
+    ov = sub.add_parser(
+        "overlap", help="audience overlap between two event types (theta sketches)"
+    )
+    ov.add_argument("type_a")
+    ov.add_argument("type_b")
+    ov.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    dr = sub.add_parser(
+        "drift", help="per-type KS drift between before/after a split date (KLL)"
+    )
+    dr.add_argument("split_date", help="YYYY-MM-DD")
+    dr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     return p
 
 
@@ -87,6 +102,20 @@ def main(argv: list[str] | None = None) -> int:
         from hadoop_stuff_spark.operators.quality import dq_orders_report
 
         dq_orders_report(eng.spark, args.sf_dir).show(truncate=False)
+    elif args.cmd == "overlap":
+        from hadoop_stuff_spark.catalog import load_table
+
+        events = load_table(eng.spark, args.sf_dir, "events")
+        eng.audience_overlap(
+            eng.theta_sketches(events), args.type_a, args.type_b
+        ).show(truncate=False)
+    elif args.cmd == "drift":
+        from hadoop_stuff_spark.catalog import load_table
+
+        events = load_table(eng.spark, args.sf_dir, "events")
+        eng.drift_report(
+            eng.quantile_sketches(events), args.split_date
+        ).show(truncate=False)
     elif args.cmd == "lint":
         findings = eng.lint(eng.sql(args.query, args.sf_dir))
         if findings:

@@ -19,3 +19,17 @@ def test_cli_dq_prints_report(spark, sf_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "positive_price" in out and "fk(o_custkey)" in out
+
+
+def test_cli_overlap_and_drift(capsys):
+    from hadoop_stuff_spark.__main__ import main
+
+    assert main(["overlap", "purchase", "click",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "jaccard" in out
+
+    assert main(["drift", "2024-01-05",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "ks_distance" in out
