@@ -663,3 +663,68 @@ def kll_drift_by_type(
         .select("event_type", ks.alias("ks_distance"))
         .orderBy("event_type")
     )
+
+
+def kll_psi_by_type(
+    sketches: DataFrame,
+    split_date: str,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index per event_type between before/after
+    ``split_date`` — KS's companion statistic (KS sees the worst single
+    CDF gap; PSI integrates shift over the whole distribution; industry
+    rule-of-thumb: <0.1 stable, 0.1-0.25 moderate, >0.25 major shift).
+    Same machinery as `kll_drift_by_type`: one when()-gated fold of the
+    sketch table, bin edges from the global sketch's quantiles (foldable
+    literals), per-bin mass = rank(hi) - rank(lo) from each side's
+    sketch, PSI = Σ (p_a - p_b)·ln(p_a / p_b) with ``eps`` flooring so
+    empty bins don't blow up the log. Zero fact rescans."""
+    split = F.lit(split_date).cast("date")
+    before = F.when(F.col("event_date") < split, F.col("value_kll"))
+    after = F.when(F.col("event_date") >= split, F.col("value_kll"))
+
+    def fold(col):
+        arr = F.collect_list(col)
+        return F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, s: F.kll_sketch_merge_double(acc, s),
+        )
+
+    merged = sketches.groupBy("event_type").agg(
+        fold(before).alias("sa"), fold(after).alias("sb")
+    )
+    global_sk = sketches.agg(fold(F.col("value_kll")).alias("sg"))
+    edges_row = global_sk.select(
+        *[
+            F.kll_sketch_get_quantile_double("sg", F.lit(j / n_bins)).alias(f"e{j}")
+            for j in range(1, n_bins)
+        ]
+    ).collect()[0]
+    inner = sorted(set(float(v) for v in edges_row))
+
+    def mass(sk_col, lo, hi):
+        lo_rank = (
+            F.lit(0.0) if lo is None
+            else F.kll_sketch_get_rank_double(sk_col, F.lit(lo))
+        )
+        hi_rank = (
+            F.lit(1.0) if hi is None
+            else F.kll_sketch_get_rank_double(sk_col, F.lit(hi))
+        )
+        return F.greatest(hi_rank - lo_rank, F.lit(eps))
+
+    bounds = [None] + inner + [None]
+    terms = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        pa, pb = mass("sa", lo, hi), mass("sb", lo, hi)
+        terms.append((pa - pb) * F.log(pa / pb))
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return (
+        merged.filter(F.col("sa").isNotNull() & F.col("sb").isNotNull())
+        .select("event_type", psi.alias("psi"))
+        .orderBy("event_type")
+    )

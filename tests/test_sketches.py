@@ -527,3 +527,49 @@ def test_kll_drift_detects_shift_and_ignores_none(spark):
         - np.searchsorted(vals_b, grid, side="right") / len(vals_b)
     ))
     assert abs(got["drifted"] - exact_ks) <= 0.06, (got["drifted"], exact_ks)
+
+
+def test_kll_psi_flags_shift_and_not_stability(spark):
+    """PSI from sketch tables: stable stream ~0; a mean-shifted stream
+    lands deep in the 'major shift' band (>0.25) and close to the exact
+    binned PSI computed from the raw values."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_value_kll_sketches,
+        kll_psi_by_type,
+    )
+
+    n = 20_000
+    def stream(name, shift):
+        return spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, "2024-05-01").otherwise("2024-05-20")
+            .cast("timestamp").alias("ts"),
+            F.lit(name).alias("event_type"),
+            (
+                F.pmod(F.col("id") * 2654435761, F.lit(10_000)).cast("double") / 100
+                + F.when(F.to_date("ts") >= "2024-05-10", float(shift)).otherwise(0.0)
+            ).alias("value"),
+        )
+
+    sketches = build_value_kll_sketches(
+        stream("stable", 0).unionByName(stream("drifted", 40))
+    )
+    got = {
+        r.event_type: r.psi
+        for r in kll_psi_by_type(sketches, "2024-05-10").collect()
+    }
+    assert got["stable"] <= 0.05, got
+    assert got["drifted"] > 0.25, got
+
+    # exact binned PSI on the raw values, same decile-edge construction
+    va = (np.arange(0, n, 2, dtype=np.uint64) * 2654435761 % 10_000) / 100
+    vb = (np.arange(1, n, 2, dtype=np.uint64) * 2654435761 % 10_000) / 100 + 40.0
+    allv = np.concatenate([va, vb])
+    edges = np.quantile(allv, np.arange(1, 10) / 10)
+    eps = 1e-4
+    pa = np.maximum(np.histogram(va, bins=[-np.inf, *edges, np.inf])[0] / len(va), eps)
+    pb = np.maximum(np.histogram(vb, bins=[-np.inf, *edges, np.inf])[0] / len(vb), eps)
+    exact = float(np.sum((pa - pb) * np.log(pa / pb)))
+    assert abs(got["drifted"] - exact) / exact < 0.25, (got["drifted"], exact)
