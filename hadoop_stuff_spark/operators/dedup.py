@@ -226,9 +226,14 @@ def minhash_candidates(
         F.col(id_col).alias("id"), minhash_signature(text_col, n, perms).alias("sig")
     )
     # signatures are reused by the banding branch AND the two estimation
-    # joins — persist so the pandas-UDF signature pass runs once (at
-    # cluster scale you would land this as a table instead)
-    sigs = sigs.persist()
+    # joins — materialize so the pandas-UDF signature pass runs once. An
+    # eager localCheckpoint, not persist(): cached relations are held by
+    # the session's cache manager until explicitly unpersisted (the r3
+    # ADVICE leak on the simhash path — same shape here), while
+    # checkpoint blocks are released by the ContextCleaner as soon as
+    # the frame is garbage-collected. At cluster scale you would land
+    # the signatures as a table instead (incremental.py's store).
+    sigs = sigs.localCheckpoint(eager=True)
     # band on (band, bucket, id) ONLY — the 512 B signature must not ride
     # the bands-way explode through the candidate shuffle (16x payload
     # replication); surviving pairs re-join it below, once each side
