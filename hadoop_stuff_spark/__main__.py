@@ -32,13 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     gr = sub.add_parser("grep", help="regex filter over a store")
     gr.add_argument("path")
     gr.add_argument("pattern")
-    gr.add_argument("--format", default="chunked", choices=["chunked", "text", "parquet"])
+    gr.add_argument("--format", default="chunked", choices=["chunked", "text", "parquet", "orc"])
     gr.add_argument("--count", action="store_true", help="print only the match count")
     gr.add_argument("--limit", type=int, default=20)
 
     ct = sub.add_parser("count", help="record count over a store")
     ct.add_argument("path")
-    ct.add_argument("--format", default="chunked", choices=["chunked", "text", "parquet"])
+    ct.add_argument("--format", default="chunked", choices=["chunked", "text", "parquet", "orc"])
 
     sq = sub.add_parser("sql", help="ANSI SQL over the testdata views")
     sq.add_argument("query")

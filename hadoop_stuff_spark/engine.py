@@ -71,7 +71,11 @@ class Engine:
             return self.spark.read.text(path)
         if fmt == "parquet":
             return self.spark.read.parquet(path)
-        raise ValueError(f"unknown format {fmt!r} (chunked|text|parquet)")
+        if fmt == "orc":
+            # ORC ships in Spark proper (Avro would need the external
+            # spark-avro jar, absent in this environment)
+            return self.spark.read.orc(path)
+        raise ValueError(f"unknown format {fmt!r} (chunked|text|parquet|orc)")
 
     def grep(self, path: str, pattern: str, fmt: str = "chunked") -> DataFrame:
         """Distributed grep (T4, DistributedGrep.java:51-60) — matching

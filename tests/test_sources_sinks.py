@@ -196,3 +196,22 @@ def test_explode_chunks_rebalances_pathological_skew(spark):
     # and the rebalanced plan actually carries the round-robin exchange
     plan = balanced._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" in plan
+
+
+def test_orc_format_grep_and_count(spark, tmp_path):
+    """ORC as a first-class batch format (Spark-native columnar sibling
+    of parquet): grep and count read it through the same engine calls."""
+    from hadoop_stuff_spark.engine import Engine
+
+    path = str(tmp_path / "orc_store")
+    spark.createDataFrame(
+        [("CALL alpha",), ("FLOW beta",), ("CALL gamma",)], "value string"
+    ).write.orc(path)
+
+    eng = Engine(spark)
+    assert eng.record_count(path, fmt="orc").collect()[0]["record_count"] == 3
+    got = sorted(r.value for r in eng.grep(path, "^CALL", fmt="orc").collect())
+    assert got == ["CALL alpha", "CALL gamma"]
+    assert (
+        eng.grep_count(path, "^CALL", fmt="orc").collect()[0]["match_count"] == 2
+    )
