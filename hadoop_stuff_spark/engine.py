@@ -309,3 +309,10 @@ class Engine:
         from hadoop_stuff_spark.operators.sketches import kll_drift_by_type
 
         return kll_drift_by_type(sketches, split_date, n_probes=n_probes)
+
+    def advise(self, df: DataFrame, **kwargs) -> list:
+        """Size-aware plan advisory (plans/advisor.advise): missed
+        broadcasts and large shuffles from Catalyst's own estimates."""
+        from hadoop_stuff_spark.plans.advisor import advise
+
+        return advise(df, **kwargs)

@@ -1,0 +1,60 @@
+"""Size-aware plan advisor: join size report, missed-broadcast and
+large-shuffle findings from Catalyst's own estimates."""
+
+import pyspark.sql.functions as F
+
+from hadoop_stuff_spark.plans.advisor import advise, join_size_report
+
+
+def _tables(spark, tmp_path):
+    big = spark.range(200_000).select(
+        F.col("id").alias("k"), F.col("id").alias("va")
+    )
+    small = spark.range(50).select(F.col("id").alias("k"), F.col("id").alias("vb"))
+    bp, sp = str(tmp_path / "big"), str(tmp_path / "small")
+    big.write.parquet(bp)
+    small.write.parquet(sp)
+    return spark.read.parquet(bp), spark.read.parquet(sp)
+
+
+def test_join_size_report_orders_sides_sensibly(spark, tmp_path):
+    big, small = _tables(spark, tmp_path)
+    rep = join_size_report(big.join(small, "k"))
+    assert len(rep) == 1
+    j = rep[0]
+    assert j["join_type"].startswith("Inner")
+    assert min(j["left_bytes"], j["right_bytes"]) < max(
+        j["left_bytes"], j["right_bytes"]
+    )
+    assert min(j["left_bytes"], j["right_bytes"]) < 100_000  # the 50-row side
+
+
+def test_advise_flags_missed_broadcast_when_disabled(spark, tmp_path):
+    """With auto-broadcast disabled, Spark plans a shuffle join even
+    though one side is tiny — the advisor (told the production
+    threshold) must flag it; re-enabled, the same query is clean."""
+    big, small = _tables(spark, tmp_path)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = big.join(small, "k")
+        findings = advise(df, broadcast_threshold=10 * 1024 * 1024)
+        assert [r for r, _ in findings] == ["missed-broadcast"], findings
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    clean = advise(big.join(small, "k"))
+    assert [r for r, _ in clean if r == "missed-broadcast"] == []
+
+
+def test_advise_flags_large_shuffle_with_tiny_budget(spark, tmp_path):
+    """Same fact-fact join: below the large_bytes budget it is quiet,
+    above it the large-shuffle advisory fires (threshold lowered so the
+    test stays small)."""
+    big, _ = _tables(spark, tmp_path)
+    other = big.select(F.col("k"), (F.col("va") * 2).alias("vc"))
+    df = big.join(other, "k")
+    quiet = [r for r, _ in advise(df, large_bytes=1 << 40)]
+    assert "large-shuffle" not in quiet
+    loud = [r for r, _ in advise(df, large_bytes=1000)]
+    assert "large-shuffle" in loud
