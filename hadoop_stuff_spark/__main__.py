@@ -8,6 +8,7 @@ subcommands:
     python -m hadoop_stuff_spark wiretap LOG_DIR "REGEX HOST:PORT" [...] [--available-now]
     python -m hadoop_stuff_spark dq      [--sf-dir DIR]
     python -m hadoop_stuff_spark lint    QUERY [--sf-dir DIR]   # exit 1 on findings
+    python -m hadoop_stuff_spark advise  QUERY [--sf-dir DIR]
     python -m hadoop_stuff_spark overlap TYPE_A TYPE_B [--sf-dir DIR]
     python -m hadoop_stuff_spark drift   YYYY-MM-DD [--sf-dir DIR]
 
@@ -58,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     ql.add_argument("query")
     ql.add_argument("--sf-dir", default=None)
 
+    ad = sub.add_parser(
+        "advise", help="size-aware plan advisory for an ANSI SQL query"
+    )
+    ad.add_argument("query")
+    ad.add_argument("--sf-dir", default=None)
+
     ov = sub.add_parser(
         "overlap", help="audience overlap between two event types (theta sketches)"
     )
@@ -102,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
         from hadoop_stuff_spark.operators.quality import dq_orders_report
 
         dq_orders_report(eng.spark, args.sf_dir).show(truncate=False)
+    elif args.cmd == "advise":
+        findings = eng.advise(eng.sql(args.query, args.sf_dir))
+        if findings:
+            for rule, ev in findings:
+                print(f"{rule}: {ev}")
+        else:
+            print("no advisories")
     elif args.cmd == "overlap":
         from hadoop_stuff_spark.catalog import load_table
 

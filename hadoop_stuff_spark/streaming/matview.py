@@ -168,3 +168,48 @@ def _merge_only_sink(sketch_path: str, work_dir: str, build, merge_agg):
         )
 
     return sink
+
+
+def streaming_upsert_sink(
+    target_path: str,
+    keys: list[str],
+    partition_cols: list[str],
+    work_dir: str,
+    seq_col: str | None = None,
+):
+    """CDC-style foreachBatch sink: each micro-batch of key-addressed
+    changes MERGES into a current-state parquet table
+    (`sources/upsert.upsert_by_key` — replaced keys, inserted keys,
+    only delta-touched partitions rewritten). Replay safety needs no
+    fold markers here: the batch is landed idempotently by batch_id and
+    re-applying the SAME delta is a no-op by upsert semantics (its keys
+    already carry its values), so at-least-once delivery converges.
+
+    Within-batch duplicate keys: "the last row wins" is only
+    well-defined when the feed carries a CDC sequence (LSN / commit
+    timestamp) — rows landed to storage have no inherent order, and a
+    synthetic row-id is non-deterministic across re-executions (that
+    exact flake was caught writing this sink's test). So the contract
+    is explicit: pass ``seq_col`` and the highest sequence per key wins
+    (deterministic given unique sequences, the CDC invariant);
+    without one, duplicate keys in a batch are REJECTED by
+    `upsert_by_key`'s ANSI-MERGE guard rather than resolved
+    arbitrarily."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.sources.upsert import upsert_by_key
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta_path = os.path.join(work_dir, "deltas", f"batch_id={batch_id}")
+        batch.write.mode("overwrite").parquet(delta_path)
+        delta = spark.read.parquet(delta_path)
+        if seq_col is not None:
+            last = delta.groupBy(*keys).agg(F.max(seq_col).alias(seq_col))
+            delta = delta.join(last, [*keys, seq_col])
+        if not os.path.exists(target_path):
+            delta.write.partitionBy(*partition_cols).parquet(target_path)
+            return
+        upsert_by_key(spark, target_path, delta, keys, partition_cols)
+
+    return sink

@@ -256,3 +256,53 @@ def test_streaming_drift_monitor_end_to_end(spark, tmp_path):
     }
     assert ks["stable"] <= 0.05, ks
     assert ks["drifted"] >= 0.4, ks  # uniform[0,100] vs uniform[50,150] → 0.5
+
+
+def test_streaming_upsert_sink_maintains_current_state(spark, tmp_path):
+    """CDC sink: batches of key-addressed changes maintain a current-
+    state table; a replayed batch converges (idempotent merge); within-
+    batch duplicates resolve by the CDC sequence column, and are
+    REJECTED when no sequence exists (order of landed rows is
+    undefined — resolving arbitrarily would be a silent wrong answer)."""
+    import pytest
+
+    from hadoop_stuff_spark.streaming.matview import streaming_upsert_sink
+
+    target = str(tmp_path / "state")
+    sink = streaming_upsert_sink(
+        target, keys=["k"], partition_cols=["day"],
+        work_dir=str(tmp_path / "w"), seq_col="lsn",
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, 0, "a0", 10), (2, 0, "b0", 11), (3, 1, "c0", 12)],
+        "k long, day int, v string, lsn long",
+    )
+    b1 = spark.createDataFrame(
+        [(2, 0, "b1-old", 20), (2, 0, "b1-new", 21), (4, 1, "d1", 22)],
+        "k long, day int, v string, lsn long",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay converges
+
+    got = {
+        r.k: (r.day, r.v)
+        for r in spark.read.parquet(target).select("k", "day", "v").collect()
+    }
+    assert got == {
+        1: (0, "a0"),
+        2: (0, "b1-new"),  # highest lsn wins within batch 1
+        3: (1, "c0"),
+        4: (1, "d1"),
+    }
+
+    # no seq_col → duplicate keys in a batch are rejected, not resolved
+    bare = streaming_upsert_sink(
+        target, keys=["k"], partition_cols=["day"], work_dir=str(tmp_path / "w2")
+    )
+    dup = spark.createDataFrame(
+        [(5, 0, "x", 1), (5, 0, "y", 2)], "k long, day int, v string, lsn long"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        bare(dup, 0)
