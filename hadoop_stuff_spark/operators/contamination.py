@@ -65,10 +65,23 @@ def decontaminate(
     distinct shingles (default: drop on ANY overlap). Schema-preserving."""
     sh = shingles(text_col, n)
     holdout_sh = holdout.select(F.explode(sh).alias("shingle")).distinct()
-    marked = corpus.withColumn("_rid", F.monotonically_increasing_id())
+    # Deterministic row id: a CONTENT hash over every column, never a
+    # synthetic monotonic id — the marked frame feeds two plan branches
+    # (the overlap aggregate and the anti-join), and a non-deterministic
+    # id can be re-evaluated differently per branch so the anti-join
+    # silently keeps contaminated rows or drops clean ones (the exact
+    # flake class test_streaming_upsert caught). Exactly-identical rows
+    # share an id, which is semantically right — they have identical
+    # contamination — and the (id, shingle) distinct below keeps the
+    # per-row overlap count exact despite the sharing.
+    marked = corpus.withColumn(
+        "_rid", F.xxhash64(*[F.col(c) for c in corpus.columns])
+    )
     hits = (
         marked.select("_rid", F.explode(sh).alias("shingle"))
         .join(F.broadcast(holdout_sh), "shingle")
+        .select("_rid", "shingle")
+        .distinct()
         .groupBy("_rid")
         .agg(F.count(F.lit(1)).alias("_n_overlap"))
         .filter(F.col("_n_overlap") > max_overlap)
