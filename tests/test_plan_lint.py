@@ -138,3 +138,24 @@ def test_no_rdd_on_the_query_path():
             if re.search(r"\.rdd\b", line):
                 hits.append(f"{rel}:{i}: {line.strip()}")
     assert hits == [], hits
+
+
+def test_no_nondeterministic_row_ids_in_engine():
+    """Source-level sweep: `monotonically_increasing_id` is banned from
+    the engine. It is non-deterministic across plan re-executions, and
+    any frame carrying it that feeds two plan branches (an aggregate
+    plus a re-join is the common shape) can resolve rows INCONSISTENTLY
+    between the branches — the decontaminate/CDC-sink bug class fixed
+    in round 4. Deterministic alternatives: content hashes (xxhash64
+    over columns), real sequence columns, or upstream keys."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "hadoop_stuff_spark"
+    hits = []
+    for py in sorted(root.rglob("*.py")):
+        rel = str(py.relative_to(root))
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"monotonically_increasing_id\s*\(", line):
+                hits.append(f"{rel}:{i}: {line.strip()}")
+    assert hits == [], hits
