@@ -243,14 +243,33 @@ def folded_batches(path: str) -> set[str]:
     return set(ptr.get("folded", [])) if ptr else set()
 
 
-def read_rollup(spark: SparkSession, path: str) -> DataFrame:
-    """Resolve the pointer and scan the current version's parquet."""
+def read_rollup(
+    spark: SparkSession, path: str, version: str = "current"
+) -> DataFrame:
+    """Resolve the pointer and scan a version's parquet.
+
+    ``version="previous"`` reads the one retained prior snapshot (the
+    swap keeps it for exactly one generation) — minimal time travel:
+    diff a dashboard against its pre-fold state, or recover from a bad
+    fold before the next one lands. Raises if no previous version is
+    recorded or it has already been superseded twice."""
     import os
 
     ptr = _read_pointer(path)
     if ptr is None:
         raise ValueError(f"no rollup at {path} (missing _CURRENT pointer)")
-    return spark.read.parquet(os.path.join(path, ptr["version"]))
+    if version == "current":
+        target = ptr["version"]
+    elif version == "previous":
+        target = ptr.get("previous")
+        if not target or not os.path.isdir(os.path.join(path, target)):
+            raise ValueError(
+                f"no previous version retained at {path} (kept for one "
+                "generation only)"
+            )
+    else:
+        raise ValueError(f"version must be 'current' or 'previous', got {version!r}")
+    return spark.read.parquet(os.path.join(path, target))
 
 
 def build_rollup(

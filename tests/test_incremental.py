@@ -241,3 +241,34 @@ def test_rollup_swap_retains_previous_version_one_generation(spark, tmp_path):
     refresh_rollup(spark, delta, path, ["k"], {"t": "v"})
     v3 = versions()
     assert len(v3) == 2 and v1[0] not in v3  # twice-superseded GC'd
+
+
+def test_read_rollup_previous_version_time_travel(spark, tmp_path):
+    """version='previous' reads the one retained prior snapshot; before
+    any refresh there is none; after two refreshes the oldest is gone."""
+    import pytest
+
+    from hadoop_stuff_spark.operators.incremental import (
+        build_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    path = str(tmp_path / "tt")
+    build_rollup(
+        spark.createDataFrame([("a", 1)], "k string, v long"), path, ["k"], {"t": "v"}
+    )
+    with pytest.raises(ValueError, match="no previous version"):
+        read_rollup(spark, path, version="previous")
+
+    refresh_rollup(
+        spark,
+        spark.createDataFrame([("b", 5)], "k string, v long"),
+        path,
+        ["k"],
+        {"t": "v"},
+    )
+    prev = {r.k: r.t for r in read_rollup(spark, path, version="previous").collect()}
+    cur = {r.k: r.t for r in read_rollup(spark, path).collect()}
+    assert prev == {"a": 1}
+    assert cur == {"a": 1, "b": 5}
