@@ -316,3 +316,63 @@ class Engine:
         from hadoop_stuff_spark.plans.advisor import advise
 
         return advise(df, **kwargs)
+
+    def curate(
+        self,
+        docs: DataFrame,
+        holdout: DataFrame | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        near_threshold: float = 0.4,
+        max_dup_word_frac: float = 0.9,
+        weights: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """One-call LLM training-data curation — the certified pipeline
+        (tests/test_llm_pipeline_e2e.py) as product API:
+
+        clean → exact dedup (content fingerprint) → MinHash-LSH near-dup
+        removal (banded candidates, min-id canonical per cluster) →
+        decontaminate vs ``holdout`` (3-gram overlap) → repetition gate
+        (duplicate-word fraction) → deterministic train/val/test split.
+
+        Returns the surviving rows with a ``split`` column. Every stage
+        is the scale-path operator (no all-pairs anywhere); determinism
+        is hash-based throughout, so re-running on the same input yields
+        the same corpus."""
+        from pyspark.sql import functions as F
+
+        from hadoop_stuff_spark.functions import text as T
+        from hadoop_stuff_spark.operators.cleaning import clean_text
+        from hadoop_stuff_spark.operators.clusters import dedup_clusters
+        from hadoop_stuff_spark.operators.contamination import decontaminate
+        from hadoop_stuff_spark.operators.dedup import (
+            drop_exact_duplicates,
+            minhash_candidates,
+        )
+        from hadoop_stuff_spark.operators.sampling import split_corpus
+
+        cleaned = docs.withColumn(text_col, clean_text(text_col))
+        exact = drop_exact_duplicates(cleaned, text_col)
+        pairs = minhash_candidates(exact, id_col, text_col).filter(
+            F.col("est_jaccard") >= near_threshold
+        )
+        losers = (
+            dedup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        survivors = exact.join(losers, id_col, "left_anti")
+        if holdout is not None:
+            survivors = decontaminate(survivors, holdout, text_col, n=3)
+        toks = T.tokens(text_col)
+        gated = (
+            survivors.withColumn(
+                "_dup_frac",
+                1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+            )
+            .filter(F.col("_dup_frac") <= max_dup_word_frac)
+            .drop("_dup_frac")
+        )
+        return split_corpus(
+            gated, id_col, weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+        )

@@ -129,3 +129,37 @@ def test_facade_frequency_scoring_and_corpus_overlap(spark, sf_dir):
         docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 200)
     ).collect()[0]
     assert rep.n_shared >= 0 and rep.jaccard <= 1.0
+
+
+def test_facade_curate_pipeline(spark, sf_dir):
+    """One-call curation: monotone funnel, zero residual contamination,
+    a split column partitioning the survivors, deterministic re-run."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.engine import Engine
+    from hadoop_stuff_spark.operators.contamination import overlap_report
+
+    eng = Engine(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    out = eng.curate(corpus, holdout)
+    n_out = out.count()
+    assert 0 < n_out <= corpus.count()
+    assert set(out.columns) == set(corpus.columns) | {"split"}
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+    resid = (
+        overlap_report(out.drop("split"), holdout)
+        .agg(F.sum("n_contaminated").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert resid == 0
+
+    again = eng.curate(corpus, holdout)
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
+    assert a == b  # deterministic end to end
