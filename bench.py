@@ -56,6 +56,7 @@ HEADLINE = [
     "dq_orders_report",
     "n3_document_chunks",
     "copurchase_pairs",
+    "n1_curate_pipeline",
     "funnel_conversion",
 ]
 

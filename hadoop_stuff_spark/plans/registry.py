@@ -267,6 +267,19 @@ FROM s GROUP BY user_id, sess_id
 # to fit the window live in EXTRA_QUERIES below (still locally certified by
 # tests/test_oracle_parity.py).
 
+def _curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel as one benchable unit (rows-only —
+    composite of individually certified stages; Engine.curate): per-split
+    doc counts of the curated corpus."""
+    from hadoop_stuff_spark.engine import Engine
+
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    out = Engine(spark).curate(corpus, holdout)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 QUERIES: dict[str, QuerySpec] = {
     # -- M0 flagship + reference-parity ops (S/T/A/ST/U ids) -----------------
     "flagship_grep_count": QuerySpec(flagship, FLAGSHIP_SQL),
@@ -379,6 +392,7 @@ QUERIES: dict[str, QuerySpec] = {
     # pytest pins exact-mode equality and error bounds (test_sketches.py)
     "theta_overlap_users": QuerySpec(sketches.theta_overlap_report, None),
     "kll_value_quantiles": QuerySpec(sketches.kll_value_quantiles, None),
+    "n1_curate_pipeline": QuerySpec(_curate_pipeline, None),
 }
 
 # Oracle-backed queries cut from the driver window (near-duplicates of
