@@ -324,6 +324,7 @@ class Engine:
         text_col: str = "text",
         id_col: str = "doc_id",
         near_threshold: float = 0.4,
+        max_contamination: float = 0.05,
         max_dup_word_frac: float = 0.9,
         weights: dict[str, float] | None = None,
     ) -> DataFrame:
@@ -332,7 +333,11 @@ class Engine:
 
         clean → exact dedup (content fingerprint) → MinHash-LSH near-dup
         removal (banded candidates, min-id canonical per cluster) →
-        decontaminate vs ``holdout`` (3-gram overlap) → repetition gate
+        contamination filter vs ``holdout`` (drop docs whose CONTAMINATED
+        3-gram FRACTION exceeds ``max_contamination`` — a fractional
+        threshold, because generic prose always shares a few n-grams with
+        any benchmark and an any-overlap rule empties real corpora; pass
+        0.0 for the strict drop-on-any-overlap posture) → repetition gate
         (duplicate-word fraction) → deterministic train/val/test split.
 
         Returns the surviving rows with a ``split`` column. Every stage
@@ -344,7 +349,7 @@ class Engine:
         from hadoop_stuff_spark.functions import text as T
         from hadoop_stuff_spark.operators.cleaning import clean_text
         from hadoop_stuff_spark.operators.clusters import dedup_clusters
-        from hadoop_stuff_spark.operators.contamination import decontaminate
+        from hadoop_stuff_spark.operators.contamination import overlap_report
         from hadoop_stuff_spark.operators.dedup import (
             drop_exact_duplicates,
             minhash_candidates,
@@ -363,7 +368,12 @@ class Engine:
         )
         survivors = exact.join(losers, id_col, "left_anti")
         if holdout is not None:
-            survivors = decontaminate(survivors, holdout, text_col, n=3)
+            contaminated = (
+                overlap_report(survivors, holdout, text_col, id_col, n=3)
+                .filter(F.col("contam_frac") > max_contamination)
+                .select(id_col)
+            )
+            survivors = survivors.join(contaminated, id_col, "left_anti")
         toks = T.tokens(text_col)
         gated = (
             survivors.withColumn(

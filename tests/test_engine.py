@@ -152,9 +152,18 @@ def test_facade_curate_pipeline(spark, sf_dir):
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
 
-    resid = (
+    # every survivor sits at or under the contamination threshold; the
+    # strict any-overlap posture (max_contamination=0.0) still works
+    worst = (
         overlap_report(out.drop("split"), holdout)
-        .agg(F.sum("n_contaminated").alias("s"))
+        .agg(F.max("contam_frac").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert worst <= 0.05
+    strict = eng.curate(corpus, holdout, max_contamination=0.0)
+    resid = (
+        overlap_report(strict.drop("split"), holdout)
+        .agg(F.coalesce(F.sum("n_contaminated"), F.lit(0)).alias("s"))
         .collect()[0]["s"]
     )
     assert resid == 0
