@@ -172,3 +172,18 @@ def test_facade_curate_pipeline(spark, sf_dir):
     a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
     b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
     assert a == b  # deterministic end to end
+
+
+def test_registry_curate_entry_keeps_a_healthy_funnel(spark):
+    """Regression pin for the round-4 defect where the any-overlap
+    contamination rule emptied the corpus: the benchable registry entry
+    must yield all three splits with a substantial surviving corpus."""
+    from hadoop_stuff_spark.plans.registry import QUERIES
+
+    rows = {
+        r["split"]: r.n_docs
+        for r in QUERIES["n1_curate_pipeline"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(rows.values()) > 400  # of 475 corpus docs
+    assert rows["train"] > rows["val"]
