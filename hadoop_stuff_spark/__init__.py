@@ -16,8 +16,9 @@ Everything is DataFrame/Catalyst-first; Python UDFs only where the JVM has
 no equivalent (gzip codec, SimHash), and then always Arrow-batched.
 """
 
-from hadoop_stuff_spark.session import get_spark
 from hadoop_stuff_spark.catalog import TABLES, load_tables, register_views
+from hadoop_stuff_spark.engine import Engine
+from hadoop_stuff_spark.session import get_spark
 
-__all__ = ["get_spark", "load_tables", "register_views", "TABLES"]
-__version__ = "0.1.0"
+__all__ = ["Engine", "get_spark", "load_tables", "register_views", "TABLES"]
+__version__ = "0.4.0"  # round 4
