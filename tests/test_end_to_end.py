@@ -50,7 +50,7 @@ def test_reference_lifecycle_end_to_end(spark, tmp_path):
     try:
         subs = [f"test7.*watch flow 7$ 127.0.0.1:{r1.port}"]
         q = eng.wiretap(logdir, subs, checkpoint_dir=ckpt, available_now=True)
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         assert r1.received == [rows[7]]
 
         # rollover (new file) + dynamically registered 2nd subscription:
@@ -60,7 +60,7 @@ def test_reference_lifecycle_end_to_end(spark, tmp_path):
         r1.received.clear()
         subs.append(f"flow 15[0-9]\\b 127.0.0.1:{r2.port}")
         q2 = eng.wiretap(logdir, subs, checkpoint_dir=ckpt, available_now=True)
-        q2.awaitTermination(120)
+        q2.awaitTermination(300)
         assert r1.received == []  # record 7 not re-delivered
         assert sorted(r2.received) == sorted(rows[150:160])
     finally:
@@ -75,7 +75,7 @@ def test_reference_lifecycle_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q3.awaitTermination(120)
+    q3.awaitTermination(300)
     landed = spark.read.parquet(out)
     assert landed.count() == 200
     assert landed.select("value").distinct().count() == 200

@@ -117,7 +117,7 @@ def test_streaming_ingest_dedup_pipeline(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
     with open(os.path.join(logdir, "a.txt"), "w") as f:
         f.write("rec one\nrec two\nrec one\nREC  ONE\n")  # normalized dups

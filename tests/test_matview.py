@@ -40,7 +40,7 @@ def test_streaming_rollup_tracks_stream_and_survives_replay(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
     all_lines = []
     batches = [

@@ -125,7 +125,7 @@ def test_wiretap_routing_and_dynamic_registration(spark, tmp_path):
             checkpoint_dir=ckpt,
             trigger_available_now=True,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
         assert r1.received == ["CALL from=17325551212 ip=126.247.0.97 status=OK"]
         assert r2.received == ["CALL from=17325551300 ip=10.1.2.3 status=DROP"]
@@ -153,7 +153,7 @@ def test_wiretap_routing_and_dynamic_registration(spark, tmp_path):
             checkpoint_dir=ckpt,
             trigger_available_now=True,
         )
-        q2.awaitTermination(120)
+        q2.awaitTermination(300)
 
         # old file NOT re-delivered (checkpoint state), new records routed,
         # including to the dynamically added subscriber
@@ -182,7 +182,7 @@ def test_multicast_one_record_many_subscribers(spark, tmp_path):
             get_subscriptions=lambda s: subscriptions_df(s, rows),
             trigger_available_now=True,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         assert s1.received == ["ALPHA BETA GAMMA"]
         assert s2.received == ["ALPHA BETA GAMMA"]
         assert s3.received == []
@@ -215,7 +215,7 @@ def test_real_tcp_delivery_and_dead_subscriber_drop(spark, tmp_path):
             trigger_available_now=True,
             drop_stats=drops,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
     finally:
         live.close()
 
@@ -244,7 +244,7 @@ def test_udp_delivery(spark, tmp_path):
             get_subscriptions=lambda s: subscriptions_df(s, subs),
             trigger_available_now=True,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         # UDP is fire-and-forget but loopback delivery is reliable in
         # practice; give the receiver thread a beat
         import time

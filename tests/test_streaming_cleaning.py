@@ -37,7 +37,7 @@ def test_stream_cleaning_sampling_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = sorted(
         r["text"] for r in spark.sql("SELECT text FROM curated_stream").collect()

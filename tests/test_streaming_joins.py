@@ -61,7 +61,7 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     batch = {
         (r.user_id, r.l_ts, r.r_ts, r.amount)

@@ -38,7 +38,7 @@ def test_streaming_dedup_within_and_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = {r["key"]: r["value"] for r in spark.read.parquet(outdir).collect()}
     assert set(got) == {"A", "B", "C"}
@@ -54,7 +54,7 @@ def test_streaming_dedup_within_and_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    q2.awaitTermination(300)
 
     rows = spark.read.parquet(outdir).collect()
     keys = sorted(r["key"] for r in rows)
@@ -82,7 +82,7 @@ def test_running_counts_accumulate_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         _write_log(logdir, "b1.txt", ["A z", "C x"])
 
     # batch 1 emitted (A,2),(B,1); batch 2 (A,3),(C,1) — totals accumulate
@@ -122,7 +122,7 @@ def test_exactly_once_sink_replay_safe(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert spark.read.parquet(out2).count() == 2
 
 
@@ -151,7 +151,7 @@ def test_heavy_hitters_bounded_state_tracks_top_items(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         return spark.read.parquet(outdir).collect()
 
     rows = run("hh1")
@@ -231,7 +231,7 @@ def test_dedup_ttl_suppresses_within_window(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
     run()
     got = sorted(r.key for r in spark.read.parquet(outdir).collect())
@@ -270,7 +270,7 @@ def test_dedup_ttl_evicts_idle_keys(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
     run()
     assert [r.key for r in spark.read.parquet(outdir).collect()] == ["k1"]

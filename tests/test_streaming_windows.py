@@ -42,7 +42,7 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     batch = spark.read.schema(EVENT_SCHEMA).json(src)
     want = {
@@ -106,7 +106,7 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     dropped = sum(
         op["numRowsDroppedByWatermark"]
@@ -150,7 +150,7 @@ def test_trending_terms_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     batch = spark.read.schema(schema).json(src)
     want = {
