@@ -209,7 +209,10 @@ def test_mg_merge_guarantee_property():
 
 def test_dedup_ttl_suppresses_within_window(spark, tmp_path):
     """Within the TTL, duplicate keys are dropped exactly like
-    dedup_first_seen (long TTL → no eviction during the test)."""
+    dedup_first_seen (long TTL → no eviction during the test; the TTL is
+    PROCESSING time, so it must exceed any plausible wall-clock gap
+    between the two runs — a 5-minute TTL flaked once inside a heavily
+    contended 34-minute full-suite run)."""
     from hadoop_stuff_spark.streaming.stateful import (
         dedup_first_seen_ttl,
         exactly_once_parquet_sink,
@@ -224,7 +227,7 @@ def test_dedup_ttl_suppresses_within_window(spark, tmp_path):
     def run():
         q = (
             dedup_first_seen_ttl(
-                _keyed(tail_stream(spark, logdir)), "k", "v", ttl_ms=300_000
+                _keyed(tail_stream(spark, logdir)), "k", "v", ttl_ms=3_600_000
             )
             .writeStream.foreachBatch(exactly_once_parquet_sink(outdir))
             .option("checkpointLocation", ckpt)
