@@ -73,9 +73,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _parse_bytes(v: str) -> int:
-    m = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    s = v.strip().lower()
-    for suffix, mult in m.items():
+    """Parse Spark byte-conf values ('128m', '1gb', '134217728b', ...).
+
+    Two-letter suffixes MUST match before single letters: checking 'b'
+    first would send '128mb' to float('128m') and raise."""
+    s = str(v).strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
         if s.endswith(suffix):
             return int(float(s[: -len(suffix)]) * mult)
     return int(s)

@@ -51,6 +51,26 @@ def pil_available() -> bool:
         return False
 
 
+def pil_open(payload: bytes):
+    """Open ``payload`` with PIL if PIL is importable AND it recognizes
+    the bytes; None otherwise. This is the gate for PIL-ONLY formats
+    (WebP, TIFF, ...) that `parse_image_dims` cannot parse natively —
+    callers fall back to the deterministic stub only when PIL itself
+    can't decode the blob."""
+    if not pil_available():
+        return None
+    try:
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        img.load()  # force a real decode — open() alone is lazy
+        return img
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # WAV / RIFF
 

@@ -125,36 +125,34 @@ def _decode_media(payload: bytes) -> tuple[list[float], int, int]:
         dims = M.parse_image_dims(payload)
     except Exception:
         dims = None
-    if dims is not None:
-        fmt, w, h = dims
-        if fmt == "bmp":
-            try:
-                img = M.decode_bmp(payload).astype(np.float32) / 255.0
-                feats = (
-                    list(img.mean(axis=(0, 1)))
-                    + list(img.std(axis=(0, 1)))
-                    + [w / max(h, 1), 1.0]
-                )
-                return [float(x) for x in feats[:FEATURE_DIM]], w, h
-            except (ValueError, NotImplementedError):
-                pass
-        if M.pil_available():
-            import io
-
-            import PIL.Image
-
-            img = np.asarray(
-                PIL.Image.open(io.BytesIO(payload)).convert("RGB"),
-                dtype=np.float32,
-            ) / 255.0
+    if dims is not None and dims[0] == "bmp":
+        try:
+            w, h = dims[1], dims[2]
+            img = M.decode_bmp(payload).astype(np.float32) / 255.0
             feats = (
                 list(img.mean(axis=(0, 1)))
                 + list(img.std(axis=(0, 1)))
                 + [w / max(h, 1), 1.0]
             )
             return [float(x) for x in feats[:FEATURE_DIM]], w, h
+        except (ValueError, NotImplementedError):
+            pass
+    # PIL covers both formats parse_image_dims recognized (non-BMP) AND
+    # PIL-only formats it didn't (WebP, TIFF, ...) — pil_open decodes or
+    # returns None.
+    pil_img = M.pil_open(payload)
+    if pil_img is not None:
+        w, h = pil_img.size
+        img = np.asarray(pil_img.convert("RGB"), dtype=np.float32) / 255.0
+        feats = (
+            list(img.mean(axis=(0, 1)))
+            + list(img.std(axis=(0, 1)))
+            + [w / max(h, 1), 1.0]
+        )
+        return [float(x) for x in feats[:FEATURE_DIM]], w, h
+    if dims is not None:
         feats, _, _ = _decode_stub(payload)
-        return feats, w, h
+        return feats, dims[1], dims[2]
     return _decode_stub(payload)
 
 
@@ -220,28 +218,22 @@ def _resize_media(payload: bytes, width: int, height: int) -> bytes:
         dims = M.parse_image_dims(payload)
     except Exception:
         dims = None
-    if dims is not None:
-        fmt = dims[0]
-        if fmt == "bmp":
-            try:
-                return M.encode_bmp(
-                    M.resize_nearest(M.decode_bmp(payload), width, height)
-                )
-            except (ValueError, NotImplementedError):
-                pass
-        if M.pil_available():
-            import io
-
-            import numpy as np
-            import PIL.Image
-
-            img = np.asarray(
-                PIL.Image.open(io.BytesIO(payload))
-                .convert("RGB")
-                .resize((width, height)),
-                dtype=np.uint8,
+    if dims is not None and dims[0] == "bmp":
+        try:
+            return M.encode_bmp(
+                M.resize_nearest(M.decode_bmp(payload), width, height)
             )
-            return M.encode_bmp(img)
+        except (ValueError, NotImplementedError):
+            pass
+    pil_img = M.pil_open(payload)  # incl. PIL-only formats (WebP/TIFF)
+    if pil_img is not None:
+        import numpy as np
+
+        img = np.asarray(
+            pil_img.convert("RGB").resize((width, height)),
+            dtype=np.uint8,
+        )
+        return M.encode_bmp(img)
     return _resize_stub(payload, width, height)
 
 
@@ -522,13 +514,11 @@ def _ahash_payload(payload: bytes) -> int:
             return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
         except (ValueError, NotImplementedError):
             pass
-    if dims is not None and M.pil_available():
-        import io
-
-        import PIL.Image
-
-        img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
-        gray = np.asarray(img, dtype=np.float64).ravel()
+    pil_img = M.pil_open(payload)  # incl. PIL-only formats (WebP/TIFF)
+    if pil_img is not None:
+        gray = np.asarray(
+            pil_img.convert("L").resize((8, 8)), dtype=np.float64
+        ).ravel()
         bits = (gray > gray.mean()).astype(np.uint8)
         return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
     return _ahash64(np.frombuffer(payload, dtype=np.uint8))

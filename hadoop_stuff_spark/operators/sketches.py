@@ -243,12 +243,18 @@ def build_value_kll_sketches(events: DataFrame, k: int = KLL_K) -> DataFrame:
     )
 
 
-def _kll_fold(col: str):
-    """Fold an array of KLL sketch blobs into one via pairwise merge."""
+def _kll_fold(col):
+    """Fold an array of KLL sketch blobs into one via pairwise merge.
+
+    Seeds with ``try_element_at`` so an EMPTY array (a when()-gated
+    collect_list where no row matched the gate — e.g. an event_type
+    with data on only one side of a drift split) folds to NULL instead
+    of raising INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's
+    default ANSI mode; callers filter the NULLs."""
     arr = F.collect_list(col)
     return F.aggregate(
         F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-        F.element_at(arr, 1),
+        F.try_element_at(arr, F.lit(1)),
         lambda acc, s: F.kll_sketch_merge_double(acc, s),
     )
 
@@ -443,13 +449,19 @@ def with_frequency_estimates(
     def estimate(keys: pd.Series) -> pd.Series:
         import numpy as np
 
-        items = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        # NULL keys estimate to 0 (matching the string-key variant):
+        # mask them out before the int64 conversion, which would raise.
+        null_mask = keys.isna().to_numpy()
+        items = (
+            keys.fillna(0).to_numpy(dtype=np.int64).view(np.uint64)
+        )
         mins = None
         for i in range(table.shape[0]):
             h = hash_a[i] * items                      # uint64 modular
             h = (h + (h >> np.uint64(32))) & np.uint64(prime)
             vals = table[i][(h % np.uint64(width)).astype(np.int64)]
             mins = vals if mins is None else np.minimum(mins, vals)
+        mins = np.where(null_mask, 0, mins)
         return pd.Series(mins)
 
     return probes.withColumn(out_col, estimate(F.col(key_col)))
@@ -628,18 +640,12 @@ def kll_drift_by_type(
     before = F.when(F.col("event_date") < split, F.col("value_kll"))
     after = F.when(F.col("event_date") >= split, F.col("value_kll"))
 
-    def fold(col):
-        arr = F.collect_list(col)  # nulls (other side's rows) drop out
-        return F.aggregate(
-            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-            F.element_at(arr, 1),
-            lambda acc, s: F.kll_sketch_merge_double(acc, s),
-        )
-
+    # nulls (other side's rows) drop out of collect_list; one-sided
+    # types fold to NULL (try_element_at seed) and are filtered below
     merged = sketches.groupBy("event_type").agg(
-        fold(before).alias("sa"), fold(after).alias("sb")
+        _kll_fold(before).alias("sa"), _kll_fold(after).alias("sb")
     )
-    global_sk = sketches.agg(fold(F.col("value_kll")).alias("sg"))
+    global_sk = sketches.agg(_kll_fold(F.col("value_kll")).alias("sg"))
     grid_row = global_sk.select(
         *[
             F.kll_sketch_get_quantile_double(
@@ -684,18 +690,10 @@ def kll_psi_by_type(
     before = F.when(F.col("event_date") < split, F.col("value_kll"))
     after = F.when(F.col("event_date") >= split, F.col("value_kll"))
 
-    def fold(col):
-        arr = F.collect_list(col)
-        return F.aggregate(
-            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-            F.element_at(arr, 1),
-            lambda acc, s: F.kll_sketch_merge_double(acc, s),
-        )
-
     merged = sketches.groupBy("event_type").agg(
-        fold(before).alias("sa"), fold(after).alias("sb")
+        _kll_fold(before).alias("sa"), _kll_fold(after).alias("sb")
     )
-    global_sk = sketches.agg(fold(F.col("value_kll")).alias("sg"))
+    global_sk = sketches.agg(_kll_fold(F.col("value_kll")).alias("sg"))
     edges_row = global_sk.select(
         *[
             F.kll_sketch_get_quantile_double("sg", F.lit(j / n_bins)).alias(f"e{j}")

@@ -33,16 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def _parse_bytes(v: str) -> int:
-    s = str(v).strip().lower()
-    for suffix, mult in (
-        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
-        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
-        ("b", 1),
-    ):
-        if s.endswith(suffix):
-            return int(float(s[: -len(suffix)]) * mult)
-    return int(s)
+from hadoop_stuff_spark.catalog import _parse_bytes  # canonical impl
 
 
 def _walk(node, out: list) -> None:

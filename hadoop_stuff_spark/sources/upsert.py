@@ -25,7 +25,8 @@ merged rows. Crash mid-write degrades like any overwrite of those
 partitions — rerun the upsert (it is idempotent for the same delta);
 unaffected partitions are untouched at every instant. A metastore/table
 format replaces step 3's directory swap at real scale; steps 1-2 are
-identical there.
+identical there. Partition-scoped also means keys must be STABLE within
+their partition columns (see `upsert_by_key` — `strict=True` verifies).
 
 Reference provenance: the reference could only append
 (IngestTest.java:58,68); correcting a record meant manual HDFS surgery.
@@ -34,6 +35,8 @@ this module is the "current-state table" counterpart.
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,12 +50,25 @@ def upsert_by_key(
     delta: DataFrame,
     keys: list[str],
     partition_cols: list[str],
+    strict: bool = False,
 ) -> dict:
     """MERGE ``delta`` into the partitioned parquet table at
     ``target_path``: rows matching on ``keys`` are replaced, new keys
     inserted, and ONLY partitions present in the delta are read or
     rewritten. Returns a small stats dict (partitions touched, rows
-    replaced/inserted) — all bounded control-plane numbers."""
+    replaced/inserted) — all bounded control-plane numbers.
+
+    PRECONDITION — keys must be stable within their partition columns:
+    because only the delta's partitions are read, a correction that
+    MOVES a key to a different partition value would leave the stale
+    row behind in its old partition, creating a duplicate key. Pass
+    ``strict=True`` to verify: a key-and-partition-column scan of the
+    WHOLE table (column-pruned, no payload bytes) anti-checks every
+    delta key's existing partition and raises on any mover before a
+    single byte is written. Costs one extra table-wide scan — O(table
+    keys), not O(table bytes) — so default off for append-mostly
+    pipelines that guarantee stability by construction (e.g. the
+    partition value is derived from the key)."""
     if not keys or not partition_cols:
         raise ValueError("upsert_by_key needs key columns and partition columns")
     # MERGE semantics are undefined when the source matches a target row
@@ -71,6 +87,42 @@ def upsert_by_key(
             f"for keys {keys} — deduplicate the delta first (MERGE semantics "
             "are undefined for multi-matching sources)"
         )
+    if strict:
+        # Detect keys moving partitions: existing (key → partition)
+        # pairs that match a delta key but disagree on partition value.
+        existing = spark.read.parquet(target_path).select(
+            *keys, *partition_cols
+        )
+        renamed = delta.select(
+            *keys,
+            *[F.col(c).alias(f"__delta_{c}") for c in partition_cols],
+        )
+        mover = (
+            existing.join(F.broadcast(renamed), keys)
+            .filter(
+                ~functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(c).eqNullSafe(F.col(f"__delta_{c}"))
+                        for c in partition_cols
+                    ],
+                )
+            )
+            .limit(1)
+            .collect()
+        )
+        if mover:
+            r = mover[0]
+            raise ValueError(
+                f"strict upsert refused: key {tuple(r[k] for k in keys)!r} "
+                f"exists under partition "
+                f"{tuple(r[c] for c in partition_cols)!r} but the delta "
+                f"places it in "
+                f"{tuple(r[f'__delta_{c}'] for c in partition_cols)!r} — "
+                "partition-scoped upsert would strand the old row; delete "
+                "it from its old partition first (keys must be stable "
+                "within their partition columns)"
+            )
     parts = delta.select(*partition_cols).distinct()
     current = spark.read.parquet(target_path).join(
         F.broadcast(parts), partition_cols, "left_semi"

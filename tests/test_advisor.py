@@ -58,3 +58,39 @@ def test_advise_flags_large_shuffle_with_tiny_budget(spark, tmp_path):
     assert "large-shuffle" not in quiet
     loud = [r for r, _ in advise(df, large_bytes=1000)]
     assert "large-shuffle" in loud
+
+
+def test_parse_bytes_two_letter_suffixes():
+    """'128mb'-style conf values must parse (ADVICE r4 medium: the 'b'
+    suffix matching first sent '128mb' to float('128m') and crashed
+    every operator that calls catalog.spread under that conf). The
+    advisor shares the one canonical implementation."""
+    from hadoop_stuff_spark.catalog import _parse_bytes
+    from hadoop_stuff_spark.plans.advisor import _parse_bytes as advisor_pb
+
+    assert advisor_pb is _parse_bytes  # single shared implementation
+    assert _parse_bytes("128mb") == 128 << 20
+    assert _parse_bytes("1gb") == 1 << 30
+    assert _parse_bytes("2kb") == 2 << 10
+    assert _parse_bytes("1tb") == 1 << 40
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes(" 1.5G ") == int(1.5 * (1 << 30))
+
+
+def test_spread_survives_two_letter_max_partition_bytes(spark, tmp_path):
+    """catalog.spread estimates scan partitions from
+    spark.sql.files.maxPartitionBytes — which users legitimately set
+    with two-letter suffixes; pre-fix this raised ValueError on every
+    file-scan frame."""
+    from hadoop_stuff_spark.catalog import spread
+
+    p = str(tmp_path / "pb")
+    spark.range(1000).write.parquet(p)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128mb")
+        assert spread(spark.read.parquet(p)).count() == 1000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

@@ -466,3 +466,61 @@ def test_avi_roundtrip_and_metadata():
     assert abs(info.fps - 25.0) < 1e-6
     for i, f in enumerate(frames):
         assert np.array_equal(decode_avi_frame(info, i), f)
+
+
+def test_pil_only_formats_take_pil_path_when_pil_present(monkeypatch):
+    """ADVICE r4 low: formats parse_image_dims can't parse (WebP, TIFF)
+    must still get a REAL decode when PIL is importable — pre-fix the
+    PIL branch was only reachable AFTER parse_image_dims recognized the
+    container, so PIL-only formats silently took the stub. PIL isn't in
+    this container, so the seam (media.pil_open) is faked: a minimal
+    image object proves the routing; pil_open returning None proves the
+    stub fallback."""
+    import numpy as np
+
+    from hadoop_stuff_spark.functions import media as M
+    from hadoop_stuff_spark.operators import multimodal as MM
+
+    class FakeImg:
+        size = (4, 2)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self.size = wh
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            w, h = self.size
+            a = np.full((h, w, 3), 128, dtype=np.uint8)
+            return a.astype(dtype) if dtype is not None else a
+
+    webp_ish = b"RIFF\x00\x00\x00\x00WEBPVP8 "  # parse_image_dims: None
+    assert M.parse_image_dims(webp_ish) is None
+
+    monkeypatch.setattr(M, "pil_open", lambda payload: FakeImg())
+    feats, w, h = MM._decode_media(webp_ish)
+    assert (w, h) == (4, 2)                      # REAL dims via PIL path
+    assert abs(feats[0] - 128 / 255) < 1e-6       # REAL pixel mean
+    resized = MM._resize_media(webp_ish, 8, 8)
+    assert M.parse_image_dims(resized)[:1] == ("bmp",)  # re-encoded BMP
+    ah = MM._ahash_payload(webp_ish)
+    assert isinstance(ah, int)
+
+    # PIL absent / undecodable → deterministic stub, never a crash
+    monkeypatch.setattr(M, "pil_open", lambda payload: None)
+    feats2, w2, h2 = MM._decode_media(webp_ish)
+    assert feats2 == MM._decode_stub(webp_ish)[0]
+    assert MM._resize_media(webp_ish, 8, 8) == MM._resize_stub(webp_ish, 8, 8)
+
+
+def test_pil_open_returns_none_without_pil():
+    """Capability gate: with PIL unimportable (this container),
+    pil_open must return None for any payload rather than raise."""
+    from hadoop_stuff_spark.functions import media as M
+
+    if M.pil_available():  # environment gained PIL — gate is moot here
+        return
+    assert M.pil_open(b"RIFF\x00\x00\x00\x00WEBPVP8 ") is None
+    assert M.pil_open(b"") is None

@@ -573,3 +573,73 @@ def test_kll_psi_flags_shift_and_not_stability(spark):
     pb = np.maximum(np.histogram(vb, bins=[-np.inf, *edges, np.inf])[0] / len(vb), eps)
     exact = float(np.sum((pa - pb) * np.log(pa / pb)))
     assert abs(got["drifted"] - exact) / exact < 0.25, (got["drifted"], exact)
+
+
+def test_kll_drift_and_psi_skip_one_sided_types(spark):
+    """A type with data on only ONE side of the split (the typical
+    'new event type introduced after the split' monitoring case) must
+    be silently excluded, not crash: under Spark 4 ANSI mode an
+    element_at(empty_array, 1) fold seed raised
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT before try_element_at (ADVICE r4
+    high)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_value_kll_sketches,
+        kll_drift_by_type,
+        kll_psi_by_type,
+    )
+
+    def stream(name, day):
+        return spark.range(2_000).select(
+            F.lit(day).cast("timestamp").alias("ts"),
+            F.lit(name).alias("event_type"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+
+    events = (
+        stream("both", "2024-05-01")
+        .unionByName(stream("both", "2024-05-20"))
+        .unionByName(stream("new_after", "2024-05-20"))   # after only
+        .unionByName(stream("gone_before", "2024-05-01"))  # before only
+    )
+    sketches = build_value_kll_sketches(events)
+
+    ks = {r.event_type: r.ks_distance
+          for r in kll_drift_by_type(sketches, "2024-05-10").collect()}
+    assert set(ks) == {"both"}, ks
+    assert ks["both"] <= 0.05
+
+    psi = {r.event_type: r.psi
+           for r in kll_psi_by_type(sketches, "2024-05-10").collect()}
+    assert set(psi) == {"both"}, psi
+    assert psi["both"] <= 0.05
+
+
+def test_cms_long_estimates_null_probe_keys_are_zero(spark):
+    """NULL probe keys estimate to 0 in the LONG-key path, matching the
+    string-key variant (ADVICE r4 low): pre-fix, to_numpy(dtype=int64)
+    raised inside the pandas UDF."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_user_cms,
+        with_frequency_estimates,
+    )
+
+    events = spark.range(1_000).select(
+        F.lit("2024-05-01").cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") % 10).alias("user_id"),
+    )
+    sketches = build_user_cms(events)
+    probes = spark.createDataFrame(
+        [(7,), (None,), (3,), (None,)], "user_id long"
+    )
+    got = with_frequency_estimates(
+        spark, sketches, probes, "user_id"
+    ).collect()
+    by_key = {r.user_id: r.est_count for r in got}
+    assert by_key[None] == 0
+    assert by_key[7] >= 100  # CMS one-sided guarantee: est >= true
+    assert by_key[3] >= 100

@@ -125,3 +125,34 @@ def test_upsert_sequence_matches_dict_model(spark, tmp_path):
             for r in spark.read.parquet(path).select("k", "day", "v").collect()
         }
         assert got == model, f"diverged at step {step}"
+
+
+def test_strict_upsert_rejects_partition_movers(spark, tmp_path):
+    """strict=True scans key+partition columns of the whole table and
+    refuses a delta that moves a key to a different partition value —
+    the case where partition-scoped rewrite would strand the old row as
+    a duplicate key (ADVICE r4 low)."""
+    import pytest
+
+    path = str(tmp_path / "t_strict")
+    spark.createDataFrame(
+        [(k, k % 4, f"old_{k}") for k in range(40)], "k long, day int, v string"
+    ).write.partitionBy("day").parquet(path)
+
+    mover = spark.createDataFrame(
+        [(0, 2, "moved_0")], "k long, day int, v string"  # k=0 lives in day=0
+    )
+    with pytest.raises(ValueError, match="strict upsert refused"):
+        upsert_by_key(
+            spark, path, mover, keys=["k"], partition_cols=["day"], strict=True
+        )
+    # table unchanged — refusal happens before any write
+    assert _table_state(spark, path)[0] == (0, "old_0")
+
+    # a stable-key correction passes the strict check and applies
+    ok = spark.createDataFrame([(0, 0, "new_0")], "k long, day int, v string")
+    stats = upsert_by_key(
+        spark, path, ok, keys=["k"], partition_cols=["day"], strict=True
+    )
+    assert stats["rows_replaced"] == 1
+    assert _table_state(spark, path)[0] == (0, "new_0")
