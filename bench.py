@@ -143,8 +143,18 @@ def main() -> None:
     ingest, matrix = _ingest_benchmarks(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Stdout carries ONLY the minimal driver contract line — round 4's
+    # line grew past the driver's stdout capture (runs arrays + ingest
+    # matrix) and BENCH_r04.json recorded "parsed": null, losing the
+    # round's timings (VERDICT r4 #1). Full detail goes to a committed
+    # side file instead.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
@@ -157,6 +167,19 @@ def main() -> None:
                 "rows": row_counts,
                 "ingest": ingest,
                 "ingest_matrix": matrix,
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
+    print(f"# full detail -> {detail_path}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
                 "sf": sf,
             }
         )
