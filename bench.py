@@ -140,38 +140,44 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    scaling = _scaling_audit(spark, sf_dir, timings)
+
     ingest, matrix = _ingest_benchmarks(spark)
 
     total = round(sum(timings.values()), 3)
     # Stdout carries ONLY the minimal driver contract line — round 4's
     # line grew past the driver's stdout capture (runs arrays + ingest
     # matrix) and BENCH_r04.json recorded "parsed": null, losing the
-    # round's timings (VERDICT r4 #1). Full detail goes to a committed
-    # side file instead.
+    # round's timings (VERDICT r4 #1). Full detail goes to a committed,
+    # ROUND-STAMPED side file (VERDICT r5 #3: the unstamped path was
+    # overwritten every round, losing raw-run history one level up) —
+    # round inferred as max(BENCH_r*.json)+1, the round whose
+    # BENCH_r{N}.json the driver is about to write.
+    repo = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.environ.get(
         "SPARK_GRAFT_DETAIL_PATH",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_DETAIL.json"),
+        os.path.join(repo, f"BENCH_DETAIL_r{_current_round(repo):02d}.json"),
     )
+    detail = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": t_min,
+        "queries_max": t_max,
+        "runs": all_runs,
+        "n_runs": n_runs,
+        "rows": row_counts,
+        "scaling": scaling,
+        "ingest": ingest,
+        "ingest_matrix": matrix,
+        "sf": sf,
+    }
     with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": t_min,
-                "queries_max": t_max,
-                "runs": all_runs,
-                "n_runs": n_runs,
-                "rows": row_counts,
-                "ingest": ingest,
-                "ingest_matrix": matrix,
-                "sf": sf,
-            },
-            fh,
-            indent=1,
-        )
+        json.dump(detail, fh, indent=1)
+    # keep the legacy unstamped path in sync for tooling that reads it
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
     print(f"# full detail -> {detail_path}", file=sys.stderr)
     print(
         json.dumps(
@@ -184,6 +190,84 @@ def main() -> None:
             }
         )
     )
+
+
+def _current_round(repo: str) -> int:
+    """The round whose artifacts are being produced: one past the highest
+    BENCH_r{N}.json the driver has already committed."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _scaling_audit(spark, sf_dir: str, sf01_medians: dict[str, float]):
+    """Scaling-slope audit (VERDICT r5 #4): the 100x question, measured.
+    Runs every headline query ONCE at the sibling sf0.001 and sf0.01
+    dirs (the sf0.1 number is the headline median already in hand) and
+    records the wall-time growth ratio across each decade of data.
+
+    Reading the ratios: fact tables grow 10x per decade, so a query that
+    is linear in data with some fixed overhead shows ratio <= ~10 (the
+    overhead — job scheduling, Python-worker round-trips — inflates the
+    SMALL-sf denominator, pulling ratios DOWN); `documents`/`embeddings`
+    are the same size at sf0.001 and sf0.01 (500/500) and grow 10x/4x to
+    sf0.1, same bound. A ratio materially above the decade's data growth
+    means super-linear work (e.g. an unguarded quadratic join) — exactly
+    what the n-gram inverted index would have shown pre-guard. Flag
+    threshold 20 = 2x grace over linear growth. Skipped (with a note)
+    when the sibling dirs don't exist. Disable: SPARK_GRAFT_SCALING=0."""
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") == "0":
+        return {"skipped": "SPARK_GRAFT_SCALING=0"}
+    base = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    small_dirs = [os.path.join(base, "sf0.001"), os.path.join(base, "sf0.01")]
+    if not all(os.path.isdir(d) for d in small_dirs):
+        return {"skipped": f"sibling sf dirs missing under {base}"}
+    times: dict[str, dict[str, float]] = {}
+    for d, label in zip(small_dirs, ("0.001", "0.01")):
+        for name in HEADLINE:
+            fn = ALL_QUERIES[name].fn
+            t0 = time.perf_counter()
+            df = fn(spark, d)
+            df.count() if name not in _COLLECT else len(df.collect())
+            times.setdefault(name, {})[label] = round(time.perf_counter() - t0, 3)
+        print(f"# scaling sweep done: sf{label}", file=sys.stderr)
+    head_label = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    ratios = {}
+    for name, t in times.items():
+        t[head_label] = sf01_medians[name]
+        ratios[name] = {
+            "r_01_over_001": round(t["0.01"] / max(t["0.001"], 1e-3), 2),
+            "r_1_over_01": round(t[head_label] / max(t["0.01"], 1e-3), 2),
+        }
+    flagged = sorted(
+        (
+            name
+            for name, r in ratios.items()
+            if max(r["r_01_over_001"], r["r_1_over_01"]) > 20
+        ),
+    )
+    worst = max(
+        ratios, key=lambda n: max(ratios[n]["r_01_over_001"], ratios[n]["r_1_over_01"])
+    )
+    out = {
+        "times": times,
+        "ratios": ratios,
+        "flag_threshold": 20,
+        "flagged_super_linear": flagged,
+        "worst_slope": {
+            "query": worst,
+            "ratio": max(ratios[worst]["r_01_over_001"], ratios[worst]["r_1_over_01"]),
+        },
+    }
+    print(f"# scaling worst slope: {out['worst_slope']}", file=sys.stderr)
+    if flagged:
+        print(f"# scaling FLAGGED super-linear: {flagged}", file=sys.stderr)
+    return out
 
 
 def _dir_bytes(path: str) -> int:

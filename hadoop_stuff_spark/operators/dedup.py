@@ -82,15 +82,42 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.4
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, similarity
-    >= threshold) via inverted-index self-join — no cartesian product; the
-    join key is the shingle, so only docs sharing a shingle ever meet."""
+    >= threshold) via inverted-index self-join: the join key is the shingle,
+    so only docs sharing a shingle ever meet.
+
+    The inverted index is quadratic in docs-per-shingle: a single
+    stop-shingle shared by 1M documents would generate 10^12 candidate
+    pairs. ``max_doc_freq`` is the guard: shingles whose document frequency
+    exceeds it are treated as stop-shingles and removed from the shingle
+    universe BEFORE the self-join — consistently, from both the
+    intersection (common counts) and the union (per-doc sizes), so the
+    reported value is the true Jaccard of the *filtered* shingle sets.
+    Semantics change vs unguarded: a pair whose ONLY shared shingles are
+    stop-shingles is not reported (by construction such pairs share only
+    corpus-ubiquitous text, so they are near-dup noise, not signal). The
+    hot set itself is tiny (only shingles above the cap), so the cut is a
+    broadcast anti-join — no extra shuffle of the shingle relation.
+    ``max_doc_freq=None`` disables the guard (exact verifier on
+    pre-filtered candidate sets)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(shingles("text", n)).alias("shingle")
     )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -117,7 +144,7 @@ def ngram_jaccard_pairs(
 
 
 NGRAM_JACCARD_SQL = """
-WITH sh AS (
+WITH sh_all AS (
   SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
   FROM (
     SELECT doc_id,
@@ -125,6 +152,9 @@ WITH sh AS (
                           i -> array_to_string(toks[i:i+2], ' ')) AS sh_list
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   )
+), sh AS (  -- stop-shingle guard: drop shingles with doc freq > 1000
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 1000)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (

@@ -71,6 +71,24 @@ def upsert_by_key(
     partition value is derived from the key)."""
     if not keys or not partition_cols:
         raise ValueError("upsert_by_key needs key columns and partition columns")
+    # NULL merge keys are undefined for MERGE (ANSI equi-match never
+    # matches NULL): a NULL-key delta row would evade both the replace
+    # anti-join and the strict mover check and silently duplicate on
+    # every merge (ADVICE r5 low). Refuse upfront — bounded guard, one
+    # job, at most one driver row.
+    null_key = (
+        delta.filter(
+            functools.reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
+        )
+        .limit(1)
+        .collect()
+    )
+    if null_key:
+        raise ValueError(
+            f"delta contains a NULL in key columns {keys} "
+            f"(row {null_key[0].asDict()!r}) — NULL merge keys are undefined "
+            "for MERGE; filter or impute them first"
+        )
     # MERGE semantics are undefined when the source matches a target row
     # twice (ANSI MERGE errors; so do we). Bounded guard: one job, at
     # most one driver row.

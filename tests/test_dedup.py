@@ -75,6 +75,32 @@ def test_ngram_jaccard_exact_values(spark, tmp_path):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_ngram_jaccard_hot_shingle_guard(spark, tmp_path):
+    """Planted stop-phrase: a shingle shared by every doc must not explode
+    the candidate set when max_doc_freq is active, and the guard must not
+    change recall or values for genuine (low-df) near-dup pairs."""
+    stop = "lorem ipsum dolor sit"  # yields 2 shared 3-gram shingles
+    planted = [
+        f"unique token{i}a token{i}b token{i}c {stop}" for i in range(40)
+    ]
+    docs = _docs(spark, planted + [BASE, NEAR])
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    # unguarded: all 40 planted docs pair up through the stop shingles
+    unguarded = ngram_jaccard_pairs(
+        spark, str(tmp_path), threshold=0.0, max_doc_freq=None
+    )
+    assert unguarded.count() == 40 * 39 // 2 + 1
+    # guarded: stop shingles (df=40 > 10) cut -> planted pairs vanish;
+    # the genuine BASE/NEAR pair survives with its exact Jaccard intact
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            spark, str(tmp_path), threshold=0.0, max_doc_freq=10
+        ).collect()
+    }
+    assert got == {(40, 41): round(_py_jaccard(BASE, NEAR), 6)}
+
+
 def test_minhash_recall_vs_exact(spark, sf_dir):
     """Every exact near-dup pair (jaccard >= 0.5) must be a MinHash-LSH
     candidate with estimated jaccard close to truth."""

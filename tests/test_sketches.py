@@ -484,6 +484,28 @@ def test_cms_string_keys_bit_exact_with_jvm(spark):
     assert got["apple"] >= 3
 
 
+def test_cms_string_buckets_vectorized_equals_scalar():
+    """The numpy length-class murmur3 (`_string_buckets_np`) must agree
+    bucket-for-bucket with the JVM-verified scalar `_string_buckets` on
+    empty, ascii, multi-byte utf-8, long, and every-tail-length strings."""
+    import numpy as np
+
+    from hadoop_stuff_spark.operators.sketches import (
+        _string_buckets,
+        _string_buckets_np,
+    )
+
+    strings = [
+        "", "a", "ab", "abc", "abcd", "abcde",  # every block/tail shape
+        "apple", "banana", "日本語テスト", "\x00\x7f", "a b c",
+        "x" * 101, "émoji🙂mix", "the quick brown fox " * 20,
+    ]
+    byts = np.array([s.encode("utf-8") for s in strings], dtype=object)
+    got = _string_buckets_np(byts, 7, 2000)
+    for i, s in enumerate(strings):
+        assert list(got[i]) == _string_buckets(s, 7, 2000), s
+
+
 def test_kll_drift_detects_shift_and_ignores_none(spark):
     """KS drift from sketch tables: identical before/after distributions
     → KS within sketch rank error of 0; a mean-shifted after-period →
@@ -643,3 +665,37 @@ def test_cms_long_estimates_null_probe_keys_are_zero(spark):
     assert by_key[None] == 0
     assert by_key[7] >= 100  # CMS one-sided guarantee: est >= true
     assert by_key[3] >= 100
+
+
+def test_cms_long_estimates_keep_precision_beyond_2_53(spark):
+    """A NULL-bearing probe batch must NOT degrade |key| > 2^53 keys
+    (ADVICE r5 low): pre-fix, Arrow handed the batch to pandas as
+    float64, so such keys hashed to the wrong bucket and the one-sided
+    est >= true guarantee silently broke. Keys now travel coalesced as
+    exact int64 with a separate is-null flag."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        build_user_cms,
+        with_frequency_estimates,
+    )
+
+    big = (1 << 60) + 1  # not representable in float64 (rounds to 2^60)
+    events = spark.range(500).select(
+        F.lit("2024-05-01").cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.lit(big).alias("user_id"),
+    )
+    sketches = build_user_cms(events)
+    probes = spark.createDataFrame(
+        [(big,), (None,), (big + 1,)], "user_id long"
+    )
+    by_key = {
+        r.user_id: r.est_count
+        for r in with_frequency_estimates(spark, sketches, probes, "user_id").collect()
+    }
+    assert by_key[None] == 0
+    # exact key must satisfy est >= true; the float64-rounded neighbor
+    # (big+1 == big after float64 rounding) must NOT inherit the count
+    assert by_key[big] >= 500
+    assert by_key[big + 1] < 500

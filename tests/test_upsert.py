@@ -85,6 +85,28 @@ def test_upsert_rejects_duplicate_delta_keys(spark, tmp_path):
         upsert_by_key(spark, path, dup_delta, ["k"], ["day"])
 
 
+def test_upsert_rejects_null_delta_keys(spark, tmp_path):
+    """NULL merge keys are undefined for MERGE: a NULL-key delta row never
+    matches the replace anti-join (nor the strict mover check), so it
+    would silently duplicate on every merge (ADVICE r5 low). Refused
+    upfront, before any bytes are written."""
+    import pytest
+
+    path = str(tmp_path / "t_null")
+    spark.createDataFrame(
+        [(1, 0, 1)], "k long, day int, v long"
+    ).write.partitionBy("day").parquet(path)
+    null_delta = spark.createDataFrame(
+        [(2, 0, 10), (None, 0, 20)], "k long, day int, v long"
+    )
+    before = _partition_digest(path, 0)
+    with pytest.raises(ValueError, match="NULL in key columns"):
+        upsert_by_key(spark, path, null_delta, ["k"], ["day"])
+    with pytest.raises(ValueError, match="NULL in key columns"):
+        upsert_by_key(spark, path, null_delta, ["k"], ["day"], strict=True)
+    assert _partition_digest(path, 0) == before  # nothing was written
+
+
 def test_upsert_sequence_matches_dict_model(spark, tmp_path):
     """Model-based: a sequence of random upserts applied to the parquet
     table must equal the same sequence applied to a plain dict —
