@@ -141,6 +141,7 @@ def main() -> None:
         )
 
     scaling = _scaling_audit(spark, sf_dir, timings)
+    curate_stages = _curate_stage_breakdown(spark, sf_dir)
 
     ingest, matrix = _ingest_benchmarks(spark)
 
@@ -169,6 +170,7 @@ def main() -> None:
         "n_runs": n_runs,
         "rows": row_counts,
         "scaling": scaling,
+        "curate_stages": curate_stages,
         "ingest": ingest,
         "ingest_matrix": matrix,
         "sf": sf,
@@ -268,6 +270,39 @@ def _scaling_audit(spark, sf_dir: str, sf01_medians: dict[str, float]):
     if flagged:
         print(f"# scaling FLAGGED super-linear: {flagged}", file=sys.stderr)
     return out
+
+
+def _curate_stage_breakdown(spark, sf_dir: str) -> dict:
+    """Attribute the n1_curate_pipeline composite (VERDICT r5 #6): run the
+    same curation once in staged mode with a QueryLog and report wall
+    seconds per stage. The staged run adds checkpoint barriers, so its
+    sum can differ from the fused headline median — both are recorded."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.engine import Engine
+    from hadoop_stuff_spark.plans.qlog import QueryLog
+
+    tmp = tempfile.mkdtemp(prefix="bench_qlog_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        holdout = docs.filter(F.col("doc_id") % 20 == 0)
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        qlog = QueryLog(spark, os.path.join(tmp, "qlog"))
+        t0 = time.perf_counter()
+        Engine(spark).curate(corpus, holdout, qlog=qlog).count()
+        total = round(time.perf_counter() - t0, 3)
+        stages = {
+            r.name.removeprefix("curate:"): r.wall_s for r in qlog.table().collect()
+        }
+        out = {"stages": stages, "staged_total_s": total}
+        print(f"# curate stages: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _dir_bytes(path: str) -> int:

@@ -327,6 +327,8 @@ class Engine:
         max_contamination: float = 0.05,
         max_dup_word_frac: float = 0.9,
         weights: dict[str, float] | None = None,
+        prescreen: bool = False,
+        qlog=None,
     ) -> DataFrame:
         """One-call LLM training-data curation — the certified pipeline
         (tests/test_llm_pipeline_e2e.py) as product API:
@@ -343,7 +345,25 @@ class Engine:
         Returns the surviving rows with a ``split`` column. Every stage
         is the scale-path operator (no all-pairs anywhere); determinism
         is hash-based throughout, so re-running on the same input yields
-        the same corpus."""
+        the same corpus.
+
+        ``prescreen=True`` (VERDICT r5 #7) runs the theta shingle
+        disjointness gate (`operators.sketches.shingle_overlap_gate`)
+        before the contamination stage and SKIPS the shingle join when
+        corpus×holdout shingle overlap is provably zero (both sketches
+        exact-mode) — output is byte-identical either way, because the
+        skipped join is a certified no-op. Off by default: the gate
+        costs one extra corpus scan unless you maintain the corpus
+        shingle sketch incrementally; enable it when curating many
+        slices against one fixed benchmark set.
+
+        ``qlog`` (VERDICT r5 #6): pass a `plans.qlog.QueryLog` to make
+        the composite attributable — each stage is then eagerly
+        materialized under a timed `curate:<stage>` log row (wall
+        seconds, exchanges, lint findings), so the pipeline's cost
+        decomposes stage by stage. The barriers change scheduling, not
+        results (every stage is deterministic); leave it None for the
+        fully-fused lazy plan."""
         from pyspark.sql import functions as F
 
         from hadoop_stuff_spark.functions import text as T
@@ -356,33 +376,78 @@ class Engine:
         )
         from hadoop_stuff_spark.operators.sampling import split_corpus
 
-        cleaned = docs.withColumn(text_col, clean_text(text_col))
-        exact = drop_exact_duplicates(cleaned, text_col)
-        pairs = minhash_candidates(exact, id_col, text_col).filter(
-            F.col("est_jaccard") >= near_threshold
-        )
-        losers = (
-            dedup_clusters(pairs)
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-        survivors = exact.join(losers, id_col, "left_anti")
-        if holdout is not None:
-            contaminated = (
-                overlap_report(survivors, holdout, text_col, id_col, n=3)
-                .filter(F.col("contam_frac") > max_contamination)
-                .select(id_col)
+        import time as _time
+
+        def stage(name: str, build) -> DataFrame:
+            # Attribution must cover CONSTRUCTION too: iterative operators
+            # (dedup_clusters' pointer-jumping rounds, minhash_candidates'
+            # eager signature checkpoint) execute jobs while the frame is
+            # being built, before any action runs on it.
+            if qlog is None:
+                return build()
+            t0 = _time.perf_counter()
+            df = build()
+            built = _time.perf_counter() - t0
+            return qlog.run(
+                f"curate:{name}",
+                df,
+                action=lambda d: d.localCheckpoint(eager=True),
+                extra_wall_s=built,
             )
-            survivors = survivors.join(contaminated, id_col, "left_anti")
+
+        exact = stage(
+            "clean_exact_dedup",
+            lambda: drop_exact_duplicates(
+                docs.withColumn(text_col, clean_text(text_col)), text_col
+            ),
+        )
+
+        def build_near_dedup() -> DataFrame:
+            pairs = minhash_candidates(exact, id_col, text_col).filter(
+                F.col("est_jaccard") >= near_threshold
+            )
+            losers = (
+                dedup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            return exact.join(losers, id_col, "left_anti")
+
+        survivors = stage("near_dedup", build_near_dedup)
+        if holdout is not None:
+            skip_contamination = False
+            if prescreen:
+                from hadoop_stuff_spark.operators.sketches import (
+                    shingle_overlap_gate,
+                )
+
+                gate = shingle_overlap_gate(survivors, holdout, text_col, n=3)
+                skip_contamination = gate["provably_disjoint"]
+            if not skip_contamination:
+                base = survivors
+
+                def build_contamination() -> DataFrame:
+                    contaminated = (
+                        overlap_report(base, holdout, text_col, id_col, n=3)
+                        .filter(F.col("contam_frac") > max_contamination)
+                        .select(id_col)
+                    )
+                    return base.join(contaminated, id_col, "left_anti")
+
+                survivors = stage("contamination", build_contamination)
         toks = T.tokens(text_col)
-        gated = (
-            survivors.withColumn(
+        gated = stage(
+            "repetition_gate",
+            lambda: survivors.withColumn(
                 "_dup_frac",
                 1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
             )
             .filter(F.col("_dup_frac") <= max_dup_word_frac)
-            .drop("_dup_frac")
+            .drop("_dup_frac"),
         )
-        return split_corpus(
-            gated, id_col, weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+        return stage(
+            "split",
+            lambda: split_corpus(
+                gated, id_col, weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+            ),
         )

@@ -519,6 +519,84 @@ def corpus_overlap(
     )
 
 
+def theta_blob_is_exact(blob) -> bool:
+    """True iff a serialized DataSketches compact theta sketch is in EXACT
+    mode — theta == 1.0, every distinct hash retained, estimate == exact
+    distinct count. Read from the preamble (format probed empirically on
+    this Spark's `theta_sketch_agg` output; test pins it): serVer 4 emits
+    preLongs 1 below capacity and preLongs 2 (theta long present) when
+    estimating; serVer 3 appears for the empty/single-item forms
+    (preLongs 1) and legacy exact compacts (preLongs 2), with preLongs 3
+    = estimating. Unknown future formats return False — the caller may
+    only use True as PROOF, so never claim it for bytes we can't read."""
+    b = bytes(blob)
+    if len(b) < 2:
+        return False
+    pre, ver = b[0] & 0x3F, b[1]
+    if ver == 4:
+        return pre == 1
+    if ver == 3:
+        return pre <= 2
+    return False
+
+
+def shingle_overlap_gate(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    lg_k: int = 20,
+    corpus_blob: bytes | None = None,
+    holdout_blob: bytes | None = None,
+) -> dict:
+    """Decontamination pre-screen (VERDICT r5 #7): theta sketches over the
+    word n-gram SHINGLES of each side. When BOTH sketches are in exact
+    mode (provable from the blob — `theta_blob_is_exact`) and their
+    intersection estimate is 0, there is provably no shared shingle:
+    exact-mode sketches retain every distinct hash, a shared shingle
+    always hashes identically on both sides, and a 64-bit collision can
+    only INFLATE the intersection (fail toward running the filter). The
+    caller may then skip the contamination join as a certified no-op.
+    In estimation mode (corpus shingles > 2^lg_k) the gate never claims
+    proof — `provably_disjoint` is False and the join must run; for
+    100 TB corpora pass ``corpus_blob`` from an incrementally-maintained
+    sketch table (streaming/matview.py) so the gate costs zero corpus
+    scans, or accept one scan-and-sketch pass here. All driver traffic
+    is two sketch blobs (≤ ~8 MB at lg_k=20) and one scalar row."""
+    from hadoop_stuff_spark.operators.dedup import shingles
+
+    spark = corpus.sparkSession
+
+    def blob_of(df: DataFrame) -> bytes:
+        return bytes(
+            df.select(F.explode(shingles(text_col, n)).alias("sh"))
+            .agg(F.theta_sketch_agg("sh", F.lit(lg_k)).alias("s"))
+            .collect()[0]
+            .s
+        )
+
+    ca = bytes(corpus_blob) if corpus_blob is not None else blob_of(corpus)
+    hb = bytes(holdout_blob) if holdout_blob is not None else blob_of(holdout)
+    est = (
+        spark.range(1)
+        .select(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.lit(bytearray(ca)), F.lit(bytearray(hb)))
+            ).alias("i")
+        )
+        .collect()[0]
+        .i
+    )
+    corpus_exact = theta_blob_is_exact(ca)
+    holdout_exact = theta_blob_is_exact(hb)
+    return {
+        "est_shared": float(est),
+        "corpus_exact": corpus_exact,
+        "holdout_exact": holdout_exact,
+        "provably_disjoint": bool(corpus_exact and holdout_exact and est == 0),
+    }
+
+
 # -- string keys ------------------------------------------------------------
 #
 # Spark's CMS hashes string items with double hashing over Murmur3_x86_32
@@ -627,6 +705,32 @@ def _murmur3_32_np(mat, seeds):
     h = h * np.uint32(0xC2B2AE35)
     h ^= h >> np.uint32(16)
     return h
+
+
+def murmur3_64_np(byts):
+    """64-bit hash of an object array of ``bytes``, numpy-vectorized per
+    byte-length class (same packing trick as `_string_buckets_np`):
+    h64 = (murmur3_32(b, 0) << 32) | murmur3_32(b, h1) — the same
+    double-hash construction the CMS string path uses, concatenated.
+    Used as the MinHash base hash, where the previous per-shingle
+    hashlib.md5 call was the last interpreted inner loop on the
+    signature path. Returns (n,) uint64."""
+    import numpy as np
+
+    n = len(byts)
+    lens = np.fromiter((len(b) for b in byts), dtype=np.int64, count=n)
+    out = np.empty(n, dtype=np.uint64)
+    for L in np.unique(lens):
+        idx = np.nonzero(lens == L)[0]
+        if L == 0:
+            mat = np.zeros((len(idx), 0), dtype=np.uint8)
+        else:
+            buf = b"".join(byts[i] for i in idx)
+            mat = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), int(L))
+        h1 = _murmur3_32_np(mat, np.zeros(len(idx), dtype=np.uint32))
+        h2 = _murmur3_32_np(mat, h1)
+        out[idx] = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+    return out
 
 
 def _string_buckets_np(byts, depth: int, width: int):

@@ -36,36 +36,56 @@ class QueryLog:
         name: str,
         df: DataFrame,
         action=None,
+        extra_wall_s: float = 0.0,
         **lint_kwargs,
     ):
         """Execute ``df`` (``action`` defaults to collect), log one row,
-        return the action's result."""
+        return the action's result. ``extra_wall_s`` is added to the
+        recorded wall — for callers attributing work that already ran
+        while CONSTRUCTING ``df`` (e.g. an iterative operator that
+        executes convergence jobs at build time)."""
         action = action or (lambda d: d.collect())
         plan = df._jdf.queryExecution().executedPlan().toString()
         findings = lint_plan(df, **lint_kwargs)
         t0 = time.time()
         result = action(df)
-        wall = time.time() - t0
+        wall = time.time() - t0 + extra_wall_s
         n_rows = len(result) if hasattr(result, "__len__") else -1
-        row = [
-            (
-                name,
-                float(round(wall, 4)),
-                int(n_rows),
-                int(plan.count("Exchange ")),
-                [f"{r}:{e}" for r, e in findings],
-                datetime.now(timezone.utc).isoformat(),
-            )
-        ]
-        (
-            self.spark.createDataFrame(
-                row,
-                "name string, wall_s double, n_rows long, n_exchanges long, "
-                "lint array<string>, at string",
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(self.path)
+        # The append is a driver-side pyarrow write of one tiny file —
+        # NOT a Spark job: a one-row createDataFrame().write round-trip
+        # measured ~5 s per call (job setup + commit protocol), which
+        # dwarfed the stages it was supposed to attribute. Spark reads
+        # the directory exactly the same either way.
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("name", pa.string()),
+                ("wall_s", pa.float64()),
+                ("n_rows", pa.int64()),
+                ("n_exchanges", pa.int64()),
+                ("lint", pa.list_(pa.string())),
+                ("at", pa.string()),
+            ]
+        )
+        table = pa.Table.from_pydict(
+            {
+                "name": [name],
+                "wall_s": [float(round(wall, 4))],
+                "n_rows": [int(n_rows)],
+                "n_exchanges": [int(plan.count("Exchange "))],
+                "lint": [[f"{r}:{e}" for r, e in findings]],
+                "at": [datetime.now(timezone.utc).isoformat()],
+            },
+            schema=schema,
+        )
+        os.makedirs(self.path, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
         )
         return result
 

@@ -174,6 +174,87 @@ def test_facade_curate_pipeline(spark, sf_dir):
     assert a == b  # deterministic end to end
 
 
+def test_curate_stage_attribution_via_qlog(spark, sf_dir, tmp_path):
+    """VERDICT r5 #6: with a QueryLog, the curate composite decomposes
+    into timed per-stage rows whose union is the whole pipeline, and the
+    staged run's output is identical to the fused lazy run."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.engine import Engine
+    from hadoop_stuff_spark.plans.qlog import QueryLog
+
+    eng = Engine(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    import time
+
+    eng.curate(corpus, holdout).count()  # warm the UDF/JIT paths
+    qlog = QueryLog(spark, str(tmp_path / "qlog"))
+    t0 = time.perf_counter()
+    staged = eng.curate(corpus, holdout, qlog=qlog)
+    composite_wall = time.perf_counter() - t0
+    fused = eng.curate(corpus, holdout)
+    a = {(r.doc_id, r.split) for r in staged.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in fused.select("doc_id", "split").collect()}
+    assert a == b  # attribution barriers change scheduling, not results
+
+    rows = {r.name: r for r in qlog.table().collect()}
+    assert set(rows) == {
+        "curate:clean_exact_dedup",
+        "curate:near_dedup",
+        "curate:contamination",
+        "curate:repetition_gate",
+        "curate:split",
+    }
+    assert all(r.wall_s > 0 for r in rows.values())
+    # the stage walls must actually account for the composite (each
+    # covers build + materialize; only ms-scale log writes sit outside)
+    attributed = sum(r.wall_s for r in rows.values())
+    assert attributed >= 0.4 * composite_wall, (attributed, composite_wall)
+
+
+def test_curate_prescreen_fast_path_and_byte_identical_output(spark, tmp_path):
+    """VERDICT r5 #7: prescreen on DISJOINT corpora takes the fast path
+    (no contamination stage executes) and on OVERLAPPING corpora the
+    output is identical with and without the prescreen."""
+    from hadoop_stuff_spark.engine import Engine
+    from hadoop_stuff_spark.plans.qlog import QueryLog
+
+    eng = Engine(spark)
+    corpus = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo{i} foxtrot golf") for i in range(40)],
+        "doc_id long, text string",
+    )
+    disjoint_holdout = spark.createDataFrame(
+        [(1000, "hotel india juliet kilo lima mike")], "doc_id long, text string"
+    )
+    overlapping_holdout = spark.createDataFrame(
+        [(1000, "alpha bravo charlie delta november")], "doc_id long, text string"
+    )
+
+    def splits(df):
+        return {(r.doc_id, r.split) for r in df.select("doc_id", "split").collect()}
+
+    # disjoint: gate fires — the qlog proves no contamination stage ran
+    qlog = QueryLog(spark, str(tmp_path / "qlog_fast"))
+    fast = eng.curate(corpus, disjoint_holdout, prescreen=True, qlog=qlog)
+    names = {r.name for r in qlog.table().collect()}
+    assert "curate:contamination" not in names
+    assert splits(fast) == splits(eng.curate(corpus, disjoint_holdout))
+
+    # overlapping: gate must NOT fire; output byte-identical either way
+    with_pre = eng.curate(corpus, overlapping_holdout, prescreen=True)
+    without = eng.curate(corpus, overlapping_holdout)
+    assert splits(with_pre) == splits(without)
+    # and the overlap really did drop the contaminated docs (every doc
+    # shares "alpha bravo charlie"+"bravo charlie delta" with holdout,
+    # but at the default fractional threshold only high-overlap docs go)
+    assert with_pre.count() == without.count()
+
+
 def test_registry_curate_entry_keeps_a_healthy_funnel(spark):
     """Regression pin for the round-4 defect where the any-overlap
     contamination rule emptied the corpus: the benchable registry entry

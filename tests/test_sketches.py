@@ -484,6 +484,50 @@ def test_cms_string_keys_bit_exact_with_jvm(spark):
     assert got["apple"] >= 3
 
 
+def test_theta_blob_exact_detection_and_disjointness_gate(spark):
+    """The decontamination pre-screen may only claim proof when both
+    sketches are exact-mode: pin the blob-preamble exactness detector
+    against real theta_sketch_agg output on both sides of the capacity
+    cliff, then the gate itself on disjoint vs overlapping corpora."""
+    import pyspark.sql.functions as F
+
+    from hadoop_stuff_spark.operators.sketches import (
+        shingle_overlap_gate,
+        theta_blob_is_exact,
+    )
+
+    def blob(n):
+        return bytes(
+            spark.range(n)
+            .agg(F.theta_sketch_agg(F.col("id").cast("string"), F.lit(12)).alias("s"))
+            .collect()[0]
+            .s
+        )
+
+    assert theta_blob_is_exact(blob(0))  # empty form (serVer 3)
+    assert theta_blob_is_exact(blob(1))  # single-item form (serVer 3)
+    assert theta_blob_is_exact(blob(4096))  # at capacity: still exact
+    assert not theta_blob_is_exact(blob(4097))  # over capacity: estimating
+    assert not theta_blob_is_exact(b"")  # unreadable: never claim proof
+
+    docs_a = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo{i} foxtrot") for i in range(30)],
+        "doc_id long, text string",
+    )
+    disjoint = spark.createDataFrame(
+        [(i, f"golf hotel india juliet kilo{i} lima") for i in range(30)],
+        "doc_id long, text string",
+    )
+    overlapping = spark.createDataFrame(
+        [(0, "alpha bravo charlie november oscar")], "doc_id long, text string"
+    )
+    g1 = shingle_overlap_gate(docs_a, disjoint)
+    assert g1["provably_disjoint"] and g1["est_shared"] == 0
+    assert g1["corpus_exact"] and g1["holdout_exact"]
+    g2 = shingle_overlap_gate(docs_a, overlapping)
+    assert not g2["provably_disjoint"] and g2["est_shared"] >= 1  # "alpha bravo charlie"
+
+
 def test_cms_string_buckets_vectorized_equals_scalar():
     """The numpy length-class murmur3 (`_string_buckets_np`) must agree
     bucket-for-bucket with the JVM-verified scalar `_string_buckets` on
