@@ -140,10 +140,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    scaling = _scaling_audit(spark, sf_dir, timings)
-    curate_stages = _curate_stage_breakdown(spark, sf_dir)
-
-    ingest, matrix = _ingest_benchmarks(spark)
+    # detail-only blocks: a failure here must never cost the round's
+    # contract line (stdout JSON) or the headline timings
+    try:
+        scaling = _scaling_audit(spark, sf_dir, timings)
+    except Exception as exc:  # noqa: BLE001
+        scaling = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    try:
+        curate_stages = _curate_stage_breakdown(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        curate_stages = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    try:
+        ingest, matrix = _ingest_benchmarks(spark)
+    except Exception as exc:  # noqa: BLE001
+        ingest, matrix = {"error": f"{type(exc).__name__}: {exc}"[:300]}, []
 
     total = round(sum(timings.values()), 3)
     # Stdout carries ONLY the minimal driver contract line — round 4's
@@ -230,21 +240,35 @@ def _scaling_audit(spark, sf_dir: str, sf01_medians: dict[str, float]):
     if not all(os.path.isdir(d) for d in small_dirs):
         return {"skipped": f"sibling sf dirs missing under {base}"}
     times: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for d, label in zip(small_dirs, ("0.001", "0.01")):
         for name in HEADLINE:
             fn = ALL_QUERIES[name].fn
             t0 = time.perf_counter()
-            df = fn(spark, d)
-            df.count() if name not in _COLLECT else len(df.collect())
+            # a query failing at one sf must cost that one data point,
+            # never the whole round's bench artifact
+            try:
+                df = fn(spark, d)
+                df.count() if name not in _COLLECT else len(df.collect())
+            except Exception as exc:  # noqa: BLE001
+                errors[f"{name}@sf{label}"] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
             times.setdefault(name, {})[label] = round(time.perf_counter() - t0, 3)
         print(f"# scaling sweep done: sf{label}", file=sys.stderr)
     head_label = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     ratios = {}
     for name, t in times.items():
+        if "0.001" not in t or "0.01" not in t:
+            continue
         t[head_label] = sf01_medians[name]
         ratios[name] = {
             "r_01_over_001": round(t["0.01"] / max(t["0.001"], 1e-3), 2),
             "r_1_over_01": round(t[head_label] / max(t["0.01"], 1e-3), 2),
+        }
+    if not ratios:
+        return {
+            "skipped": "no query produced both small-sf data points",
+            "errors": errors,
         }
     flagged = sorted(
         (
@@ -265,6 +289,7 @@ def _scaling_audit(spark, sf_dir: str, sf01_medians: dict[str, float]):
             "query": worst,
             "ratio": max(ratios[worst]["r_01_over_001"], ratios[worst]["r_1_over_01"]),
         },
+        "errors": errors,
     }
     print(f"# scaling worst slope: {out['worst_slope']}", file=sys.stderr)
     if flagged:
