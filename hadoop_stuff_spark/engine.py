@@ -283,6 +283,25 @@ class Engine:
 
         return corpus_overlap(corpus_a, corpus_b, text_col=text_col)
 
+    def sketch_corpus_for_prescreen(
+        self, docs: DataFrame, text_col: str = "text", n: int = 3, lg_k: int = 20
+    ) -> bytes:
+        """Build (one slice of) the corpus shingle sketch the curate
+        pre-screen can consume with ZERO corpus scans at curate time:
+        applies the SAME `clean_text` normalization `curate` applies
+        before shingling — the gate's superset proof requires the
+        maintained sketch to cover the CLEANED text's shingles — then
+        sketches the word n-gram shingles. Blobs from corpus slices
+        (per ingest batch) union losslessly via
+        `operators.sketches.merge_theta_blobs`; pass the folded blob as
+        ``curate(prescreen=True, prescreen_corpus_blob=blob)``."""
+        from hadoop_stuff_spark.operators.cleaning import clean_text
+        from hadoop_stuff_spark.operators.sketches import sketch_shingles_blob
+
+        return sketch_shingles_blob(
+            docs.withColumn(text_col, clean_text(text_col)), text_col, n, lg_k
+        )
+
     def score_by_frequency(
         self, sketches: DataFrame, probes: DataFrame, key_col: str,
         out_col: str = "est_count",
@@ -328,6 +347,7 @@ class Engine:
         max_dup_word_frac: float = 0.9,
         weights: dict[str, float] | None = None,
         prescreen: bool = False,
+        prescreen_corpus_blob: bytes | None = None,
         qlog=None,
     ) -> DataFrame:
         """One-call LLM training-data curation — the certified pipeline
@@ -353,9 +373,15 @@ class Engine:
         corpus×holdout shingle overlap is provably zero (both sketches
         exact-mode) — output is byte-identical either way, because the
         skipped join is a certified no-op. Off by default: the gate
-        costs one extra corpus scan unless you maintain the corpus
-        shingle sketch incrementally; enable it when curating many
-        slices against one fixed benchmark set.
+        costs one extra corpus scan — UNLESS ``prescreen_corpus_blob``
+        carries an incrementally maintained sketch (built per corpus
+        slice with `sketch_corpus_for_prescreen`, folded with
+        `operators.sketches.merge_theta_blobs`), which makes the gate
+        zero-scan. Soundness of the blob path: the blob sketches the
+        CLEANED full corpus's shingles, a superset of the post-dedup
+        survivors' shingles, so proven disjointness transfers; a stale
+        blob missing newly-added docs breaks that superset premise, so
+        only pass blobs covering every doc in ``docs``.
 
         ``qlog`` (VERDICT r5 #6): pass a `plans.qlog.QueryLog` to make
         the composite attributable — each stage is then eagerly
@@ -421,7 +447,13 @@ class Engine:
                     shingle_overlap_gate,
                 )
 
-                gate = shingle_overlap_gate(survivors, holdout, text_col, n=3)
+                gate = shingle_overlap_gate(
+                    survivors,
+                    holdout,
+                    text_col,
+                    n=3,
+                    corpus_blob=prescreen_corpus_blob,
+                )
                 skip_contamination = gate["provably_disjoint"]
             if not skip_contamination:
                 base = survivors

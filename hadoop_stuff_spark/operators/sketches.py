@@ -540,6 +540,44 @@ def theta_blob_is_exact(blob) -> bool:
     return False
 
 
+def sketch_shingles_blob(
+    docs: DataFrame, text_col: str = "text", n: int = 3, lg_k: int = 20
+) -> bytes:
+    """One theta sketch blob over the word n-gram shingles of ``docs`` —
+    the mergeable unit of the decontamination pre-screen. Sketch blobs
+    from corpus slices (e.g. one per ingest batch) union losslessly via
+    :func:`merge_theta_blobs`, so a 100 TB corpus can maintain its
+    shingle sketch incrementally and never rescan for the gate. Unions
+    that exceed 2^lg_k distinct shingles leave exact mode, and
+    `theta_blob_is_exact` on the merged blob then (correctly) withholds
+    proof — staleness or overflow can never produce a false skip."""
+    from hadoop_stuff_spark.operators.dedup import shingles
+
+    return bytes(
+        docs.select(F.explode(shingles(text_col, n)).alias("sh"))
+        .agg(F.theta_sketch_agg("sh", F.lit(lg_k)).alias("s"))
+        .collect()[0]
+        .s
+    )
+
+
+def merge_theta_blobs(spark: SparkSession, blobs: list[bytes]) -> bytes:
+    """Union serialized theta sketches driver-side (one 1-row JVM job;
+    nested `theta_union` over literals). Exactness composes: a union of
+    exact sketches below capacity is itself exact."""
+    import functools
+
+    if not blobs:
+        raise ValueError("merge_theta_blobs needs at least one blob")
+    if len(blobs) == 1:
+        return bytes(blobs[0])
+    merged = functools.reduce(
+        lambda a, b: F.theta_union(a, b),
+        [F.lit(bytearray(bytes(b))) for b in blobs],
+    )
+    return bytes(spark.range(1).select(merged.alias("s")).collect()[0].s)
+
+
 def shingle_overlap_gate(
     corpus: DataFrame,
     holdout: DataFrame,
@@ -563,20 +601,17 @@ def shingle_overlap_gate(
     sketch table (streaming/matview.py) so the gate costs zero corpus
     scans, or accept one scan-and-sketch pass here. All driver traffic
     is two sketch blobs (≤ ~8 MB at lg_k=20) and one scalar row."""
-    from hadoop_stuff_spark.operators.dedup import shingles
-
     spark = corpus.sparkSession
-
-    def blob_of(df: DataFrame) -> bytes:
-        return bytes(
-            df.select(F.explode(shingles(text_col, n)).alias("sh"))
-            .agg(F.theta_sketch_agg("sh", F.lit(lg_k)).alias("s"))
-            .collect()[0]
-            .s
-        )
-
-    ca = bytes(corpus_blob) if corpus_blob is not None else blob_of(corpus)
-    hb = bytes(holdout_blob) if holdout_blob is not None else blob_of(holdout)
+    ca = (
+        bytes(corpus_blob)
+        if corpus_blob is not None
+        else sketch_shingles_blob(corpus, text_col, n, lg_k)
+    )
+    hb = (
+        bytes(holdout_blob)
+        if holdout_blob is not None
+        else sketch_shingles_blob(holdout, text_col, n, lg_k)
+    )
     est = (
         spark.range(1)
         .select(

@@ -528,6 +528,62 @@ def test_theta_blob_exact_detection_and_disjointness_gate(spark):
     assert not g2["provably_disjoint"] and g2["est_shared"] >= 1  # "alpha bravo charlie"
 
 
+def test_shingle_sketch_blobs_merge_losslessly_and_gate_from_blob(spark):
+    """Incremental gate path: per-slice shingle sketch blobs folded with
+    merge_theta_blobs must give the gate the same answers as one
+    whole-corpus sketch, and over-capacity unions must refuse proof."""
+    from hadoop_stuff_spark.operators.sketches import (
+        merge_theta_blobs,
+        shingle_overlap_gate,
+        sketch_shingles_blob,
+        theta_blob_is_exact,
+    )
+
+    slice_a = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo{i} foxtrot") for i in range(20)],
+        "doc_id long, text string",
+    )
+    slice_b = spark.createDataFrame(
+        [(i, f"golf hotel india juliet kilo{i} lima") for i in range(20, 40)],
+        "doc_id long, text string",
+    )
+    whole = slice_a.unionByName(slice_b)
+    merged = merge_theta_blobs(
+        spark, [sketch_shingles_blob(slice_a), sketch_shingles_blob(slice_b)]
+    )
+    assert theta_blob_is_exact(merged)
+
+    disjoint_holdout = spark.createDataFrame(
+        [(99, "mike november oscar papa quebec romeo")], "doc_id long, text string"
+    )
+    overlapping_holdout = spark.createDataFrame(
+        [(99, "golf hotel india zulu yankee")], "doc_id long, text string"
+    )
+    for holdout in (disjoint_holdout, overlapping_holdout):
+        from_blob = shingle_overlap_gate(whole, holdout, corpus_blob=merged)
+        direct = shingle_overlap_gate(whole, holdout)
+        assert from_blob["provably_disjoint"] == direct["provably_disjoint"]
+        assert from_blob["est_shared"] == direct["est_shared"]
+    assert shingle_overlap_gate(whole, disjoint_holdout, corpus_blob=merged)[
+        "provably_disjoint"
+    ]
+
+    # over-capacity union leaves exact mode -> proof correctly withheld
+    # 3 shingles per doc, all distinct across docs -> 9000 distinct
+    # shingles, past lg_k=12's 4096 capacity
+    big = spark.range(3000).selectExpr(
+        "id AS doc_id",
+        "concat('a', id, ' b', id, ' c', id, ' d', id, ' e', id) AS text",
+    )
+    over = merge_theta_blobs(
+        spark,
+        [sketch_shingles_blob(big, lg_k=12), sketch_shingles_blob(slice_a, lg_k=12)],
+    )
+    assert not theta_blob_is_exact(over)
+    g = shingle_overlap_gate(big, disjoint_holdout, corpus_blob=over)
+    assert not g["provably_disjoint"]
+
+
 def test_cms_string_buckets_vectorized_equals_scalar():
     """The numpy length-class murmur3 (`_string_buckets_np`) must agree
     bucket-for-bucket with the JVM-verified scalar `_string_buckets` on
