@@ -187,9 +187,12 @@ def main() -> None:
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
-    # keep the legacy unstamped path in sync for tooling that reads it
-    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(detail, fh, indent=1)
+    # keep the legacy unstamped path in sync for tooling that reads it —
+    # but only when the caller hasn't redirected detail output away from
+    # the repo (a redirect means "don't touch the working tree")
+    if "SPARK_GRAFT_DETAIL_PATH" not in os.environ:
+        with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
     print(f"# full detail -> {detail_path}", file=sys.stderr)
     print(
         json.dumps(
@@ -206,9 +209,14 @@ def main() -> None:
 
 def _current_round(repo: str) -> int:
     """The round whose artifacts are being produced: one past the highest
-    BENCH_r{N}.json the driver has already committed."""
+    BENCH_r{N}.json the driver has already committed. A manual re-run
+    AFTER the round's own BENCH_r{N}.json landed would mislabel one
+    round ahead — override with SPARK_GRAFT_ROUND for those."""
     import re
 
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
     rounds = [
         int(m.group(1))
         for f in os.listdir(repo)
@@ -237,6 +245,11 @@ def _scaling_audit(spark, sf_dir: str, sf01_medians: dict[str, float]):
         return {"skipped": "SPARK_GRAFT_SCALING=0"}
     base = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
     small_dirs = [os.path.join(base, "sf0.001"), os.path.join(base, "sf0.01")]
+    if os.path.abspath(sf_dir.rstrip("/")) in [os.path.abspath(d) for d in small_dirs]:
+        # smoke runs point SPARK_GRAFT_SF_DIR at one of the grid dirs;
+        # the head median would overwrite that grid point and every
+        # ratio would silently read 1.0 (caught by code review)
+        return {"skipped": f"headline sf dir {sf_dir} overlaps the scaling grid"}
     if not all(os.path.isdir(d) for d in small_dirs):
         return {"skipped": f"sibling sf dirs missing under {base}"}
     times: dict[str, dict[str, float]] = {}

@@ -447,6 +447,13 @@ class Engine:
                     shingle_overlap_gate,
                 )
 
+                if prescreen_corpus_blob is None and qlog is None:
+                    # the gate's sketch scan would otherwise execute the
+                    # whole upstream pipeline once for the sketch and
+                    # AGAIN for every downstream stage (in qlog mode the
+                    # stage wrapper has already checkpointed survivors;
+                    # with a maintained blob nothing scans at all)
+                    survivors = survivors.localCheckpoint(eager=True)
                 gate = shingle_overlap_gate(
                     survivors,
                     holdout,

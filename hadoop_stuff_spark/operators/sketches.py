@@ -561,10 +561,16 @@ def sketch_shingles_blob(
     )
 
 
-def merge_theta_blobs(spark: SparkSession, blobs: list[bytes]) -> bytes:
+def merge_theta_blobs(spark: SparkSession, blobs: list[bytes], lg_k: int = 20) -> bytes:
     """Union serialized theta sketches driver-side (one 1-row JVM job;
     nested `theta_union` over literals). Exactness composes: a union of
-    exact sketches below capacity is itself exact."""
+    exact sketches below capacity is itself exact — PROVIDED the union
+    operator's own capacity matches: ``lg_k`` must be >= the blobs'
+    build lg_k (default matches `sketch_shingles_blob`). Left to its
+    default, `theta_union` caps at 2^12 entries and would silently
+    downsample a >4096-entry union out of exact mode, permanently
+    disabling the provable fast path (caught by code review; pinned by
+    a capacity-scale test)."""
     import functools
 
     if not blobs:
@@ -572,7 +578,7 @@ def merge_theta_blobs(spark: SparkSession, blobs: list[bytes]) -> bytes:
     if len(blobs) == 1:
         return bytes(blobs[0])
     merged = functools.reduce(
-        lambda a, b: F.theta_union(a, b),
+        lambda a, b: F.theta_union(a, b, F.lit(lg_k)),
         [F.lit(bytearray(bytes(b))) for b in blobs],
     )
     return bytes(spark.range(1).select(merged.alias("s")).collect()[0].s)
@@ -742,19 +748,16 @@ def _murmur3_32_np(mat, seeds):
     return h
 
 
-def murmur3_64_np(byts):
-    """64-bit hash of an object array of ``bytes``, numpy-vectorized per
-    byte-length class (same packing trick as `_string_buckets_np`):
-    h64 = (murmur3_32(b, 0) << 32) | murmur3_32(b, h1) — the same
-    double-hash construction the CMS string path uses, concatenated.
-    Used as the MinHash base hash, where the previous per-shingle
-    hashlib.md5 call was the last interpreted inner loop on the
-    signature path. Returns (n,) uint64."""
+def _length_class_double_hashes(byts):
+    """Shared core of the vectorized string hashers: group an object
+    array of ``bytes`` by byte length, pack each class into a
+    fixed-width uint8 matrix, and murmur3 double-hash the whole class at
+    once. Yields (idx, h1, h2) per class — idx the positions of that
+    class's keys, h1/h2 the uint32 hash vectors."""
     import numpy as np
 
     n = len(byts)
     lens = np.fromiter((len(b) for b in byts), dtype=np.int64, count=n)
-    out = np.empty(n, dtype=np.uint64)
     for L in np.unique(lens):
         idx = np.nonzero(lens == L)[0]
         if L == 0:
@@ -764,28 +767,32 @@ def murmur3_64_np(byts):
             mat = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), int(L))
         h1 = _murmur3_32_np(mat, np.zeros(len(idx), dtype=np.uint32))
         h2 = _murmur3_32_np(mat, h1)
+        yield idx, h1, h2
+
+
+def murmur3_64_np(byts):
+    """64-bit hash of an object array of ``bytes``, numpy-vectorized per
+    byte-length class: h64 = (murmur3_32(b, 0) << 32) | murmur3_32(b, h1)
+    — the same double-hash construction the CMS string path uses,
+    concatenated. Used as the MinHash base hash, where the previous
+    per-shingle hashlib.md5 call was the last interpreted inner loop on
+    the signature path. Returns (n,) uint64."""
+    import numpy as np
+
+    out = np.empty(len(byts), dtype=np.uint64)
+    for idx, h1, h2 in _length_class_double_hashes(byts):
         out[idx] = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
     return out
 
 
 def _string_buckets_np(byts, depth: int, width: int):
-    """Vectorized `_string_buckets` over an object array of utf-8 ``bytes``:
-    group keys by byte length, pack each class into a fixed-width uint8
-    matrix, murmur3 the whole class at once. Returns (n, depth) int64."""
+    """Vectorized `_string_buckets` over an object array of utf-8 ``bytes``
+    (length-class packing via `_length_class_double_hashes`). Returns
+    (n, depth) int64."""
     import numpy as np
 
-    n = len(byts)
-    lens = np.fromiter((len(b) for b in byts), dtype=np.int64, count=n)
-    out = np.empty((n, depth), dtype=np.int64)
-    for L in np.unique(lens):
-        idx = np.nonzero(lens == L)[0]
-        if L == 0:
-            mat = np.zeros((len(idx), 0), dtype=np.uint8)
-        else:
-            buf = b"".join(byts[i] for i in idx)
-            mat = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), int(L))
-        h1 = _murmur3_32_np(mat, np.zeros(len(idx), dtype=np.uint32))
-        h2 = _murmur3_32_np(mat, h1)
+    out = np.empty((len(byts), depth), dtype=np.int64)
+    for idx, h1, h2 in _length_class_double_hashes(byts):
         # widen to int64 so |INT_MIN| and i*h2 never overflow; the
         # & 0xFFFFFFFF + re-sign reproduces Java int wraparound exactly
         h1s = h1.view(np.int32).astype(np.int64)

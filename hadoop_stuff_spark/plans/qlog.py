@@ -51,11 +51,33 @@ class QueryLog:
         result = action(df)
         wall = time.time() - t0 + extra_wall_s
         n_rows = len(result) if hasattr(result, "__len__") else -1
-        # The append is a driver-side pyarrow write of one tiny file —
-        # NOT a Spark job: a one-row createDataFrame().write round-trip
-        # measured ~5 s per call (job setup + commit protocol), which
-        # dwarfed the stages it was supposed to attribute. Spark reads
-        # the directory exactly the same either way.
+        row = {
+            "name": name,
+            "wall_s": float(round(wall, 4)),
+            "n_rows": int(n_rows),
+            "n_exchanges": int(plan.count("Exchange ")),
+            "lint": [f"{r}:{e}" for r, e in findings],
+            "at": datetime.now(timezone.utc).isoformat(),
+        }
+        # Local paths append via a driver-side pyarrow write of one tiny
+        # file — NOT a Spark job: a one-row createDataFrame().write
+        # round-trip measured ~5 s per call (job setup + commit
+        # protocol), which dwarfed the stages it was supposed to
+        # attribute. Spark reads the directory the same either way.
+        # URI-schemed paths (hdfs://, s3a://, ...) keep the Spark writer
+        # — os.makedirs/pyarrow can't address them from the driver.
+        if "://" in self.path:
+            (
+                self.spark.createDataFrame(
+                    [tuple(row.values())],
+                    "name string, wall_s double, n_rows long, n_exchanges long, "
+                    "lint array<string>, at string",
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(self.path)
+            )
+            return result
         import os
         import uuid
 
@@ -73,15 +95,7 @@ class QueryLog:
             ]
         )
         table = pa.Table.from_pydict(
-            {
-                "name": [name],
-                "wall_s": [float(round(wall, 4))],
-                "n_rows": [int(n_rows)],
-                "n_exchanges": [int(plan.count("Exchange "))],
-                "lint": [[f"{r}:{e}" for r, e in findings]],
-                "at": [datetime.now(timezone.utc).isoformat()],
-            },
-            schema=schema,
+            {k: [v] for k, v in row.items()}, schema=schema
         )
         os.makedirs(self.path, exist_ok=True)
         pq.write_table(

@@ -158,6 +158,19 @@ def route_batch_literal(
             )
         )
 
+    if not subs_rows:
+        # no subscribers yet: empty result with the routed schema (the
+        # bare reduce() raised TypeError here — caught by code review)
+        return (
+            batch.limit(0)
+            .select(
+                F.lit(0).cast("long").alias("sub_id"),
+                F.lit("").alias("host"),
+                F.lit(0).alias("port"),
+                F.lit("tcp").alias("proto"),
+                *batch.columns,
+            )
+        )
     parts = [
         route_chunk(subs_rows[i : i + codegen_chunk])
         for i in range(0, len(subs_rows), codegen_chunk)

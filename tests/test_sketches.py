@@ -568,13 +568,33 @@ def test_shingle_sketch_blobs_merge_losslessly_and_gate_from_blob(spark):
         "provably_disjoint"
     ]
 
+    # capacity regression (code review): a union of two exact lg_k=20
+    # slices totalling >4096 distinct shingles must STAY exact — the
+    # default theta_union caps at 2^12 and silently downsampled it
+    import pyspark.sql.functions as F
+
+    def chunk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id",
+            "concat('a', id, ' b', id, ' c', id, ' d', id, ' e', id) AS text",
+        )
+
+    big_merged = merge_theta_blobs(
+        spark, [sketch_shingles_blob(chunk(0, 1500)), sketch_shingles_blob(chunk(1500, 3000))]
+    )
+    assert theta_blob_is_exact(big_merged)  # 9000 distinct, lg_k=20
+    est = (
+        spark.range(1)
+        .select(F.theta_sketch_estimate(F.lit(bytearray(big_merged))).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est == 9000  # exact mode: estimate IS the distinct count
+
     # over-capacity union leaves exact mode -> proof correctly withheld
     # 3 shingles per doc, all distinct across docs -> 9000 distinct
     # shingles, past lg_k=12's 4096 capacity
-    big = spark.range(3000).selectExpr(
-        "id AS doc_id",
-        "concat('a', id, ' b', id, ' c', id, ' d', id, ' e', id) AS text",
-    )
+    big = chunk(0, 3000)
     over = merge_theta_blobs(
         spark,
         [sketch_shingles_blob(big, lg_k=12), sketch_shingles_blob(slice_a, lg_k=12)],

@@ -239,6 +239,24 @@ def test_route_batch_literal_soak_2k_subscriptions(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_route_batch_literal_empty_subscriptions(spark):
+    """No subscribers yet must route to an empty frame with the routed
+    schema, not crash (reduce() of empty iterable — code review)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.streaming.wiretap import route_batch_literal
+
+    batch = spark.range(5).select(F.lit("x").alias("value"))
+    out = route_batch_literal(batch, [])
+    assert out.count() == 0
+    assert out.columns == ["sub_id", "host", "port", "proto", "value"]
+    # and unions cleanly with a non-empty routed frame (schema-compatible)
+    routed = route_batch_literal(
+        batch, [{"sub_id": 1, "regex": "x", "host": "h", "port": 1, "proto": "tcp"}]
+    )
+    assert out.unionByName(routed).count() == 5
+
+
 def test_real_tcp_delivery_and_dead_subscriber_drop(spark, tmp_path):
     """S7 with a REAL TCP socket + ST4 drop-and-warn: live subscriber gets
     its records over the wire; the dead one is dropped without failing the
