@@ -115,6 +115,7 @@ def main() -> None:
     # attributable. Interleaving would randomize cache effects further but
     # keeping per-query runs adjacent keeps the log readable.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    noise_floor = {"before": _noise_probe(spark)}
     timings: dict[str, float] = {}
     t_min: dict[str, float] = {}
     t_max: dict[str, float] = {}
@@ -139,6 +140,9 @@ def main() -> None:
             f"(min {t_min[name]:.3f} max {t_max[name]:.3f}, {n} rows)",
             file=sys.stderr,
         )
+
+    noise_floor["after"] = _noise_probe(spark)
+    print(f"# noise floor: {noise_floor}", file=sys.stderr)
 
     # detail-only blocks: a failure here must never cost the round's
     # contract line (stdout JSON) or the headline timings
@@ -179,6 +183,7 @@ def main() -> None:
         "runs": all_runs,
         "n_runs": n_runs,
         "rows": row_counts,
+        "noise_floor": noise_floor,
         "scaling": scaling,
         "curate_stages": curate_stages,
         "ingest": ingest,
@@ -205,6 +210,23 @@ def main() -> None:
             }
         )
     )
+
+
+def _noise_probe(spark) -> dict:
+    """Machine-contention calibration: a fixed reference workload (pure
+    JVM aggregate over a generated range — no I/O, no Python workers,
+    plan identical every round) timed 3x before and after the headline
+    loop. Round-over-round, the headline medians only mean something
+    relative to this floor: on this co-tenant box identical code swings
+    2-3x between runs, and the probe tells a reader which rounds were
+    measured hot."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # bit_xor over xxhash64 — real per-row work, no ANSI sum overflow
+        spark.range(50_000_000).selectExpr("bit_xor(xxhash64(id)) AS s").collect()
+        runs.append(round(time.perf_counter() - t0, 4))
+    return {"runs": runs, "median": sorted(runs)[1]}
 
 
 def _current_round(repo: str) -> int:
