@@ -171,6 +171,73 @@ WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.4
 """
 
 # ---------------------------------------------------------------------------
+# character edit-distance near-dup
+
+
+def edit_distance_pairs(
+    spark: SparkSession, sf_dir: str, max_dist: int = 16
+) -> DataFrame:
+    """Exact character-edit-distance near-duplicate pairs (doc_a < doc_b,
+    levenshtein <= max_dist) — the dedup modality for *mechanical* edits
+    (OCR noise, template fills, single-line patches) that token-set
+    Jaccard under-weights.
+
+    Plan: a length-band equi-join prunes losslessly first — edit distance
+    <= k implies |len_a - len_b| <= k, so docs bucket by
+    floor(len/(k+1)) and one side explodes to its bucket±1 (a pair
+    within k can straddle at most one bucket boundary; the three
+    neighbor keys are distinct, so each pair meets exactly once). The
+    survivors run Spark's THRESHOLD levenshtein (banded O(len·k), JVM
+    codegen, returns -1 past the band) — never the full O(len²) DP.
+
+    Scale posture: length blocking alone is a weak partitioner at
+    corpus scale (many docs share a length window); at 100 TB use this
+    as the exact VERIFIER on MinHash/SimHash candidate pairs — same
+    role ngram_jaccard_pairs plays — where the banded levenshtein and
+    the one-scan band join are exactly what you want."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    w = max_dist + 1
+    bucket = F.floor(F.col("len") / w)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("len").alias("len_a"),
+        bucket.alias("bucket"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("len").alias("len_b"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
+    )
+    dist = F.levenshtein("text_a", "text_b", max_dist)
+    return (
+        a.join(b, ["bucket"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        )
+        .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+EDIT_DISTANCE_SQL = """
+WITH cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.text, b.text) AS edit_dist
+  FROM documents a JOIN documents b
+    ON a.doc_id < b.doc_id
+   AND abs(length(a.text) - length(b.text)) <= 16
+)
+SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist
+FROM cand WHERE edit_dist <= 16
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 MINHASH_PERMS = 64  # signature length

@@ -1266,3 +1266,42 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the four lineitem measures rotate into (metric,
+    value) rows — one `unpivot` (Expand node: each input row emits one
+    output row per measure map-side, no shuffle), then one partial+final
+    agg per metric. The wide→long rotation every profiling/ML-feature
+    pipeline needs; at any scale the only shuffle carries 4 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    ).unpivot([], ["quantity", "extendedprice", "discount", "tax"], "metric", "value")
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+UNPIVOT_SQL = """
+WITH m AS (
+  SELECT 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'tax', CAST(l_tax AS DOUBLE) FROM lineitem
+)
+SELECT metric, count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM m GROUP BY metric
+"""

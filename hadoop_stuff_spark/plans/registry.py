@@ -478,6 +478,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "resampled_event_values": QuerySpec(
         temporal.resampled_event_values, temporal.RESAMPLE_SQL
     ),
+    "n1_edit_distance_pairs": QuerySpec(
+        dedup.edit_distance_pairs, dedup.EDIT_DISTANCE_SQL
+    ),
+    "unpivot_lineitem_measures": QuerySpec(
+        relational.unpivot_lineitem_measures, relational.UNPIVOT_SQL
+    ),
 }
 
 assert all(

@@ -101,6 +101,27 @@ def test_ngram_jaccard_hot_shingle_guard(spark, tmp_path):
     assert got == {(40, 41): round(_py_jaccard(BASE, NEAR), 6)}
 
 
+def test_edit_distance_pairs_planted_values(spark, tmp_path):
+    """Known-distance plants: exact levenshtein values survive the
+    length-band pruning, including a pair whose lengths straddle a
+    bucket boundary (the explode-to-neighbor-buckets completeness
+    case), and far-length docs never pair."""
+    from hadoop_stuff_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog"
+    three_subs = "the quick crown fax jumps ever the lazy dog"  # dist 3
+    straddle_a = "x" * 23  # k=4 -> w=5: bucket 4
+    straddle_b = "x" * 23 + "yy"  # len 25: bucket 5, dist 2, straddles
+    far = "z" * 200  # length gap > k: must be pruned, never compared
+    docs = _docs(spark, [base, three_subs, straddle_a, straddle_b, far])
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in edit_distance_pairs(spark, str(tmp_path), max_dist=4).collect()
+    }
+    assert got == {(0, 1): 3, (2, 3): 2}
+
+
 def test_minhash_recall_vs_exact(spark, sf_dir):
     """Every exact near-dup pair (jaccard >= 0.5) must be a MinHash-LSH
     candidate with estimated jaccard close to truth."""
