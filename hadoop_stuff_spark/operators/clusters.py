@@ -148,3 +148,114 @@ JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s
 
 
 CLUSTERS_SQL = _clusters_sql()
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph — fixed-iteration, fully declarative
+
+
+def pagerank_copurchase_parts(
+    spark, sf_dir: str, damping: float = 0.85, iters: int = 6, min_support: int = 2
+) -> DataFrame:
+    """PageRank centrality of parts in the co-purchase graph (edges =
+    part pairs co-ordered in >= min_support orders, undirected). Unlike
+    `connected_components`, the iteration count is FIXED, so the whole
+    computation is one declarative plan — no driver loop, no convergence
+    collect — and therefore SQL-expressible: the DuckDB oracle unrolls
+    the same ``iters`` rounds and must match to 6 dp.
+
+    Per iteration: contributions = one equi-join (edges x ranks on src)
+    + one groupBy(dst) sum — two shuffles over O(E) rows, exactly the
+    shape a 1000-executor run wants; ranks never leave the cluster. The
+    node-count scalar rides a 1x1 crossJoin (the same allowlisted
+    scalar shape as TF-IDF's corpus size). At 100 TB the plan is deep
+    (~3 joins x iters); production runs checkpoint every few iterations
+    to truncate lineage — documented, not needed at bench scale.
+
+    Restricted to nodes with at least one qualifying edge (isolated
+    parts have no co-purchase signal); with symmetric edges every node
+    has out-degree >= 1, so there is no dangling-mass term."""
+    from hadoop_stuff_spark.catalog import load_table, spread
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))  # node count, 1-row scalar
+    ranks = deg.crossJoin(n).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            deg.crossJoin(n)
+            .join(contrib, deg["src"] == contrib["dst"], "left")
+            .select(
+                F.col("src").alias("node"),
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+def _pagerank_sql(damping: float = 0.85, iters: int = 6, min_support: int = 2) -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node, sum({prev}.rank / deg.d) AS c
+  FROM edges e JOIN deg ON deg.src = e.src JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT deg.src AS node,
+         {1.0 - damping} / nn.n + {damping} * coalesce(c{k}.c, 0) AS rank
+  FROM deg CROSS JOIN n nn LEFT JOIN c{k} ON c{k}.node = deg.src
+)"""
+        )
+        prev = f"r{k}"
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT deg.src AS node, 1.0 / nn.n AS rank FROM deg CROSS JOIN n nn),
+{",".join(rounds)}
+SELECT node AS part, round(rank, 6) AS pagerank FROM {prev}
+"""
+
+
+PAGERANK_SQL = _pagerank_sql()

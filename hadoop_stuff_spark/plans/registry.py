@@ -484,6 +484,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "unpivot_lineitem_measures": QuerySpec(
         relational.unpivot_lineitem_measures, relational.UNPIVOT_SQL
     ),
+    "pagerank_copurchase_parts": QuerySpec(
+        clusters.pagerank_copurchase_parts, clusters.PAGERANK_SQL
+    ),
 }
 
 assert all(

