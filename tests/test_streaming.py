@@ -360,3 +360,43 @@ def test_grep_to_wiretap_batch_stream_bridge(spark):
 
     assert sorted(live.received) == ["CALL alpha", "CALL gamma 42"]
     assert drops == {("127.0.0.1", dead_port): 1}
+
+
+def test_route_batch_strategies_agree(spark):
+    """Unified matcher entry point (PLAN_r7 #3): route_batch's default
+    literal strategy and the column-regex join escape hatch must return
+    the same (sub_id, record) multicast with the same column layout."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.streaming.wiretap import route_batch, subscriptions_df
+
+    batch = spark.createDataFrame(
+        [("CALL alpha",), ("FLOW beta",), ("CALL FLOW both",), ("noise",)],
+        "value string",
+    )
+    subs = subscriptions_df(
+        spark,
+        [
+            {"sub_id": 1, "regex": "^CALL", "host": "h1", "port": 10},
+            {"sub_id": 2, "regex": "FLOW", "host": "h2", "port": 20, "proto": "udp"},
+        ],
+    )
+
+    def rows(df):
+        return {(r.sub_id, r.host, r.port, r.proto, r.value) for r in df.collect()}
+
+    lit = route_batch(batch, subs)  # default: literal
+    jn = route_batch(batch, subs, strategy="join")
+    assert lit.columns == jn.columns == ["sub_id", "host", "port", "proto", "value"]
+    assert rows(lit) == rows(jn)
+    assert rows(lit) == {
+        (1, "h1", 10, "tcp", "CALL alpha"),
+        (1, "h1", 10, "tcp", "CALL FLOW both"),
+        (2, "h2", 20, "udp", "FLOW beta"),
+        (2, "h2", 20, "udp", "CALL FLOW both"),
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        route_batch(batch, subs, strategy="bogus")
