@@ -259,3 +259,116 @@ SELECT node AS part, round(rank, 6) AS pagerank FROM {prev}
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph — degree-oriented enumeration
+
+
+def triangle_copurchase_parts(
+    spark, sf_dir: str, min_support: int = 2, top: int = 20
+) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (edges =
+    part pairs co-ordered in >= min_support orders): the parts whose
+    neighborhoods are most densely interlinked — the community-core
+    signal clustering and recommendation pipelines start from.
+
+    Scale design — DEGREE-ORIENTED enumeration, not the naive 3-way
+    self-join: every undirected edge is oriented from its lower-(degree,
+    id) endpoint to the higher, making the orientation a total order, so
+    each triangle {a,b,c} materializes EXACTLY once as two out-edges
+    (a→b, a→c) closed by (b→c). The join fan-out per node is then
+    out-degree², and orienting by degree bounds out-degree by O(√E) on
+    any graph (a node of degree d only keeps out-edges to nodes of
+    degree >= d, and there can be at most 2√E of those) — the classic
+    fix for the hub-explosion that kills naive triangle joins on skewed
+    graphs: a hub of degree 10⁶ contributes 10¹² candidate wedges
+    unoriented, but keeps almost no out-edges oriented. Three equi-join
+    shuffles over O(E) rows total; no driver data movement."""
+    from hadoop_stuff_spark.catalog import load_table, spread
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+        .select("pa", "pb")
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("v"))
+        .unionByName(pairs.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    lower_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("pa") < F.col("pb"))
+    )
+    oe = (
+        pairs.join(da, F.col("pa") == F.col("da.v"))
+        .join(db, F.col("pb") == F.col("db.v"))
+        .select(
+            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        )
+    )
+    o1, o2, o3 = oe.alias("o1"), oe.alias("o2"), oe.alias("o3")
+    tri = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") != F.col("o2.dst")),
+    ).join(
+        o3,
+        (F.col("o3.src") == F.col("o1.dst")) & (F.col("o3.dst") == F.col("o2.dst")),
+    )
+    corners = (
+        tri.select(F.col("o1.src").alias("part"))
+        .unionByName(tri.select(F.col("o1.dst").alias("part")))
+        .unionByName(tri.select(F.col("o2.dst").alias("part")))
+    )
+    return (
+        corners.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(top)
+    )
+
+
+TRIANGLE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT pa AS v FROM pairs UNION ALL SELECT pb FROM pairs
+  ) GROUP BY v
+),
+oe AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND pa < pb) THEN pa ELSE pb END AS src,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND pa < pb) THEN pb ELSE pa END AS dst
+  FROM pairs JOIN deg da ON pa = da.v JOIN deg db ON pb = db.v
+),
+tri AS (
+  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+  FROM oe o1
+  JOIN oe o2 ON o1.src = o2.src AND o1.dst <> o2.dst
+  JOIN oe o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+),
+corners AS (
+  SELECT x AS part FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+)
+SELECT part, count(*) AS n_triangles
+FROM corners GROUP BY part
+ORDER BY n_triangles DESC, part
+LIMIT 20
+"""

@@ -86,3 +86,54 @@ UNION ALL
 SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
        NULL, NULL FROM orders
 """
+
+
+def outlier_orders_by_zscore(
+    spark: SparkSession, sf_dir: str, z_cut: float = 2.0
+) -> DataFrame:
+    """Per-priority-class z-score outlier report over order totals: how
+    many orders sit more than ``z_cut`` sample standard deviations from
+    their class mean, and how extreme the worst one is — the cheap
+    distribution-shift tripwire a data-quality gate runs per ingest
+    batch.
+
+    Plan shape: one shuffle on the class key for the avg/stddev window
+    (class stats computed once, streamed past every row — no self-join
+    of facts to a stats subquery), then a map-side-partial re-agg to one
+    row per class. At 100 TB the window state per class is two scalars;
+    skewed class sizes don't matter because the window is an aggregate,
+    not a sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return (
+        o.select("o_orderpriority", F.abs(z).alias("abs_z"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("abs_z") > z_cut, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max("abs_z"), 3).alias("max_abs_z"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+OUTLIER_ZSCORE_SQL = """
+WITH z AS (
+  SELECT o_orderpriority,
+         abs((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+             / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority)) AS abs_z
+  FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN abs_z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(abs_z), 3) AS max_abs_z
+FROM z
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -414,3 +414,119 @@ SELECT g.event_type, g.bucket,
 FROM grid g LEFT JOIN aggd a USING (event_type, bucket)
 ORDER BY g.event_type, g.bucket
 """
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: users are cohorted
+    by the ISO week of their FIRST event; each (cohort, weeks-since)
+    cell counts the cohort's users still active that week, plus the
+    retention percentage vs the cohort's own week 0 — the table every
+    growth dashboard draws as a retention triangle.
+
+    Plan shape: one groupBy(user_id) for first-touch, one equi-join back
+    to events (broadcastable when the user dimension is small; hash-join
+    on user_id otherwise — both sides already shuffle-partitioned on the
+    join key), a distinct on (cohort, week_n, user) to dedupe multiple
+    events per week, then a small agg + one window over cohorts. Week
+    arithmetic stays on day-exact integers (both sides truncate to week
+    starts, so the day diff is an exact multiple of 7) — no float dates."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    counts = active.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w0 = Window.partitionBy("cohort_week")
+    return (
+        counts.withColumn(
+            "retention_pct",
+            F.round(
+                F.col("n_active")
+                * 100.0
+                / F.max(F.when(F.col("week_n") == 0, F.col("n_active"))).over(w0),
+                2,
+            ),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_n
+  FROM events e JOIN first f USING (user_id)
+), counts AS (
+  SELECT cohort_week, week_n, count(*) AS n_active FROM active GROUP BY 1, 2
+)
+SELECT cohort_week, week_n, n_active,
+       round(n_active * 100.0 / max(CASE WHEN week_n = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_week), 2) AS retention_pct
+FROM counts
+ORDER BY cohort_week, week_n
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (event_type → next event_type) step, the
+    observed count and transition probability — the behavioral model
+    behind next-action prediction and funnel anomaly detection.
+
+    Plan shape: ONE shuffle on user_id for the lead() window (ordered by
+    ts with event_id as a deterministic tiebreak for simultaneous
+    events), then a map-side-partial groupBy on the (from, to) pair and
+    a tiny window over from-states for row-normalized probabilities.
+    No self-join: lead() is the sequential structure."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_from = Window.partitionBy("event_type")
+    return (
+        counts.withColumn(
+            "prob", F.round(F.col("n") * 1.0 / F.sum("n").over(per_from), 4)
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM steps WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 4) AS prob
+FROM counts
+ORDER BY event_type, next_type
+"""

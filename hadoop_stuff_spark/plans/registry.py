@@ -487,6 +487,18 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "pagerank_copurchase_parts": QuerySpec(
         clusters.pagerank_copurchase_parts, clusters.PAGERANK_SQL
     ),
+    "triangle_copurchase_parts": QuerySpec(
+        clusters.triangle_copurchase_parts, clusters.TRIANGLE_SQL
+    ),
+    "cohort_retention_weekly": QuerySpec(
+        temporal.cohort_retention_weekly, temporal.COHORT_RETENTION_SQL
+    ),
+    "event_transition_matrix": QuerySpec(
+        temporal.event_transition_matrix, temporal.EVENT_TRANSITION_SQL
+    ),
+    "outlier_orders_by_zscore": QuerySpec(
+        profile.outlier_orders_by_zscore, profile.OUTLIER_ZSCORE_SQL
+    ),
 }
 
 assert all(

@@ -98,3 +98,32 @@ def test_pagerank_copurchase_properties(spark, sf_dir):
     ranks = {r.part: r.pagerank for r in out}
     assert all(v > 0 for v in ranks.values())
     assert abs(sum(ranks.values()) - 1.0) < 1e-3  # 6dp rounding x n nodes
+
+
+def test_triangle_orientation_counts_each_triangle_once(spark, tmp_path):
+    """Degree-oriented triangle enumeration on a hand-built graph with a
+    known triangle census: K4 plus a pendant vertex. K4 has 4 triangles;
+    each of its vertices sits in exactly 3; the pendant sits in none.
+    Built as a synthetic lineitem table so the operator's own
+    basket→edge derivation is exercised (each edge = one shared order,
+    duplicated to clear min_support=2)."""
+    from hadoop_stuff_spark.operators.clusters import triangle_copurchase_parts
+
+    k4 = [(a, b) for i, a in enumerate([1, 2, 3, 4]) for b in [1, 2, 3, 4][i + 1:]]
+    edges = k4 + [(4, 5)]  # pendant vertex 5: degree 1, no triangles
+    rows = []
+    order = 0
+    for a, b in edges:
+        for _ in range(2):  # two co-orders per edge -> n_orders == min_support
+            rows.append((order, a))
+            rows.append((order, b))
+            order += 1
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    li.write.parquet(f"{sf}/lineitem.parquet")
+
+    got = {
+        r.part: r.n_triangles
+        for r in triangle_copurchase_parts(spark, sf).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # 4 triangles x 3 corners; 5 absent
