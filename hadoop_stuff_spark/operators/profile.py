@@ -137,3 +137,111 @@ FROM z
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-significant-digit
+    shares vs the log10(1 + 1/d) expectation — the classic fabricated-data
+    tripwire a data-quality gate runs over any money column.
+
+    The first digit is taken from the INTEGER part via exact bigint→string
+    conversion (no log10 on the data path): float log/pow on the values
+    themselves can straddle a ulp between engines, but integer rendering is
+    exact and portable. Values below 1 are excluded (no integer first
+    digit). Plan shape: one scan, one 9-row aggregate; the total for the
+    share denominators rides a window over the 9-row result, so the fact
+    table is read once."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    observed = F.col("n_orders") / total
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n_orders",
+        F.round(observed, 4).alias("observed_share"),
+        F.round(benford, 4).alias("benford_share"),
+        F.round(F.abs(observed - benford), 4).alias("abs_gap"),
+    ).orderBy("digit")
+
+
+BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n_orders
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+)
+SELECT digit, n_orders,
+       round(n_orders * 1.0 / sum(n_orders) OVER (), 4) AS observed_share,
+       round(log10(1.0 + 1.0 / digit), 4) AS benford_share,
+       round(abs(n_orders * 1.0 / sum(n_orders) OVER () - log10(1.0 + 1.0 / digit)), 4) AS abs_gap
+FROM counts
+ORDER BY digit
+"""
+
+
+def histogram_order_values(
+    spark: SparkSession, sf_dir: str, n_bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of order totals with data-driven bounds — the
+    one-pass distribution profile a pipeline materializes per column per
+    ingest batch.
+
+    Plan shape: the min/max bounds are ONE aggregate row broadcast back
+    over the facts (scalar-subquery shape, same as q22's stats frame), so
+    the cost is two scans of one column and a 20-row aggregate — no sort,
+    no per-bin passes. The top bound is clamped into the last bin so
+    max-valued rows land in bin n_bins-1 rather than a one-row overflow
+    bin."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    bin_id = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(n_bins - 1)
+    ).cast("int")
+    agg = (
+        o.join(F.broadcast(bounds))
+        .select(bin_id.alias("bin"), "lo", "hi")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+    edge = (F.col("hi") - F.col("lo")) / n_bins
+    return agg.select(
+        "bin",
+        "n_orders",
+        F.round(F.col("lo") + F.col("bin") * edge, 2).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * edge, 2).alias("bin_hi"),
+    ).orderBy("bin")
+
+
+HISTOGRAM_SQL = """
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+), binned AS (
+  SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS INTEGER) AS bin,
+         lo, hi
+  FROM orders CROSS JOIN bounds
+)
+SELECT bin, count(*) AS n_orders,
+       round(min(lo) + bin * ((min(hi) - min(lo)) / 20), 2) AS bin_lo,
+       round(min(lo) + (bin + 1) * ((min(hi) - min(lo)) / 20), 2) AS bin_hi
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""

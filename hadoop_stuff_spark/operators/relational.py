@@ -1305,3 +1305,38 @@ SELECT metric, count(*) AS n,
        round(max(value), 4) AS max_value
 FROM m GROUP BY metric
 """
+
+
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode: each user's most frequent event type (count-desc,
+    then lexicographic type as the deterministic tiebreak) — the
+    categorical summary Spark has no built-in aggregate for pre-3.4,
+    expressed as count + ranked window so it stays two map-side-partial
+    shuffles (user×type, then user) with no per-group sort of raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n_events")
+        .orderBy("user_id")
+    )
+
+
+MODE_PER_USER_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type, n_events,
+         row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC, event_type) AS rk
+  FROM counts
+)
+SELECT user_id, event_type AS top_event_type, n_events
+FROM ranked WHERE rk = 1 ORDER BY user_id
+"""

@@ -525,3 +525,93 @@ def append_to_ivf_index(
         .partitionBy("cell")
         .parquet(f"{index_path}/corpus")
     )
+
+
+def n2_hybrid_rrf_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 20,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the sparse BM25
+    keyword ranking over ``documents`` and the dense cosine ranking over
+    ``embeddings`` (query = vec 0, ids align with doc_ids) are fused as
+    ``Σ 1/(c + rank)`` — the standard score-free combiner for hybrid RAG
+    retrievers (c=60 per Cormack et al.'s original RRF setting).
+
+    Plan shape: both arms end in ``orderBy().limit(depth)`` —
+    TakeOrderedAndProject, never a global window over all scored rows —
+    so only 2×depth rows reach the full-outer fuse join. RRF terms are
+    fixed-arity expressions over exact integer ranks, deterministic
+    across engines; ties broken by doc_id."""
+    from hadoop_stuff_spark.operators.textstats import bm25_scores
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    kw_top = bm25_scores(docs).orderBy(F.desc("score"), F.asc("doc_id")).limit(depth)
+    wk = Window.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+    kw_rank = kw_top.select(
+        "doc_id", F.row_number().over(wk).cast("int").alias("rk_kw")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec"), l2_norm("embedding").alias("qnrm")
+        )
+    )
+    corpus = spread(emb).filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    scored = corpus.crossJoin(q).select(
+        "vec_id",
+        F.round(dot("qvec", "embedding") / (F.col("qnrm") * F.col("nrm")), 6).alias(
+            "sim"
+        ),
+    )
+    vec_top = scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(depth)
+    wv = Window.partitionBy().orderBy(F.desc("sim"), F.asc("vec_id"))
+    vec_rank = vec_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).cast("int").alias("rk_vec"),
+    )
+
+    fused = kw_rank.join(vec_rank, "doc_id", "full_outer")
+    rrf = F.when(F.col("rk_kw").isNotNull(), 1.0 / (c + F.col("rk_kw"))).otherwise(
+        0.0
+    ) + F.when(F.col("rk_vec").isNotNull(), 1.0 / (c + F.col("rk_vec"))).otherwise(0.0)
+    return (
+        fused.select("doc_id", "rk_kw", "rk_vec", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(k)
+    )
+
+
+from hadoop_stuff_spark.operators.textstats import _bm25_sql_score  # noqa: E402
+
+HYBRID_RRF_SQL = """
+WITH kw_scored AS (""" + _bm25_sql_score() + """
+), kw_rank AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk_kw
+  FROM kw_scored QUALIFY rk_kw <= 20
+), q AS (
+  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+), vec_scored AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+), vec_rank AS (
+  SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rk_vec
+  FROM vec_scored QUALIFY rk_vec <= 20
+), fused AS (
+  SELECT coalesce(k.doc_id, v.doc_id) AS doc_id, rk_kw, rk_vec
+  FROM kw_rank k FULL OUTER JOIN vec_rank v ON k.doc_id = v.doc_id
+)
+SELECT doc_id, rk_kw, rk_vec,
+       round(CASE WHEN rk_kw IS NOT NULL THEN 1.0 / (60 + rk_kw) ELSE 0.0 END
+             + CASE WHEN rk_vec IS NOT NULL THEN 1.0 / (60 + rk_vec) ELSE 0.0 END,
+             6) AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""

@@ -530,3 +530,117 @@ SELECT event_type, next_type, n,
 FROM counts
 ORDER BY event_type, next_type
 """
+
+
+def time_weighted_avg_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event ``value`` signal: each
+    observation is weighted by how long it was current (seconds until the
+    user's next event; the final observation has no duration and drops
+    out) — the correct mean for irregularly sampled gauges, where the
+    arithmetic mean over-weights bursts.
+
+    Exactness: durations are exact microsecond longs
+    (``timestampdiff(MICROSECOND, …)``, mirrored by DuckDB's
+    ``date_diff('microsecond', …)`` — both timezone-free, so the NTZ
+    timestamps the catalog rebuilds stay exact), and each value×duration
+    product
+    is rounded to an integer unit BEFORE the sum so the aggregate is
+    order-independent across partitionings (the engine-wide fixed-point
+    rule, functions/money.py). Plan shape: one shuffle on user_id for
+    the lead() window, then a map-side-partial re-agg to one row per
+    user — no self-join against a shifted copy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .withColumn("dt_us", F.expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+        .filter(F.col("dt_us").isNotNull())
+    )
+    weighted = F.round(F.col("value") * F.col("dt_us"), 0).cast("long")
+    return (
+        steps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(weighted).alias("num"),
+            F.sum("dt_us").alias("den"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("num") / F.col("den"), 4).alias("tw_avg_value"),
+            F.round(F.col("den") / 1_000_000.0 / 3600.0, 4).alias("span_hours"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH steps AS (
+  SELECT user_id, value,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       round(sum(CAST(round(value * dt_us, 0) AS BIGINT)) / sum(dt_us), 4) AS tw_avg_value,
+       round(sum(dt_us) / 1000000.0 / 3600.0, 4) AS span_hours
+FROM steps WHERE dt_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def order_streaks_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over customer purchase activity: each customer's
+    LONGEST run of consecutive active months, reported as a distribution
+    (streak length → customer count) — the engagement-continuity metric
+    behind churn cohorts.
+
+    Classic islands trick, fully declarative: distinct active month
+    indexes per customer, then ``month_idx − dense_rank(month_idx)`` is
+    constant within a consecutive run, so a groupBy on that island key
+    yields run lengths with no iteration. Plan shape: one shuffle on
+    o_custkey (distinct + both windows and the island groupBy all reuse
+    the same hash partitioning), then a tiny distribution aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    months = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month_idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("month_idx")
+    islands = months.withColumn(
+        "island", F.col("month_idx") - F.dense_rank().over(w)
+    )
+    runs = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    longest = runs.groupBy("o_custkey").agg(F.max("run_len").alias("streak_months"))
+    return (
+        longest.groupBy("streak_months")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("streak_months")
+    )
+
+
+ORDER_STREAKS_SQL = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS month_idx
+  FROM orders
+), islands AS (
+  SELECT o_custkey, month_idx,
+         month_idx - dense_rank() OVER (PARTITION BY o_custkey ORDER BY month_idx) AS island
+  FROM months
+), runs AS (
+  SELECT o_custkey, island, count(*) AS run_len FROM islands GROUP BY 1, 2
+), longest AS (
+  SELECT o_custkey, max(run_len) AS streak_months FROM runs GROUP BY 1
+)
+SELECT streak_months, count(*) AS n_customers
+FROM longest GROUP BY streak_months ORDER BY streak_months
+"""

@@ -6,7 +6,7 @@ query, no shuffle except the final (tiny) aggregate where present.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.catalog import load_table, spread
@@ -357,4 +357,188 @@ FINGERPRINTS_SQL = """
 SELECT source, count(*) AS n_docs,
        count(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS n_distinct
 FROM documents GROUP BY source
+"""
+
+
+def n3_collocations(
+    spark: SparkSession, sf_dir: str, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Collocation mining: the top-k bigrams whose observed frequency most
+    exceeds the independence assumption (lift = p(xy)/(p(x)p(y)), plus its
+    log2 as PMI) — the phrase-discovery pass a tokenizer-training pipeline
+    runs over a corpus.
+
+    Exactness: lift is a ratio of exact integer counts evaluated with the
+    same expression tree on both engines; PMI's log2 rides on top and is
+    rounded to 4 dp. Plan shape: bigrams are built in-row with a
+    ``transform(sequence(...))`` HOF (no posexplode self-join), so the
+    corpus is scanned once for bigrams and once for unigrams; the joins
+    are counts-to-counts (vocab-sized, far below corpus size) and the
+    grand total is a 1-row broadcast."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = big_counts.agg(F.sum("n_xy").alias("n_total"))
+    ratio = (F.col("n_xy") * 1.0 * F.col("n_total")) / (
+        F.col("n_x") * 1.0 * F.col("n_y")
+    )
+    return (
+        big_counts.filter(F.col("n_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y")), "w2")
+        .join(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(ratio, 4).alias("lift"),
+            F.round(F.log2(ratio), 4).alias("pmi"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(k)
+    )
+
+
+COLLOCATIONS_SQL = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+), bc AS (
+  SELECT w1, w2, count(*) AS n_xy FROM big GROUP BY 1, 2
+), uc AS (
+  SELECT w, count(*) AS n_w FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM bc
+)
+SELECT w1, w2, n_xy,
+       round((n_xy * 1.0 * n_total) / (x.n_w * 1.0 * y.n_w), 4) AS lift,
+       round(log2((n_xy * 1.0 * n_total) / (x.n_w * 1.0 * y.n_w)), 4) AS pmi
+FROM bc
+JOIN uc x ON bc.w1 = x.w
+JOIN uc y ON bc.w2 = y.w
+CROSS JOIN tot
+WHERE n_xy >= 5
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+"""
+
+
+# Fixed query-term set for the BM25 certification query (terms that occur
+# in the synthetic phrase vocabulary with mid-range document frequency).
+BM25_TERMS = ("vector", "join", "data")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set, as one scan
+    plus a 1-row corpus-stats broadcast: (doc_id, score).
+
+    Per-term tf is an in-row ``size(filter(tokens, …))`` HOF; document
+    frequencies, corpus size and average length all come from ONE
+    aggregate row broadcast back over the corpus (scalar-subquery shape),
+    so the cost at any scale is two corpus scans and no shuffle wider
+    than the final ranking consumer. The score sum is a fixed-arity
+    expression (not an aggregate over rows), so it is order-independent
+    by construction."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tf_cols = [
+        F.expr(f"size(filter(t, x -> x = '{t}'))").alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = toks.select("doc_id", F.size("t").alias("dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    parts = []
+    for i in range(len(terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        parts.append(
+            idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return per_doc.join(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 4).alias("score")
+    )
+
+
+def _bm25_sql_score(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * (1.2 + 1.0))"
+        f" / (tf_{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n_docs)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, len(t) AS dl, {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols}
+  FROM per_doc
+)
+SELECT doc_id, round({score}, 4) AS score
+FROM per_doc CROSS JOIN stats
+"""
+
+
+def n3_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Keyword retrieval: top-k documents by BM25 relevance to the fixed
+    query-term set (score desc, doc_id as the deterministic tiebreak) —
+    the sparse half of a hybrid RAG retriever.
+
+    The global top-k is an ``orderBy().limit()`` so Catalyst plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    NOT an unpartitioned window that would drag every scored row to one
+    task; the rank column is a window over the k survivors only."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    top = bm25_scores(docs).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rk")
+    )
+
+
+BM25_TOPK_SQL = f"""
+WITH scored AS ({_bm25_sql_score()})
+SELECT doc_id, score, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM scored
+)
+WHERE rk <= 10
 """

@@ -499,6 +499,26 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "outlier_orders_by_zscore": QuerySpec(
         profile.outlier_orders_by_zscore, profile.OUTLIER_ZSCORE_SQL
     ),
+    "benford_first_digit_audit": QuerySpec(
+        profile.benford_first_digit_audit, profile.BENFORD_SQL
+    ),
+    "histogram_order_values": QuerySpec(
+        profile.histogram_order_values, profile.HISTOGRAM_SQL
+    ),
+    "time_weighted_avg_event_values": QuerySpec(
+        temporal.time_weighted_avg_event_values, temporal.TIME_WEIGHTED_AVG_SQL
+    ),
+    "order_streaks_monthly": QuerySpec(
+        temporal.order_streaks_monthly, temporal.ORDER_STREAKS_SQL
+    ),
+    "mode_event_type_per_user": QuerySpec(
+        relational.mode_event_type_per_user, relational.MODE_PER_USER_SQL
+    ),
+    "n3_collocations": QuerySpec(textstats.n3_collocations, textstats.COLLOCATIONS_SQL),
+    "n3_bm25_topk": QuerySpec(textstats.n3_bm25_topk, textstats.BM25_TOPK_SQL),
+    "n2_hybrid_rrf_fusion": QuerySpec(
+        similarity.n2_hybrid_rrf_fusion, similarity.HYBRID_RRF_SQL
+    ),
 }
 
 assert all(

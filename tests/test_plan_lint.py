@@ -101,6 +101,10 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "n3_corpus_mix",               # 1-row totals frame broadcast
         "n3_tfidf_top_terms",          # 1-row corpus-size frame broadcast
         "pagerank_copurchase_parts",   # 1-row node-count frame crossJoin per iteration
+        "histogram_order_values",      # 1-row min/max bounds frame broadcast
+        "n3_collocations",             # 1-row bigram-total frame broadcast
+        "n3_bm25_topk",                # 1-row corpus-stats frame broadcast
+        "n2_hybrid_rrf_fusion",        # 1-row stats + 1-row query-vector broadcasts
     }
     sf = "/root/testdata/sf0.001"
     bad = []
