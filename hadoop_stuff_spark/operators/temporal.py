@@ -644,3 +644,88 @@ WITH months AS (
 SELECT streak_months, count(*) AS n_customers
 FROM longest GROUP BY streak_months ORDER BY streak_months
 """
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: how many users
+    progressed view → click → purchase IN TIME ORDER (each stage strictly
+    after the user's first completion of the previous stage, and within a
+    24-hour conversion deadline per step) — the product-analytics staple
+    that naive per-type counts get wrong because they ignore ordering.
+    Without the deadline this corpus saturates (every user eventually does
+    everything); with it the funnel is 150 → 150 → 60 → 25 at sf0.01.
+
+    One shuffle total: all three stage timestamps are unpartitioned-frame
+    MIN windows over the SAME user_id partitioning (t2's predicate
+    references t1, t3's references t2 — stage chaining without self-joins
+    or per-stage rescans), then a per-user collapse and a single summary
+    row. Conversion rates are exact-count ratios rounded to 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    deadline = F.expr("INTERVAL 24 HOURS")
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
+        F.round(F.count("t2") * 1.0 / F.count("t1"), 4).alias("click_rate"),
+        F.round(F.count("t3") * 1.0 / F.count("t2"), 4).alias("purchase_rate"),
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                      AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), per_user AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t1) AS n_viewed,
+       count(t2) AS n_clicked,
+       count(t3) AS n_purchased,
+       round(count(t2) * 1.0 / count(t1), 4) AS click_rate,
+       round(count(t3) * 1.0 / count(t2), 4) AS purchase_rate
+FROM per_user
+"""

@@ -26,6 +26,7 @@ from hadoop_stuff_spark.operators import (
     clusters,
     contamination,
     dedup,
+    importance,
     kmeans,
     logs,
     multimodal,
@@ -523,6 +524,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n2_kmeans_lloyd": QuerySpec(kmeans.n2_kmeans_lloyd, kmeans.KMEANS_SQL),
     "n1_semantic_dedup_pairs": QuerySpec(
         kmeans.n1_semantic_dedup_pairs, kmeans.SEMANTIC_DEDUP_SQL
+    ),
+    "n3_importance_resampling": QuerySpec(
+        importance.n3_importance_resampling, importance.IMPORTANCE_SQL
+    ),
+    "funnel_conversion_events": QuerySpec(
+        temporal.funnel_conversion_events, temporal.FUNNEL_SQL
     ),
 }
 
