@@ -663,3 +663,67 @@ def simhash_near_dups(
         "hamming",
     )
     return out.orderBy("doc_a", "doc_b") if sort else out
+
+
+def n1_repeated_ngrams(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 6,
+    min_docs: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Cross-document repeated n-gram report (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the top-k
+    word n-grams appearing in at least ``min_docs`` DISTINCT documents,
+    with document frequency and total occurrence count — the memorization
+    tripwire a pretraining pipeline runs to find boilerplate/template
+    spans that exact-dedup (whole-doc hashing) cannot see.
+
+    Plan shape: in-row n-gram construction (the same sequence/slice HOF as
+    :func:`shingles`, but WITHOUT array_distinct — occurrences count), one
+    map-side-partial aggregate on the gram (count-distinct expands to the
+    standard two-phase plan), then TakeOrderedAndProject for the top-k.
+    The wide text column never shuffles; only (gram, doc_id) pairs do —
+    the canonical n-gram-count shape at any scale. Ties are broken
+    (n_docs desc, n_occurrences desc, gram asc) so output is
+    deterministic."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = T.tokens("text")
+    count = F.size(toks) - (n - 1)
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+REPEATED_NGRAMS_SQL = """
+WITH g AS (
+  SELECT doc_id, unnest(gram_list) AS gram
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 5, 0) + 1),
+                          i -> array_to_string(toks[i:i+5], ' ')) AS gram_list
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+)
+SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM g
+GROUP BY gram
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, gram
+LIMIT 50
+"""

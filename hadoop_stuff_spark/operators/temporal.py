@@ -652,8 +652,12 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the user's first completion of the previous stage, and within a
     24-hour conversion deadline per step) — the product-analytics staple
     that naive per-type counts get wrong because they ignore ordering.
-    Without the deadline this corpus saturates (every user eventually does
-    everything); with it the funnel is 150 → 150 → 60 → 25 at sf0.01.
+    Complements ``relational.funnel_conversion`` (session-scoped 2-stage
+    view→purchase): this one chains THREE stages across the user's whole
+    history with a per-step deadline, the shape deadline-attribution
+    funnels take. Without the deadline this corpus saturates (every user
+    eventually does everything); with it the funnel is 150 → 150 → 60 → 25
+    at sf0.01.
 
     One shuffle total: all three stage timestamps are unpartitioned-frame
     MIN windows over the SAME user_id partitioning (t2's predicate
@@ -701,7 +705,7 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FUNNEL_SQL = """
+STAGED_FUNNEL_SQL = """
 WITH s1 AS (
   SELECT user_id, ts, event_type,
          min(CASE WHEN event_type = 'view' THEN ts END)
@@ -728,4 +732,56 @@ SELECT count(*) AS n_users,
        round(count(t2) * 1.0 / count(t1), 4) AS click_rate,
        round(count(t3) * 1.0 / count(t2), 4) AS purchase_rate
 FROM per_user
+"""
+
+
+def ema_event_values(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.25
+) -> DataFrame:
+    """Per-user exponential moving average of the event ``value`` signal —
+    the classic sequential recurrence (acc ← α·x + (1−α)·acc, seeded with
+    the first observation) that windowed aggregates cannot express because
+    each step depends on the previous RESULT, not a frame of inputs.
+
+    Distributed shape: the recurrence is sequential only WITHIN a user, so
+    the plan is one shuffle on user_id, an in-row ordered fold
+    (array_sort over (ts, event_id, value) structs → aggregate HOF), and
+    nothing else — each user's history folds independently, which is the
+    correct parallelism at any scale (state per task is bounded by one
+    user's events, the same bound every sessionizer carries). The fold
+    order is total (event_id breaks ts ties), so the float recurrence is
+    deterministic and matches DuckDB's ``list_reduce`` over a
+    ``list(... ORDER BY ts, event_id)`` term by term."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("h")
+    )
+    vals = F.transform(F.col("h"), lambda s: s["value"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: x * alpha + acc * (1.0 - alpha),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("h").alias("n_events"),
+        F.round(ema, 4).alias("ema_value"),
+        F.round(F.element_at(vals, -1), 4).alias("last_value"),
+    ).orderBy("user_id")
+
+
+EMA_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(list_reduce(vals, (acc, x) -> x * 0.25 + acc * (1.0 - 0.25)), 4) AS ema_value,
+       round(vals[-1], 4) AS last_value
+FROM per_user
+ORDER BY user_id
 """

@@ -529,8 +529,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         importance.n3_importance_resampling, importance.IMPORTANCE_SQL
     ),
     "funnel_conversion_events": QuerySpec(
-        temporal.funnel_conversion_events, temporal.FUNNEL_SQL
+        temporal.funnel_conversion_events, temporal.STAGED_FUNNEL_SQL
     ),
+    "n1_repeated_ngrams": QuerySpec(
+        dedup.n1_repeated_ngrams, dedup.REPEATED_NGRAMS_SQL
+    ),
+    "ema_event_values": QuerySpec(temporal.ema_event_values, temporal.EMA_SQL),
 }
 
 assert all(
