@@ -105,8 +105,6 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "n3_collocations",             # 1-row bigram-total frame broadcast
         "n3_bm25_topk",                # 1-row corpus-stats frame broadcast
         "n2_hybrid_rrf_fusion",        # 1-row stats + 1-row query-vector broadcasts
-        "n2_kmeans_lloyd",             # k-row centroid frame crossJoin per iteration
-        "n1_semantic_dedup_pairs",     # k-row centroid frame crossJoin per iteration
         "n3_importance_resampling",    # 1-row bucket-totals frame crossJoin
     }
     sf = "/root/testdata/sf0.001"
