@@ -59,6 +59,12 @@ HEADLINE = [
     "n1_curate_pipeline",
     "funnel_conversion",
     "pagerank_copurchase_parts",
+    # round-6 late wave: clustering / semantic dedup / data selection /
+    # hybrid retrieval (all EXTRA_QUERIES, oracle-backed)
+    "n2_kmeans_lloyd",
+    "n1_semantic_dedup_pairs",
+    "n3_importance_resampling",
+    "n2_hybrid_rrf_fusion",
 ]
 
 
