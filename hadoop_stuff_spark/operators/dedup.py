@@ -65,20 +65,25 @@ def drop_exact_duplicates(df: DataFrame, content_col: str = "text") -> DataFrame
 # word-shingle helpers
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column. Pure Catalyst:
-    transform over token index sequence, then array_distinct."""
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """All word n-grams of a text column, occurrences included (NOT
+    distinct). Pure Catalyst: transform over the token index sequence."""
     toks = T.tokens(col)
     count = F.size(toks) - (n - 1)
     # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty
-    joined = F.when(
+    return F.when(
         count >= 1,
         F.transform(
             F.sequence(F.lit(1), count),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-    return F.array_distinct(joined)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column
+    (:func:`word_ngrams` + array_distinct)."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def ngram_jaccard_pairs(
@@ -679,25 +684,16 @@ def n1_repeated_ngrams(
     tripwire a pretraining pipeline runs to find boilerplate/template
     spans that exact-dedup (whole-doc hashing) cannot see.
 
-    Plan shape: in-row n-gram construction (the same sequence/slice HOF as
-    :func:`shingles`, but WITHOUT array_distinct — occurrences count), one
-    map-side-partial aggregate on the gram (count-distinct expands to the
-    standard two-phase plan), then TakeOrderedAndProject for the top-k.
+    Plan shape: in-row n-gram construction (:func:`word_ngrams` — no
+    array_distinct, occurrences count), one map-side-partial aggregate on
+    the gram (count-distinct expands to the standard two-phase plan),
+    then TakeOrderedAndProject for the top-k.
     The wide text column never shuffles; only (gram, doc_id) pairs do —
     the canonical n-gram-count shape at any scale. Ties are broken
     (n_docs desc, n_occurrences desc, gram asc) so output is
     deterministic."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = T.tokens("text")
-    count = F.size(toks) - (n - 1)
-    grams = F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    g = docs.select("doc_id", F.explode(word_ngrams("text", n)).alias("gram"))
     return (
         g.groupBy("gram")
         .agg(

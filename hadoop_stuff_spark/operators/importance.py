@@ -9,10 +9,11 @@ Fully declarative, oracle-backed:
 - tokens hash to ``B`` = 256 buckets via the first two hex chars of md5 —
   instr/strpos arithmetic only, so the IDENTICAL expression runs in DuckDB
   (the engine-wide portable-hash recipe, operators/sampling.py).
-- bucket statistics for the target (docs with ``lang = target_lang``) and
-  the raw pool come from ONE token-level aggregate (rc = all, tc =
-  conditional sum), B rows total; totals are a 1-row frame broadcast back
-  (scalar-subquery shape).
+- the token explode feeds exactly ONE aggregate — the per-(doc, bucket)
+  counts — which is checkpointed and re-aggregated for the target/raw
+  bucket statistics (rc = all, tc = conditional sum; B rows) AND joined
+  for scoring, so the corpus is tokenized once; totals are a 1-row frame
+  broadcast back (scalar-subquery shape).
 - per-bucket log-likelihood ratios use add-one smoothing and are rounded
   to 6 dp immediately after ``ln`` so a last-ulp libm divergence between
   the JVM and DuckDB cannot flip a ranking.
@@ -34,18 +35,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.catalog import load_table, spread
+from hadoop_stuff_spark.operators.sampling import _hex_prefix_val
 
 B = 256
-_HEX = "0123456789abcdef"
 
 
 def _bucket(tok: Column) -> Column:
     """md5-derived bucket in [0, 256): value of the digest's first two hex
-    chars, via instr arithmetic (portable — DuckDB strpos mirrors it)."""
-    h = F.md5(tok)
-    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
-    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    return d1 * 16 + d2
+    chars — the one canonical instr-arithmetic recipe
+    (sampling._hex_prefix_val), so the identical expression exists in the
+    DuckDB oracle via strpos."""
+    return _hex_prefix_val(F.md5(tok), n=2)
 
 
 def n3_importance_resampling(
@@ -66,9 +66,21 @@ def n3_importance_resampling(
         F.explode(F.split("text", " ")).alias("tok"),
     ).select("doc_id", "lang", _bucket(F.col("tok")).alias("b"))
 
-    bs = tb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("rc"),
-        F.sum((F.col("lang") == target_lang).cast("long")).alias("tc"),
+    # per-(doc, bucket) counts are the ONLY consumer of the token explode;
+    # bucket stats re-aggregate db (≤256 rows per doc, no text) instead of
+    # rescanning the corpus, and db is localCheckpointed because two
+    # branches (bs and the score join) read it — one tokenize+md5 scan
+    # total, not three.
+    db = (
+        tb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bs = db.groupBy("b").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(F.lit(0))
+        ).alias("tc"),
     )
     tot = bs.agg(
         F.sum("rc").alias("r_total"), F.sum("tc").alias("t_total")
@@ -81,8 +93,6 @@ def n3_importance_resampling(
         6,
     )
     ratio = bs.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr"))
-
-    db = tb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("cnt"))
     term = F.round(F.col("cnt") * F.col("lr") * 1_000_000.0, 0).cast("long")
     return (
         db.join(F.broadcast(ratio), "b")

@@ -25,6 +25,7 @@ from pyspark.sql.functions import broadcast
 
 from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions.vectors import as_double, cosine, dot, l2_norm
+from hadoop_stuff_spark.operators.textstats import _bm25_sql_score, bm25_rank_topk
 
 DIM = 64
 
@@ -538,20 +539,22 @@ def n2_hybrid_rrf_fusion(
     keyword ranking over ``documents`` and the dense cosine ranking over
     ``embeddings`` (query = vec 0, ids align with doc_ids) are fused as
     ``Σ 1/(c + rank)`` — the standard score-free combiner for hybrid RAG
-    retrievers (c=60 per Cormack et al.'s original RRF setting).
+    retrievers (c=60 per Cormack et al.'s original RRF setting). The
+    query document (id 0) is excluded from BOTH arms — its BM25 stats
+    frame too — so the arms stay symmetric and the query can never be
+    returned as its own result.
 
     Plan shape: both arms end in ``orderBy().limit(depth)`` —
     TakeOrderedAndProject, never a global window over all scored rows —
-    so only 2×depth rows reach the full-outer fuse join. RRF terms are
-    fixed-arity expressions over exact integer ranks, deterministic
-    across engines; ties broken by doc_id."""
-    from hadoop_stuff_spark.operators.textstats import bm25_scores
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    kw_top = bm25_scores(docs).orderBy(F.desc("score"), F.asc("doc_id")).limit(depth)
-    wk = Window.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
-    kw_rank = kw_top.select(
-        "doc_id", F.row_number().over(wk).cast("int").alias("rk_kw")
+    so only 2×depth rows reach the full-outer fuse join. The keyword arm
+    IS :func:`textstats.bm25_rank_topk` (one site owns the BM25 ranking
+    contract). RRF terms are fixed-arity expressions over exact integer
+    ranks, deterministic across engines; ties broken by doc_id."""
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") != 0
+    )
+    kw_rank = bm25_rank_topk(docs, depth).select(
+        "doc_id", F.col("rk").alias("rk_kw")
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -587,10 +590,8 @@ def n2_hybrid_rrf_fusion(
     )
 
 
-from hadoop_stuff_spark.operators.textstats import _bm25_sql_score  # noqa: E402
-
 HYBRID_RRF_SQL = """
-WITH kw_scored AS (""" + _bm25_sql_score() + """
+WITH kw_scored AS (""" + _bm25_sql_score(where=" WHERE doc_id <> 0") + """
 ), kw_rank AS (
   SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk_kw
   FROM kw_scored QUALIFY rk_kw <= 20

@@ -490,7 +490,7 @@ def bm25_scores(
     )
 
 
-def _bm25_sql_score(terms: tuple[str, ...] = BM25_TERMS) -> str:
+def _bm25_sql_score(terms: tuple[str, ...] = BM25_TERMS, where: str = "") -> str:
     tf_cols = ", ".join(
         f"len(list_filter(t, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
     )
@@ -507,7 +507,7 @@ def _bm25_sql_score(terms: tuple[str, ...] = BM25_TERMS) -> str:
     return f"""
 WITH per_doc AS (
   SELECT doc_id, len(t) AS dl, {tf_cols}
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents{where})
 ), stats AS (
   SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols}
   FROM per_doc
@@ -517,21 +517,27 @@ FROM per_doc CROSS JOIN stats
 """
 
 
-def n3_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """Keyword retrieval: top-k documents by BM25 relevance to the fixed
-    query-term set (score desc, doc_id as the deterministic tiebreak) —
-    the sparse half of a hybrid RAG retriever.
+def bm25_rank_topk(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k BM25 ranking frame (doc_id, score, rk) over any documents
+    frame — the ONE site encoding the ranking contract (score desc,
+    doc_id tiebreak), shared by :func:`n3_bm25_topk` and the hybrid RRF
+    keyword arm so their ranks can never de-sync.
 
     The global top-k is an ``orderBy().limit()`` so Catalyst plans
     TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
     NOT an unpartitioned window that would drag every scored row to one
     task; the rank column is a window over the k survivors only."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
     top = bm25_scores(docs).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("int").alias("rk")
     )
+
+
+def n3_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Keyword retrieval: top-k documents by BM25 relevance to the fixed
+    query-term set — the sparse half of a hybrid RAG retriever."""
+    return bm25_rank_topk(spread(load_table(spark, sf_dir, "documents")), k)
 
 
 BM25_TOPK_SQL = f"""

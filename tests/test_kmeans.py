@@ -21,7 +21,11 @@ def test_kmeans_assignment_partitions_corpus(spark, sf_dir):
     prof = n2_kmeans_lloyd(spark, sf_dir).collect()
     assert sum(r.n_vectors for r in prof) == n_vecs
     assert len(prof) <= 8
-    assert all(r.inertia > 0 for r in prof)
+    # a single-member cell legitimately has inertia exactly 0.0 (its
+    # centroid IS the member), so pin non-negativity per cell and a
+    # positive total only.
+    assert all(r.inertia >= 0 for r in prof)
+    assert sum(r.inertia for r in prof) > 0
 
 
 def test_kmeans_inertia_monotone_in_iterations(spark, sf_dir):
