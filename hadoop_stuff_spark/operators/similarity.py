@@ -493,6 +493,27 @@ FROM c
 """
 
 
+def saved_centroid_encoder(spark: SparkSession, index_path: str):
+    """Pandas-UDF cell encoder bound to the index's SAVED centroids (the
+    quantizer must stay fixed across appends or every existing cell
+    assignment is invalidated). Shared by :func:`append_to_ivf_index` and
+    the streaming maintenance sink (streaming/vectors.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1))
+
+    return cell_of
+
+
 def append_to_ivf_index(
     spark: SparkSession, index_path: str, new_vectors: DataFrame
 ) -> None:
@@ -507,19 +528,7 @@ def append_to_ivf_index(
     recall tests are the drift detector. Mirrors
     `incremental.update_signature_store` for the dedup stores: history
     immutable, appends only."""
-    from pyspark.sql.functions import pandas_udf
-
-    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
-    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
-    for r in cent_rows:
-        cents[r.cell] = r.centroid
-
-    @pandas_udf("int")
-    def cell_of(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cents.T, axis=1))
-
+    cell_of = saved_centroid_encoder(spark, index_path)
     (
         new_vectors.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
         .write.mode("append")

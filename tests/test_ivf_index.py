@@ -84,3 +84,72 @@ def test_ivf_append_equals_full_rebuild_query(spark, sf_dir, tmp_path):
     # partitioned; vec count = full corpus)
     n = spark.read.parquet(f"{inc_idx}/corpus").count()
     assert n == emb.count()
+
+
+def test_streaming_ivf_append_sink_converges_and_survives_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streamed vectors land in the index exactly once (upsert-by-key
+    convergence), are findable by the partition-pruned query path, and a
+    replayed delta is a no-op."""
+    import os
+
+    from hadoop_stuff_spark.streaming.vectors import streaming_ivf_append_sink
+
+    idx = str(tmp_path / "ivf")
+    work = str(tmp_path / "work")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    # build on the even half, then stream the odd half in two batches
+    base.write.parquet(str(tmp_path / "base"))
+    build_half = str(tmp_path / "base")
+    from hadoop_stuff_spark.operators.similarity import build_ivf_index
+
+    # build_ivf_index loads by sf_dir; build directly from the frame here
+    # via the same public path: write the half-corpus as the embeddings
+    # table of a scratch dir.
+    scratch = tmp_path / "scratch_sf"
+    os.makedirs(scratch, exist_ok=True)
+    spark.read.parquet(build_half).write.parquet(str(scratch / "embeddings.parquet"))
+    build_ivf_index(spark, str(scratch), idx, n_cells=8)
+
+    sink = streaming_ivf_append_sink(idx, work)
+
+    stream_src = str(tmp_path / "incoming")
+    os.makedirs(stream_src)
+    ckpt = str(tmp_path / "ckpt")
+    halves = [new.filter(F.col("vec_id") % 4 == 1), new.filter(F.col("vec_id") % 4 == 3)]
+    for i, h in enumerate(halves):
+        h.write.parquet(os.path.join(stream_src, f"slice{i}"))
+        q = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", "100")
+            .parquet(os.path.join(stream_src, "slice*"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    n_total = emb.count()
+    assert corpus.count() == n_total
+    assert corpus.select("vec_id").distinct().count() == n_total
+
+    # replayed delta (same batch content, direct re-application) is a no-op.
+    # Materialize it first: the sink lands its input at this very path, so a
+    # lazy self-read would race its own overwrite (a stream batch never
+    # reads from the delta dir, so this is a test-only hazard).
+    delta_src = spark.read.parquet(os.path.join(work, "deltas", "batch_id=0"))
+    first_delta = spark.createDataFrame(delta_src.collect(), delta_src.schema)
+    sink(first_delta, 0)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n_total
+
+    # streamed vectors are findable through the partition-pruned query path
+    queries = new.limit(3)
+    out = topk_cosine_ivf_index(spark, idx, queries, k=5, n_probe=8)
+    got = {(r.query_id, r.rk): r.vec_id for r in out.collect()}
+    assert len(got) == 15  # 3 queries x k=5 over the full 8-probe scan
