@@ -548,3 +548,70 @@ FROM (
 )
 WHERE rk <= 10
 """
+
+
+def n3_oov_rate_by_source(
+    spark: SparkSession, sf_dir: str, vocab_size: int = 20
+) -> DataFrame:
+    """Tokenizer vocabulary coverage: per-source out-of-vocabulary rate
+    against the corpus's own top-``vocab_size`` token vocabulary — the
+    coverage check a tokenizer-training pipeline runs per ingest source
+    before committing to a vocab (a source with a high OOV rate will
+    fragment into bytes/unknowns at training time).
+
+    Plan shape: one token-level aggregate builds the frequency table
+    (map-side partial to vocab-cardinality rows), the vocabulary is a
+    deterministic top-k (count desc, token asc — TakeOrderedAndProject)
+    broadcast back over a second token scan as a LEFT join (miss = OOV),
+    and the per-source rollup is a tiny conditional aggregate. The wide
+    text never shuffles; only (source, token) pairs do.
+
+    vocab_size defaults to 20 because the synthetic corpus has only 31
+    distinct tokens — a top-1000 vocab would cover everything and report
+    0.0 everywhere; at 20 the tail 11 tokens are OOV and rates vary by
+    source (a real corpus uses 30k-100k)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+OOV_RATE_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 20
+  )
+)
+SELECT source,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY source
+ORDER BY source
+"""

@@ -535,6 +535,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         dedup.n1_repeated_ngrams, dedup.REPEATED_NGRAMS_SQL
     ),
     "ema_event_values": QuerySpec(temporal.ema_event_values, temporal.EMA_SQL),
+    "n3_oov_rate_by_source": QuerySpec(
+        textstats.n3_oov_rate_by_source, textstats.OOV_RATE_SQL
+    ),
 }
 
 assert all(
