@@ -147,3 +147,33 @@ def test_sketch_rollup_shuffles_sketch_bytes_not_users(spark, sf_dir):
     # the last exchange, i.e. map-side against the scan
     last_exchange = lower.rindex("exchange")
     assert "partial_hll_sketch_agg" in lower[last_exchange:], plan
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark, sf_dir):
+    """The BM25 ranking contract's physical shape: global top-k planned as
+    TakeOrderedAndProject (per-partition heaps, no global Sort of all
+    scored rows) and the 1-row corpus-stats frame joined by broadcast."""
+    from hadoop_stuff_spark.operators.textstats import n3_bm25_topk
+
+    plan = _plan(n3_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_oov_vocab_broadcasts_and_text_never_shuffles(spark, sf_dir):
+    """OOV rollup: the top-k vocabulary reaches the token scan as a
+    broadcast build side; no Exchange carries the text column."""
+    from hadoop_stuff_spark.operators.textstats import n3_oov_rate_by_source
+
+    plan = _plan(n3_oov_rate_by_source(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_repeated_ngrams_topk_never_global_sorts(spark, sf_dir):
+    from hadoop_stuff_spark.operators.dedup import n1_repeated_ngrams
+
+    plan = _plan(n1_repeated_ngrams(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
