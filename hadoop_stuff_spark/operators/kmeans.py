@@ -12,9 +12,13 @@ Every iteration is:
   A fully-declarative variant (:func:`kmeans_assign`: broadcast crossJoin
   + fold + row_number window) is kept as the collect-free building block,
   but the unrolled no-action plan re-evaluates every earlier iteration
-  inside each centroid reference — measured 6.4 s vs ~1 s at sf0.1 — so
-  the query functions iterate with one k-row collect per round instead
-  (the per-round convergence-scalar pattern of clusters.py).
+  inside each centroid reference — measured 6.4 s vs ~3.5 s at sf0.1 —
+  so the query functions iterate with one k-row collect per round
+  instead (the clusters.py convergence-scalar pattern). The remaining
+  ~3.5 s at sf0.1 is fixed per-round job overhead (3 assignment passes
+  + 2 collect rounds over only 2000 vectors); the per-vector work that
+  actually scales is the numpy matmul, and the prepared vector frame is
+  checkpointed once so no round re-runs scan + cast + repartition.
 - **update**: per-cell per-dimension means as 64 plain SUM aggregates over
   fixed-point bigints (``round(x·10⁶)``), so the partial aggregation is
   map-side and the result is EXACT and order-independent across
@@ -32,8 +36,9 @@ inertia re-uses the fixed-point-sum rule. DuckDB mirrors the update via
 ``unnest(generate_series)`` + ordered ``list()`` re-assembly — different
 shape, identical integers.
 
-At 100 TB: assignment is a broadcast crossJoin (k rows) against one corpus
-scan per iteration; the update shuffles k×(64+2) longs. The quadratic step
+At 100 TB: assignment is one corpus pass per iteration against a k×64
+closure-shipped centroid matrix (broadcast-footprint); the update
+shuffles k×(64+2) longs. The quadratic step
 of SemDeDup is confined to within-cell pairs — Σ n_c² instead of N², the
 whole point of clustering before comparing. Empty cells drop out of the
 update (both engines agree).
@@ -158,11 +163,18 @@ def _kmeans_assigned(
     fixed-point update aggregates k×(64+2) longs, and the k new centroids
     are collected to the driver (k rows — the per-round convergence-scalar
     pattern of clusters.py). Wall-clock vs the fully-declarative unrolled
-    plan: 6.4 s → ~1 s at sf0.1 (the unrolled plan re-evaluated every
+    plan: 6.4 s → ~3.5 s at sf0.1 (the unrolled plan re-evaluated every
     earlier iteration inside each centroid reference and paid ~1M
-    interpreted fold lambdas per assignment)."""
-    vecs = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", as_double("embedding").alias("vec")
+    interpreted fold lambdas per assignment; what remains is per-round
+    job overhead at this tiny scale, not per-vector work)."""
+    # one action per Lloyd round re-reads the corpus: checkpoint the
+    # prepared (vec_id, vec double[]) frame once so every round's
+    # assignment job starts from the materialized columnar batches
+    # instead of re-running scan + cast + repartition (n_iter+1 times).
+    vecs = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", as_double("embedding").alias("vec"))
+        .localCheckpoint(eager=False)
     )
     cent_rows = (
         vecs.filter(F.col("vec_id") < k)
