@@ -245,3 +245,99 @@ FROM binned
 GROUP BY bin
 ORDER BY bin
 """
+
+
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: order totals winsorized at the group's
+    own exact p05/p95 (values clipped, not dropped) alongside the raw
+    mean — the outlier-resistant summary a data-quality report pairs with
+    z-score outlier listings (``outlier_orders_by_zscore``).
+
+    Plan shape: the exact percentiles ride the SAME two-phase aggregate
+    pass that a plain mean would use (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the established portable pair), computed per group
+    in pass one; pass two re-streams the facts against the broadcast
+    5-row bounds frame to clip and fixed-point-sum. Means are exact
+    integer-cent sums / counts, so they are order-independent and
+    engine-portable."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.05)"), 4).alias("p05"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    cents = lambda c: F.sum(F.round(c * 100.0, 0).cast("long"))  # noqa: E731
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("n_orders").alias("n_orders"),
+            F.first("p05").alias("p05"),
+            F.first("p95").alias("p95"),
+            F.round(cents(F.col("o_totalprice")) / 100.0 / F.count(F.lit(1)), 4).alias(
+                "raw_mean"
+            ),
+            F.round(cents(clipped) / 100.0 / F.count(F.lit(1)), 4).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+WINSORIZED_SQL = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.05), 4) AS p05,
+         round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       CAST(min(b.n_orders) AS BIGINT) AS n_orders,
+       min(b.p05) AS p05,
+       min(b.p95) AS p95,
+       round(sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT)) / 100.0 / count(*), 4) AS raw_mean,
+       round(sum(CAST(round(least(greatest(o.o_totalprice, b.p05), b.p95) * 100.0, 0) AS BIGINT)) / 100.0 / count(*), 4) AS winsorized_mean
+FROM orders o JOIN bounds b USING (o_orderpriority)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the distribution of rows-per-key for the
+    orders→customer join key — max, p99, mean rows per key and the skew
+    factor (max/mean) — the report that decides whether a join needs the
+    salting operators (``operators/skew.py``) before it ships.
+
+    Plan shape: one map-side-partial count per key, then a single tiny
+    aggregate over the per-key counts (exact percentile over key-count
+    rows — key-cardinality-sized, not fact-sized)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_rows_total"),
+        F.max("n_rows").alias("max_per_key"),
+        F.round(F.expr("percentile(n_rows, 0.99)"), 4).alias("p99_per_key"),
+        F.round(F.sum("n_rows") * 1.0 / F.count(F.lit(1)), 4).alias("mean_per_key"),
+        F.round(
+            F.max("n_rows") / (F.sum("n_rows") * 1.0 / F.count(F.lit(1))), 4
+        ).alias("skew_factor"),
+    )
+
+
+SKEW_PROFILE_SQL = """
+WITH per_key AS (
+  SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+       CAST(max(n_rows) AS BIGINT) AS max_per_key,
+       round(quantile_cont(n_rows, 0.99), 4) AS p99_per_key,
+       round(sum(n_rows) * 1.0 / count(*), 4) AS mean_per_key,
+       round(max(n_rows) / (sum(n_rows) * 1.0 / count(*)), 4) AS skew_factor
+FROM per_key
+"""

@@ -538,6 +538,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n3_oov_rate_by_source": QuerySpec(
         textstats.n3_oov_rate_by_source, textstats.OOV_RATE_SQL
     ),
+    "winsorized_order_stats": QuerySpec(
+        profile.winsorized_order_stats, profile.WINSORIZED_SQL
+    ),
+    "skew_key_profile": QuerySpec(profile.skew_key_profile, profile.SKEW_PROFILE_SQL),
 }
 
 assert all(
