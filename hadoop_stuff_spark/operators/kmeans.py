@@ -91,7 +91,14 @@ def kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 def kmeans_update(assigned: DataFrame, dim: int = DIM) -> DataFrame:
     """New centroids: per-cell per-dimension mean via ``dim`` exact
     fixed-point SUM aggregates (map-side partial, one output row per cell).
-    Cells with no members vanish — Lloyd's standard empty-cell drop."""
+    Cells with no members vanish — Lloyd's standard empty-cell drop.
+
+    dim-bound: one aggregate with ``dim`` SUM expressions stays inside
+    Janino/WSCG limits for dim ≲ 500 (the engine's wiretap soak pinned
+    codegen breakdown around 500 expressions in one operator) — fine for
+    this table's 64 and typical 128-384-dim embeddings; for 1k-4k-dim
+    vectors switch the update to a posexplode (cell, dim, fx) aggregate —
+    the same exact integers at the cost of one wider shuffle."""
     sums = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
         *[

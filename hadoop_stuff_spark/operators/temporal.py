@@ -785,3 +785,99 @@ SELECT user_id, n_events,
 FROM per_user
 ORDER BY user_id
 """
+
+
+def cusum_daily_orders(
+    spark: SparkSession, sf_dir: str, slack_millis: int = 500
+) -> DataFrame:
+    """CUSUM changepoint detection over each priority class's daily order
+    counts: the classic upper cumulative-sum statistic
+    ``S_i = max(0, S_{i-1} + (x_i − mean − slack))`` that flags sustained
+    upward shifts a plain threshold misses.
+
+    The max-reset recurrence looks sequential but is WINDOW-EXPRESSIBLE
+    via the prefix-sum identity ``S_i = P_i − min(0, min_{j≤i} P_j)``
+    (P = running sum of deviations), so the whole statistic is two
+    ordered windows per group — no fold, no UDF, and the identical
+    expression runs in DuckDB. Deviations are integer milli-units
+    (count×1000 − rounded mean×1000 − slack), so every prefix sum is
+    exact integer arithmetic — order-independent and engine-portable.
+
+    Output per priority: the peak CUSUM (in original count units), the
+    day it peaked (deterministic argmax: cusum desc, date asc), and how
+    many days ran above half the peak — the report a pipeline-health
+    monitor keys alerts from. Series length is day-cardinality (tiny);
+    the windows never see fact rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wg = Window.partitionBy("o_orderpriority")
+    w_ord = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mean_fp = F.round(F.avg(F.col("n") * 1000).over(wg), 0).cast("long")
+    d = F.col("n") * 1000 - mean_fp - slack_millis
+    stepped = daily.withColumn("d", d)
+    cum = F.sum("d").over(w_ord)
+    run = stepped.withColumn(
+        "cusum", cum - F.least(F.lit(0).cast("long"), F.min(cum).over(w_ord))
+    )
+    peak = F.max("cusum").over(wg)
+    ranked = run.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                F.desc("cusum"), F.asc("o_orderdate")
+            )
+        ),
+    ).withColumn("peak", peak)
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.first(F.col("peak")) / 1000.0, 3).alias("peak_cusum"),
+            F.max(F.when(F.col("rk") == 1, F.col("o_orderdate"))).alias("peak_date"),
+            F.sum(
+                (F.col("cusum") * 2 > F.col("peak")).cast("long")
+            ).alias("days_above_half_peak"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), stepped AS (
+  SELECT o_orderpriority, o_orderdate, n,
+         n * 1000
+         - CAST(round(avg(n * 1000) OVER (PARTITION BY o_orderpriority), 0) AS BIGINT)
+         - 500 AS d
+  FROM daily
+), summed AS (
+  SELECT *, sum(d) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM stepped
+), run AS (
+  SELECT *, cum - least(CAST(0 AS BIGINT),
+                        min(cum) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+  FROM summed
+), ranked AS (
+  SELECT *, max(cusum) OVER (PARTITION BY o_orderpriority) AS peak,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY cusum DESC, o_orderdate) AS rk
+  FROM run
+)
+SELECT o_orderpriority,
+       round(min(peak) / 1000.0, 3) AS peak_cusum,
+       max(CASE WHEN rk = 1 THEN o_orderdate END) AS peak_date,
+       CAST(sum(CASE WHEN cusum * 2 > peak THEN 1 ELSE 0 END) AS BIGINT) AS days_above_half_peak,
+       count(*) AS n_days
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""

@@ -542,6 +542,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         profile.winsorized_order_stats, profile.WINSORIZED_SQL
     ),
     "skew_key_profile": QuerySpec(profile.skew_key_profile, profile.SKEW_PROFILE_SQL),
+    "cusum_daily_orders": QuerySpec(temporal.cusum_daily_orders, temporal.CUSUM_SQL),
 }
 
 assert all(
