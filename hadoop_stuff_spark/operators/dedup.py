@@ -688,8 +688,10 @@ def n1_repeated_ngrams(
     array_distinct, occurrences count), one map-side-partial aggregate on
     the gram (count-distinct expands to the standard two-phase plan),
     then TakeOrderedAndProject for the top-k.
-    The wide text column never shuffles; only (gram, doc_id) pairs do —
-    the canonical n-gram-count shape at any scale. Ties are broken
+    The wide text column never rides a keyed shuffle; only (gram, doc_id)
+    pairs do — the canonical n-gram-count shape at any scale (the
+    RoundRobin respread of catalog.spread is the documented local
+    small-file exception, a no-op at scale). Ties are broken
     (n_docs desc, n_occurrences desc, gram asc) so output is
     deterministic."""
     docs = spread(load_table(spark, sf_dir, "documents"))

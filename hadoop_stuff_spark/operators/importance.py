@@ -22,7 +22,8 @@ Fully declarative, oracle-backed:
   order-independent across partitionings (functions/money.py rule).
 
 At 100 TB: the token explode is the same shape as every n-gram counter in
-the engine — the wide data never shuffles; the only shuffles are the
+the engine — the wide data never rides a keyed shuffle (catalog.spread's
+RoundRobin respread is the documented local small-file exception); the only shuffles are the
 B-bucket aggregate (map-side partial to 256 rows), the per-(doc, bucket)
 count (map-side partial, keys ≈ docs × distinct-buckets), and the final
 top-k which is a TakeOrderedAndProject. The ratio table is 256 rows,

@@ -564,7 +564,9 @@ def n3_oov_rate_by_source(
     deterministic top-k (count desc, token asc — TakeOrderedAndProject)
     broadcast back over a second token scan as a LEFT join (miss = OOV),
     and the per-source rollup is a tiny conditional aggregate. The wide
-    text never shuffles; only (source, token) pairs do.
+    text column never rides a KEYED shuffle — only (source, token) pairs
+    do (the RoundRobin respread of catalog.spread is the documented
+    local small-file exception, a no-op at scale).
 
     vocab_size defaults to 20 because the synthetic corpus has only 31
     distinct tokens — a top-1000 vocab would cover everything and report

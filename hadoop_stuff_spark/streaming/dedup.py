@@ -11,20 +11,30 @@ within-batch exact dups collapsed to the min-id representative) →
 partitions the batch touches; signature-agreement estimate on candidates
 only) → per-batch survivor landing → ``update_*_store`` appends.
 
-Replay protocol (at-least-once delivery, converging):
+Replay protocol (at-least-once delivery, converging). The one rule that
+makes replays safe: **gating runs at most once per batch — a replay must
+NEVER re-gate against stores that already absorbed this batch** (the
+survivors would anti-join themselves away and an overwrite would erase
+them from the corpus). Concretely:
 
 - the raw delta and the survivor set land under ``batch_id=N`` dirs with
-  mode=overwrite — re-landing is byte-idempotent.
-- a folded-batch manifest (atomic same-dir replace, the
-  incremental-rollup pointer protocol) skips fully-applied batches.
-- the crash window between the store appends and the manifest commit is
-  BOUNDED AND SAFE: a replayed fingerprint append is a no-op (the update
-  anti-joins the store first), and a replayed signature append can only
-  duplicate signature rows — duplicate candidates collapse in the
-  novelty probe's `dup_ids` distinct, so correctness is unaffected and
-  the cost is index bloat until the next rebuild. This is why the stores
-  are advanced from the LANDED survivor files, not the in-flight frame:
-  what the index says exists is exactly what the corpus dir holds.
+  mode=overwrite; Spark's ``_SUCCESS`` marker tells a replay whether the
+  survivor landing COMPLETED.
+- replay with a complete landing reuses the landed survivors verbatim
+  (no re-gating, no overwrite) and only re-applies the store advances:
+  the fingerprint append anti-joins the store first (no-op), the
+  signature append can only duplicate rows — duplicate candidates
+  collapse in the probe's ``dup_ids`` distinct, so correctness is
+  unaffected and the cost is index bloat until the next rebuild.
+- replay with an incomplete landing re-gates from scratch — safe,
+  because the stores advance only AFTER a complete landing.
+- a folded-batch manifest (atomic same-dir file replace) is the
+  fast-path skip for fully-committed batches; it is an optimization on
+  top of the rules above, not the safety mechanism.
+
+Bootstrap is keyed on the store created LAST (the signature index), so a
+crash at any point of the first batch replays back into the bootstrap
+path instead of probing a store that does not exist.
 
 Semantics note (matches the batch day-2 path): near-dup gating is
 against the STORE — two near-duplicates arriving in the SAME micro-batch
@@ -102,26 +112,42 @@ def streaming_dedup_ingest_sink(
             _commit(work_dir, _folded(work_dir) | {bid})
             return
 
-        bootstrap = not os.path.exists(fp_store)
-        if bootstrap:
-            # First batch: an EMPTY fingerprint store is a plain parquet
-            # write (readable), so the exact gate degenerates to the
-            # within-batch collapse. The signature store CANNOT be
-            # bootstrapped empty (a zero-row partitioned write leaves no
-            # readable footer), so the near-dup gate is skipped this one
-            # batch — consistent with the documented semantics that
-            # same-batch near-dups are admitted — and the index is built
-            # from the landed survivors below.
-            build_fingerprint_store(delta.limit(0), fp_store, text_col)
-        novel = novel_against_fingerprints(spark, delta, fp_store, text_col)
-        if not bootstrap:
-            novel = novel_against_signatures(
-                spark, novel, sig_store, text_col, threshold
-            )
+        # bootstrap keys on the store created LAST — and on its _SUCCESS
+        # marker, not the bare dir: a first-batch crash between the two
+        # store builds (or mid-build) must replay back into bootstrap,
+        # never into a probe of a store that does not exist or committed
+        # only partially.
+        bootstrap = not os.path.exists(os.path.join(sig_store, "_SUCCESS"))
 
         land_path = os.path.join(corpus_path, f"batch_id={batch_id}")
-        novel.write.mode("overwrite").parquet(land_path)
-        survivors = spark.read.parquet(land_path)
+        landed_complete = os.path.exists(os.path.join(land_path, "_SUCCESS"))
+        if landed_complete:
+            # Replay after the landing committed: the stores MAY already
+            # have absorbed this batch, so re-gating would anti-join the
+            # survivors away and the overwrite below would erase them
+            # (the data-loss window a code review reproduced). Reuse the
+            # landed survivors verbatim and only re-apply the (idempotent
+            # / bloat-bounded) store advances.
+            survivors = spark.read.parquet(land_path)
+        else:
+            if bootstrap and not os.path.exists(fp_store):
+                # An EMPTY fingerprint store is a plain parquet write
+                # (readable), so the exact gate degenerates to the
+                # within-batch collapse. The signature store CANNOT be
+                # bootstrapped empty (a zero-row partitioned write leaves
+                # no readable footer), so the near-dup gate is skipped
+                # for this one batch — consistent with the documented
+                # same-batch-near-dups-admitted semantics — and the index
+                # is built from the landed survivors below.
+                build_fingerprint_store(delta.limit(0), fp_store, text_col)
+            novel = novel_against_fingerprints(spark, delta, fp_store, text_col)
+            if not bootstrap:
+                novel = novel_against_signatures(
+                    spark, novel, sig_store, text_col, threshold
+                )
+            novel.write.mode("overwrite").parquet(land_path)
+            survivors = spark.read.parquet(land_path)
+
         update_fingerprint_store(spark, survivors, fp_store, text_col)
         if bootstrap:
             build_signature_store(survivors, sig_store, text_col)

@@ -36,7 +36,11 @@ def streaming_ivf_append_sink(index_path: str, work_dir: str):
     `similarity.build_ivf_index`). Use with
     ``writeStream.foreachBatch(sink)``."""
 
+    encoder_cache: list = []
+
     def sink(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         from hadoop_stuff_spark.operators.similarity import saved_centroid_encoder
         from hadoop_stuff_spark.sources.upsert import upsert_by_key
 
@@ -44,9 +48,21 @@ def streaming_ivf_append_sink(index_path: str, work_dir: str):
         delta_path = os.path.join(work_dir, "deltas", f"batch_id={batch_id}")
         batch.write.mode("overwrite").parquet(delta_path)
         delta = spark.read.parquet(delta_path).select("vec_id", "embedding")
+        # upsert_by_key (correctly) refuses NULL and duplicate merge keys,
+        # and a poison batch would wedge the stream on infinite retries:
+        # NULL vec_ids are not addressable (dropped), and within-batch
+        # duplicates collapse to one row — well-defined because the
+        # module contract says a re-delivered vec_id carries the SAME
+        # embedding, so any pick is identical content.
+        delta = delta.filter(F.col("vec_id").isNotNull()).dropDuplicates(["vec_id"])
         if delta.isEmpty():
             return
-        cell_of = saved_centroid_encoder(spark, index_path)
+        # the quantizer is FIXED for the index's lifetime (module
+        # docstring), so the centroid read + driver collect happens once
+        # per sink, not once per micro-batch.
+        if not encoder_cache:
+            encoder_cache.append(saved_centroid_encoder(spark, index_path))
+        cell_of = encoder_cache[0]
         encoded = delta.select(
             "vec_id", "embedding", cell_of("embedding").alias("cell")
         )

@@ -153,3 +153,39 @@ def test_streaming_ivf_append_sink_converges_and_survives_replay(
     out = topk_cosine_ivf_index(spark, idx, queries, k=5, n_probe=8)
     got = {(r.query_id, r.rk): r.vec_id for r in out.collect()}
     assert len(got) == 15  # 3 queries x k=5 over the full 8-probe scan
+
+
+def test_streaming_ivf_sink_survives_duplicate_and_null_keys(spark, sf_dir, tmp_path):
+    """A poison batch (same vec_id twice + a NULL key) must not wedge the
+    stream: duplicates collapse to one row, NULL keys drop, the upsert
+    succeeds."""
+    import os
+
+    from pyspark.sql import Row
+
+    from hadoop_stuff_spark.operators.similarity import build_ivf_index
+    from hadoop_stuff_spark.streaming.vectors import streaming_ivf_append_sink
+
+    idx = str(tmp_path / "ivf")
+    scratch = tmp_path / "scratch_sf"
+    os.makedirs(scratch, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 100).write.parquet(
+        str(scratch / "embeddings.parquet")
+    )
+    build_ivf_index(spark, str(scratch), idx, n_cells=4)
+    base_count = spark.read.parquet(f"{idx}/corpus").count()
+
+    v = emb.filter(F.col("vec_id") == 200).select("embedding").first().embedding
+    poison = spark.createDataFrame(
+        [Row(vec_id=200, embedding=v), Row(vec_id=200, embedding=v),
+         Row(vec_id=None, embedding=v)],
+        "vec_id long, embedding array<float>",
+    )
+    sink = streaming_ivf_append_sink(idx, str(tmp_path / "work"))
+    sink(poison, 0)
+
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    assert corpus.count() == base_count + 1
+    assert corpus.filter(F.col("vec_id") == 200).count() == 1
+    assert corpus.filter(F.col("vec_id").isNull()).count() == 0

@@ -116,3 +116,54 @@ def test_streaming_dedup_replay_is_noop(spark, tmp_path):
     assert after == before
     assert spark.read.parquet(fp).count() == n_fp
     assert spark.read.parquet(sig).count() == n_sig
+
+
+def test_replay_after_store_advance_does_not_lose_documents(spark, tmp_path):
+    """The reproduced crash window: stores advanced, manifest commit lost.
+    The replay must reuse the landed survivors (the _SUCCESS shortcut) —
+    re-gating against the advanced stores would anti-join the survivors
+    away and overwrite the landed batch with an empty frame."""
+    import json
+
+    batches = [BASE, BATCH2]
+    corpus, fp, sig, work, sink = _run_stream(spark, tmp_path, batches)
+    before = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    )
+    # simulate the crash: batch 1 fully applied but its manifest entry lost
+    manifest = os.path.join(work, "_FOLDED")
+    folded = json.load(open(manifest))
+    folded["folded"].remove("1")
+    json.dump(folded, open(manifest, "w"))
+
+    sink(_df(spark, batches[1]), 1)
+
+    after = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    )
+    assert after == before  # nothing lost, nothing re-gated away
+
+
+def test_bootstrap_crash_between_store_builds_recovers(spark, tmp_path):
+    """The reproduced wedge: first batch crashed after the fingerprint
+    store was built but before the signature store existed. Bootstrap
+    keys on the signature store's _SUCCESS marker, so the replay re-enters
+    the bootstrap path instead of probing a nonexistent store forever."""
+    from hadoop_stuff_spark.operators.incremental import build_fingerprint_store
+
+    corpus = str(tmp_path / "corpus")
+    fp = str(tmp_path / "fp_store")
+    sig = str(tmp_path / "sig_store")
+    work = str(tmp_path / "work")
+    # crashed first attempt left only the (empty) fingerprint store
+    build_fingerprint_store(_df(spark, BASE).limit(0), fp)
+    assert not os.path.exists(sig)
+
+    sink = streaming_dedup_ingest_sink(corpus, fp, sig, work)
+    sink(_df(spark, BASE), 0)  # replay of the first batch
+
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 2, 3}
+    assert os.path.exists(os.path.join(sig, "_SUCCESS"))
