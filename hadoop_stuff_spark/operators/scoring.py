@@ -141,3 +141,87 @@ WITH t AS (
 SELECT doc_id, round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS model_score
 FROM z
 """
+
+
+def calibrate_scores_by_source(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Add ``score_pctl`` — the within-group percent_rank of ``score_col``
+    — making scores comparable ACROSS sources (the cross-source
+    calibration step of quality filtering: a raw threshold keeps wildly
+    different fractions of each source, because sources have different
+    score distributions; a percentile threshold keeps the same fraction
+    everywhere, which is what a mixture-controlled training pipeline
+    wants).
+
+    Ties are broken by ``id_col`` so the rank — and any downstream
+    percentile cut — is deterministic and engine-independent. The window
+    sort runs inside per-source partitions (each a hash-shuffle bucket),
+    never a global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.asc(score_col), F.asc(id_col))
+    return df.withColumn("score_pctl", F.percent_rank().over(w))
+
+
+def n3_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: model-score every document, keep each source's top
+    half by WITHIN-SOURCE percentile (not raw score), and report the
+    per-source kept set (count, id-sum, mean kept score). The ranked
+    score is the 6-dp-rounded ``model_score``, already oracle-certified
+    value-equal, so both engines rank the identical ordering."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ranked = calibrate_scores_by_source(
+        score_quality(docs), "model_score", "source", "doc_id"
+    )
+    return (
+        ranked.filter(F.col("score_pctl") >= 0.5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.round(F.avg("model_score"), 6).alias("avg_kept_score"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_CALIBRATION_SQL = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks, length(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, source,
+         least(len(toks) / 100.0, 1.0) AS f_len,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS f_distinct,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x)))
+           * 1.0 / len(toks) AS f_stop,
+         least(((n_chars - (len(toks) - 1)) * 1.0 / len(toks)) / 8.0, 1.0) AS f_avglen
+  FROM t
+), z AS (
+  SELECT doc_id, source,
+         ((((-0.4 + 0.8 * f_len) + 1.6 * f_distinct) + (-1.2) * f_stop)
+          + 0.6 * f_avglen) AS z
+  FROM f
+), s AS (
+  SELECT doc_id, source,
+         round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS model_score
+  FROM z
+), r AS (
+  SELECT source, doc_id, model_score,
+         percent_rank() OVER (
+           PARTITION BY source ORDER BY model_score, doc_id
+         ) AS pr
+  FROM s
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       round(avg(model_score), 6) AS avg_kept_score
+FROM r WHERE pr >= 0.5
+GROUP BY source
+ORDER BY source
+"""

@@ -617,3 +617,162 @@ FROM toks t LEFT JOIN vocab v USING (tok)
 GROUP BY source
 ORDER BY source
 """
+
+
+# Character alphabet for the entropy scan — the synthetic corpus is
+# lowercase words joined by single spaces, so [a-z ] covers every byte;
+# characters outside the alphabet simply don't contribute (n_counted
+# records how much of the document the entropy actually describes).
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def add_char_entropy(
+    df: DataFrame, text_col: str = "text", alphabet: str = ENTROPY_ALPHABET
+) -> DataFrame:
+    """Append ``n_counted`` and ``entropy_nats`` — Shannon entropy (nats)
+    of the character distribution of ``text_col`` over ``alphabet`` — the
+    gibberish/boilerplate detector of a text-quality pipeline (natural
+    prose sits near the language's ~2.8-nat char entropy; repeated
+    padding collapses toward 0, random bytes push toward ln(|alphabet|)).
+
+    Implementation is deliberately scalar: per character c, count(c) =
+    len(text) - len(replace(text, c, '')), then -sum p ln p over the
+    |alphabet| fixed terms. That is |alphabet| substring scans per row in
+    ONE narrow stage — no explode, no shuffle of corpus-length char rows
+    (the explode formulation shuffles every character of a 100 TB corpus;
+    this shuffles nothing). The identical expression tree exists in ANSI
+    SQL, and the fixed left-associated term order makes the float sum
+    deterministic on both engines.
+
+    The counts and their total are STAGED as named intermediate columns
+    (computed once, referenced many times) rather than one flat
+    expression: inlining each replace() chain at every use site generated
+    a Project whose processNext() exceeded Janino's 64 KB method limit —
+    whole-stage codegen silently fell back to interpreted eval AND
+    re-evaluated each substring scan O(|alphabet|) times. Multi-referenced
+    non-trivial aliases survive CollapseProject, so this compiles to one
+    codegen stage with each count in a local (pinned by a
+    codegen.fallback=false test).
+    """
+    c_names = [f"__ent_c{i}" for i in range(len(alphabet))]
+    clash = set(c_names + ["__ent_t", "n_counted", "entropy_nats"]).intersection(
+        df.columns
+    )
+    if clash:
+        raise ValueError(f"input already has reserved column(s) {sorted(clash)}")
+    L = F.length(text_col)
+    staged = df.select(
+        "*",
+        *[
+            (L - F.length(F.replace(F.col(text_col), F.lit(ch)))).alias(n)
+            for n, ch in zip(c_names, alphabet)
+        ],
+    )
+    total = None
+    for n in c_names:
+        total = F.col(n) if total is None else total + F.col(n)
+    staged = staged.select("*", total.cast("double").alias("__ent_t"))
+    h = None
+    for n in c_names:
+        c = F.col(n)
+        p = c / F.col("__ent_t")
+        term = F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    return staged.select(
+        "*",
+        F.col("__ent_t").cast("long").alias("n_counted"),
+        h.alias("entropy_nats"),
+    ).drop(*c_names, "__ent_t")
+
+
+def n3_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification query: per-document char-distribution entropy."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return add_char_entropy(docs).select(
+        "doc_id",
+        "n_counted",
+        F.round("entropy_nats", 6).alias("entropy_nats"),
+    )
+
+
+def _char_entropy_sql(alphabet: str = ENTROPY_ALPHABET) -> str:
+    def q(ch: str) -> str:
+        return "' '" if ch == " " else f"'{ch}'"
+
+    cnt_cols = ",\n         ".join(
+        f"length(text) - length(replace(text, {q(ch)}, '')) AS c{i}"
+        for i, ch in enumerate(alphabet)
+    )
+    total = " + ".join(f"c{i}" for i in range(len(alphabet)))
+    terms = "\n         + ".join(
+        f"(CASE WHEN c{i} > 0 THEN -(c{i} / t) * ln(c{i} / t) ELSE 0e0 END)"
+        for i in range(len(alphabet))
+    )
+    return f"""
+WITH cnt AS (
+  SELECT doc_id,
+         {cnt_cols}
+  FROM documents
+), tot AS (
+  SELECT doc_id, *, CAST({total} AS DOUBLE) AS t FROM cnt
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS n_counted,
+       round({terms}, 6) AS entropy_nats
+FROM tot
+"""
+
+
+CHAR_ENTROPY_SQL = _char_entropy_sql()
+
+
+def zipf_slope_by_source(docs: DataFrame) -> DataFrame:
+    """Zipf rank-frequency fit per source: regress ln(term frequency) on
+    ln(rank) within each source and report the slope and R² — the
+    corpus-health diagnostic of a data pipeline (natural language sits
+    near slope -1; templated/synthetic text flattens toward 0, and a
+    source whose slope shifts release-over-release has changed character).
+
+    Plan shape: one token-level hash aggregate to (source, term, count) —
+    vocabulary-sized per source — then a per-source window rank (the sort
+    is within vocab-sized partitions, never corpus rows) and a tiny
+    regr_slope/regr_r2 aggregate. Ranking orders by (count DESC, term) so
+    ties are deterministic and both engines rank identically.
+    """
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    counts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_w"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_w"), F.asc("w"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.expr("regr_slope(ln(n_w), ln(rank))"), 6).alias(
+                "zipf_slope"
+            ),
+            F.round(F.expr("regr_r2(ln(n_w), ln(rank))"), 6).alias("fit_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+def n3_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification query: per-source Zipf slope over the documents table."""
+    return zipf_slope_by_source(spread(load_table(spark, sf_dir, "documents")))
+
+
+ZIPF_SQL = """
+WITH counts AS (
+  SELECT source, w, count(*) AS n_w
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT source, n_w,
+         row_number() OVER (PARTITION BY source ORDER BY n_w DESC, w) AS rank
+  FROM counts
+)
+SELECT source, count(*) AS n_terms,
+       round(regr_slope(ln(n_w), ln(rank)), 6) AS zipf_slope,
+       round(regr_r2(ln(n_w), ln(rank)), 6) AS fit_r2
+FROM ranked GROUP BY source
+ORDER BY source
+"""

@@ -28,6 +28,7 @@ from hadoop_stuff_spark.operators import (
     dedup,
     importance,
     kmeans,
+    lm,
     logs,
     multimodal,
     pq,
@@ -543,6 +544,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "skew_key_profile": QuerySpec(profile.skew_key_profile, profile.SKEW_PROFILE_SQL),
     "cusum_daily_orders": QuerySpec(temporal.cusum_daily_orders, temporal.CUSUM_SQL),
+    "n3_bigram_lm_scores": QuerySpec(lm.n3_bigram_lm_scores, lm.BIGRAM_LM_SQL),
+    "n3_char_entropy": QuerySpec(textstats.n3_char_entropy, textstats.CHAR_ENTROPY_SQL),
+    "n3_zipf_slope": QuerySpec(textstats.n3_zipf_slope, textstats.ZIPF_SQL),
+    "n3_quality_calibration": QuerySpec(
+        scoring.n3_quality_calibration, scoring.QUALITY_CALIBRATION_SQL
+    ),
 }
 
 assert all(
