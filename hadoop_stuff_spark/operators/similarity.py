@@ -625,3 +625,100 @@ FROM fused
 ORDER BY rrf DESC, doc_id
 LIMIT 10
 """
+
+
+def retrieval_mrr(
+    emb: DataFrame, n_queries: int = 20, k: int = 10
+) -> DataFrame:
+    """Retrieval-quality evaluation over the embedding corpus: each of the
+    first ``n_queries`` vectors queries the rest by exact cosine, with
+    same-``label`` vectors as the relevance judgments. Reports, per query,
+    the rank of the first relevant hit, its reciprocal rank (the MRR
+    numerator), and recall hits in the top ``k`` — the eval loop an
+    embedding/retrieval pipeline runs after every index or model change.
+
+    Determinism: similarity is rounded to 6 dp BEFORE ranking and ties
+    break on vec_id, so both engines rank identically (the same contract
+    as topk_cosine_bruteforce). Queries with no other same-label vector
+    surface with NULL rank rather than silently dropping.
+
+    Scale shape: the query set is a broadcast (n_queries rows); the
+    corpus is scanned once, norms computed once per vector; only
+    (query_id, rank stats) rows leave the per-query aggregation.
+    """
+    queries = broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qvec"),
+            l2_norm("embedding").alias("qnrm"),
+        )
+    )
+    corpus = spread(emb).select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    scored = (
+        corpus.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                dot("qvec", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    rel = F.col("label") == F.col("qlabel")
+    return (
+        ranked.groupBy("query_id", "qlabel")
+        .agg(
+            F.min(F.when(rel, F.col("rk"))).alias("first_rel_rank"),
+            F.sum(F.when(rel & (F.col("rk") <= k), 1).otherwise(0)).alias(
+                f"rel_in_top{k}"
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "first_rel_rank",
+            F.round(F.lit(1.0) / F.col("first_rel_rank"), 6).alias(
+                "reciprocal_rank"
+            ),
+            f"rel_in_top{k}",
+        )
+        .orderBy("query_id")
+    )
+
+
+def n2_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification query: label-relevance MRR eval for the first 20
+    query vectors."""
+    return retrieval_mrr(load_table(spark, sf_dir, "embeddings"))
+
+
+RETRIEVAL_MRR_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 20
+), ranked AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) DESC,
+                    e.vec_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, qlabel AS label,
+       min(CASE WHEN label = qlabel THEN rk END) AS first_rel_rank,
+       round(1.0e0 / min(CASE WHEN label = qlabel THEN rk END), 6) AS reciprocal_rank,
+       CAST(sum(CASE WHEN label = qlabel AND rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_top10
+FROM ranked
+GROUP BY query_id, qlabel
+ORDER BY query_id
+"""

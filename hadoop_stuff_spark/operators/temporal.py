@@ -881,3 +881,56 @@ FROM ranked
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def rolling_median_event_values(
+    spark: SparkSession, sf_dir: str, window_rows: int = 5
+) -> DataFrame:
+    """Exact rolling median of the event ``value`` over each user's last
+    ``window_rows`` events — the robust-smoothing counterpart to the EMA
+    (a median window rejects single-event spikes that any linear filter
+    lets through; it's the despiking pass a telemetry/cleaning pipeline
+    runs before thresholding).
+
+    Exactness across engines: the frame is ROWS-based over a TOTAL order
+    (ts, event_id), the frame's values are sorted in-row, and the median
+    is element arithmetic — (lo + hi) / 2 with lo = hi on odd frames —
+    so both engines compute the identical doubles (no interpolating
+    median() builtin, whose internal arithmetic is not contractual).
+
+    Scale shape: one shuffle on user_id, per-user ordered frames of at
+    most ``window_rows`` values — window state is O(window_rows), the
+    same plan at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, F.floor(n / 2).cast("int") + 1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round((lo + hi) / F.lit(2.0), 6).alias("rolling_median5"),
+    )
+
+
+ROLLING_MEDIAN_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS ls
+  FROM events
+)
+SELECT event_id, user_id, value,
+       round((ls[CAST(floor((len(ls) + 1) / 2) AS INT)]
+              + ls[CAST(floor(len(ls) / 2) AS INT) + 1]) / 2.0e0, 6)
+         AS rolling_median5
+FROM w
+"""

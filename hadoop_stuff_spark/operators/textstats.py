@@ -776,3 +776,59 @@ SELECT source, count(*) AS n_terms,
 FROM ranked GROUP BY source
 ORDER BY source
 """
+
+
+def bpe_merge_candidates(docs: DataFrame, k: int = 50) -> DataFrame:
+    """First iteration of BPE tokenizer training: the top-k adjacent
+    character pairs by corpus frequency (the pair a BPE trainer would
+    merge first), ties broken by pair.
+
+    Plan shape is the one that matters at 100 TB: the corpus scan
+    reduces IMMEDIATELY to (word, count) — a hash aggregate whose state
+    is vocabulary-sized — and the character-pair explode runs over the
+    DISTINCT vocabulary only, weighted by word count. A naive per-token
+    explode would shuffle every character position of the corpus;
+    this shuffles ~|vocab| × avg_word_len rows regardless of corpus
+    size. Pairs are substr(word, i, 2) — no char-array split, one
+    expression on both engines.
+    """
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "n",
+        F.explode(
+            F.expr("transform(sequence(1, length(word)-1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def n3_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification query: top-50 BPE merge candidates over documents."""
+    return bpe_merge_candidates(spread(load_table(spark, sf_dir, "documents")))
+
+
+BPE_MERGE_SQL = """
+WITH words AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+  HAVING length(word) >= 2
+), pairs AS (
+  SELECT n, substr(word, i, 2) AS pair
+  FROM (SELECT word, n, unnest(generate_series(1, length(word) - 1)) AS i FROM words)
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 50
+"""

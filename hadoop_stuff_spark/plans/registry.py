@@ -550,6 +550,15 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n3_quality_calibration": QuerySpec(
         scoring.n3_quality_calibration, scoring.QUALITY_CALIBRATION_SQL
     ),
+    "n3_bpe_merge_candidates": QuerySpec(
+        textstats.n3_bpe_merge_candidates, textstats.BPE_MERGE_SQL
+    ),
+    "n2_retrieval_mrr": QuerySpec(
+        similarity.n2_retrieval_mrr, similarity.RETRIEVAL_MRR_SQL
+    ),
+    "rolling_median_event_values": QuerySpec(
+        temporal.rolling_median_event_values, temporal.ROLLING_MEDIAN_SQL
+    ),
 }
 
 assert all(
