@@ -372,3 +372,87 @@ FROM corners GROUP BY part
 ORDER BY n_triangles DESC, part
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# canonical-document selection: quality-argmax per near-dup cluster
+
+
+def canonicalize_clusters(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "model_score",
+) -> DataFrame:
+    """Pick the best-scoring member of each near-dup cluster — the
+    "which copy do we keep" decision a dedup pipeline makes after
+    clustering. `dedup_clusters`' min-id canonical is an arbitrary
+    tiebreak; a real pipeline keeps the HIGHEST-QUALITY copy (the others
+    are dropped), so the canonical must be score-argmax, deterministic
+    under ties (id ascending).
+
+    ``members`` is `dedup_clusters` output (id, cluster_id, cluster_size);
+    ``scores`` carries (id, score). Returns one row per cluster:
+    (cluster_id, canonical doc, its score, cluster_size, n_dropped).
+
+    Scale shape: clusters are vanishingly small next to the corpus, so
+    the score join is keyed on the member ids only (never a corpus-wide
+    shuffle of text), and the argmax window partitions by cluster_id —
+    per-partition state is one row, sort length is the cluster size.
+    """
+    from pyspark.sql import Window
+
+    joined = members.join(scores.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("canonical_doc"),
+            F.col(score_col).alias("canonical_score"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def n1_cluster_canonicalize(spark, sf_dir: str) -> DataFrame:
+    """Certification: cluster the exact n-gram Jaccard pairs, score every
+    document with the oracle-certified quality model, and keep the
+    score-argmax copy per cluster."""
+    from hadoop_stuff_spark.catalog import load_table, spread
+    from hadoop_stuff_spark.operators.dedup import ngram_jaccard_pairs
+    from hadoop_stuff_spark.operators.scoring import score_quality
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    members = dedup_clusters(ngram_jaccard_pairs(spark, sf_dir))
+    scores = score_quality(docs).select("doc_id", "model_score")
+    return canonicalize_clusters(members, scores)
+
+
+def _canonicalize_sql() -> str:
+    from hadoop_stuff_spark.operators.scoring import MODEL_SCORES_SQL
+
+    return f"""
+WITH clus AS ({CLUSTERS_SQL}),
+scores AS ({MODEL_SCORES_SQL}),
+m AS (
+  SELECT c.cluster_id, c.doc_id, c.cluster_size, s.model_score,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY s.model_score DESC, c.doc_id
+         ) AS rk
+  FROM clus c JOIN scores s USING (doc_id)
+)
+SELECT cluster_id, doc_id AS canonical_doc, model_score AS canonical_score,
+       cluster_size, cluster_size - 1 AS n_dropped
+FROM m WHERE rk = 1
+ORDER BY cluster_id
+"""
+
+
+CANONICALIZE_SQL = _canonicalize_sql()

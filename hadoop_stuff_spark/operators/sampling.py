@@ -334,3 +334,78 @@ GROUP BY f.source
 
 
 CORPUS_MIX_SQL = _mix_sql()
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis, deterministic)
+
+
+def weighted_sample_topk(
+    df: DataFrame, key_col: str, weight_col: str, k: int, salt: str = "es1"
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: k rows chosen
+    with probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis A-ES scheme (each row draws u in (0,1], rank by
+    u^(1/w), keep the top k). Used where plain `deterministic_sample`
+    is wrong because rows are not equally important: sampling documents
+    proportional to length for token-budgeted eval sets, hosts by
+    traffic, users by activity.
+
+    Determinism: u is the row's md5 prefix (same trick as every sampler
+    here — a pure function of the row, so reruns/backfills pick the
+    same set), u = (hexval + 1) / 16^6 in (0, 1]. The rank key is
+    ln(u)/w — the monotone log form of u^(1/w), one libm call instead
+    of pow — rounded to 8 dp before ranking with key-column tiebreak,
+    so both engines rank identically (ln differs by <=1 ulp across
+    libms, ~1e-19 here; the 8 dp round erases it). Rows with
+    non-positive or NULL weight are excluded (they have zero sampling
+    mass; ln(u)/w would flip sign).
+
+    Scale shape: one scan, map-only key computation, then
+    ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k heaps, k rows to the driver-side reduce),
+    never a global sort.
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    u = (_hex_prefix_val(h, _HEX_DIGITS).cast("double") + 1.0) / float(
+        16**_HEX_DIGITS
+    )
+    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 8)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", es)
+        .orderBy(F.desc("es_key"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def n3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: 100 documents sampled proportional to length
+    (n_chars) — the token-budgeted eval-set draw."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return weighted_sample_topk(docs, "doc_id", "n_chars", 100).select(
+        "doc_id", "n_chars", "es_key"
+    )
+
+
+def _weighted_sample_sql() -> str:
+    hexv = "0"
+    for i in range(1, _HEX_DIGITS + 1):
+        hexv = (
+            f"({hexv}) * 16 + (strpos('0123456789abcdef',"
+            f" substr(md5('es1:' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    return f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         round(ln((CAST({hexv} AS DOUBLE) + 1.0) / {float(16**_HEX_DIGITS)})
+               / CAST(n_chars AS DOUBLE), 8) AS es_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, es_key
+FROM h ORDER BY es_key DESC, doc_id LIMIT 100
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()

@@ -722,3 +722,65 @@ FROM ranked
 GROUP BY query_id, qlabel
 ORDER BY query_id
 """
+
+
+def embedding_dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension distribution profile of the embedding corpus — mean,
+    sample variance, min, max per coordinate. The diagnostic an embedding
+    pipeline runs after every model/index change: dead dimensions
+    (variance ~0), mean-offset anisotropy (|mean| >> 0 — the "common
+    direction" that inflates all cosines), and range blow-ups all show up
+    here before they poison retrieval.
+
+    Scale shape: posexplode fans each vector into dim rows, but partial
+    (map-side) aggregation folds them to one row PER DIMENSION PER
+    PARTITION before the exchange — the shuffle carries O(dims x
+    partitions) rows no matter how many vectors are scanned. Variance is
+    explicit sum/sumsq algebra (not stddev builtins, whose internal
+    update order is not contractual across engines), rounded to 6 dp.
+    """
+    e = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    v = F.col("x").cast("double")
+    agg = (
+        e.groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_ss"),
+            F.min(v).alias("min_x"),
+            F.max(v).alias("max_x"),
+        )
+    )
+    n = F.col("n")
+    return agg.select(
+        "dim",
+        "n",
+        F.round(F.col("_s") / n, 6).alias("mean_x"),
+        F.round(
+            (F.col("_ss") - F.col("_s") * F.col("_s") / n) / (n - 1), 6
+        ).alias("var_x"),
+        F.round("min_x", 6).alias("min_x"),
+        F.round("max_x", 6).alias("max_x"),
+    ).orderBy("dim")
+
+
+def n2_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification query: per-dimension profile of the embeddings table."""
+    return embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH e AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim, embedding
+  FROM embeddings
+), x AS (
+  SELECT dim, CAST(embedding[dim] AS DOUBLE) AS v FROM e
+)
+SELECT dim, count(*) AS n,
+       round(sum(v) / count(*), 6) AS mean_x,
+       round((sum(v * v) - sum(v) * sum(v) / count(*)) / (count(*) - 1), 6)
+         AS var_x,
+       round(min(v), 6) AS min_x,
+       round(max(v), 6) AS max_x
+FROM x GROUP BY dim ORDER BY dim
+"""

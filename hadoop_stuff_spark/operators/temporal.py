@@ -934,3 +934,85 @@ SELECT event_id, user_id, value,
          AS rolling_median5
 FROM w
 """
+
+
+def dow_seasonal_outliers(
+    spark: SparkSession, sf_dir: str, top: int = 20
+) -> DataFrame:
+    """Day-of-week seasonal anomaly detection over event volume: each
+    day's total value is z-scored against the mean/std of ITS OWN
+    weekday (Mondays vs Mondays), and the ``top`` most anomalous days
+    surface. A plain global z-score flags every weekend of a weekly-
+    periodic series; removing the weekday baseline first is the standard
+    seasonal-naive residual, and the shape generalizes to any periodic
+    key (hour-of-day, day-of-month).
+
+    Cross-engine exactness: daily totals reduce the corpus to
+    days-sized data; the weekday baseline is explicit sum/sumsq algebra
+    (sqrt IS exactly rounded under IEEE-754, unlike stddev builtins'
+    update order), z is rounded to 6 dp BEFORE the |z| ranking, ties
+    break on day. Weekdays observed on fewer than 2 days carry no std
+    and are excluded (inner join) rather than dividing by zero.
+
+    Scale shape: one shuffle to daily totals (map-side partial agg —
+    the exchange carries O(days x partitions) rows), then a 7-row
+    broadcast join; the top-k is TakeOrderedAndProject, never a global
+    sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("day_total"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    n = F.col("n_days")
+    base = (
+        daily.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("day_total").alias("_s"),
+            F.sum(F.col("day_total") * F.col("day_total")).alias("_ss"),
+        )
+        .filter(n >= 2)
+        .select(
+            "dow",
+            "n_days",
+            (F.col("_s") / n).alias("dow_mean"),
+            F.sqrt(
+                (F.col("_ss") - F.col("_s") * F.col("_s") / n) / (n - 1)
+            ).alias("dow_std"),
+        )
+    )
+    scored = daily.join(F.broadcast(base), "dow").select(
+        "day",
+        "dow",
+        F.round("day_total", 6).alias("day_total"),
+        F.round("dow_mean", 6).alias("dow_mean"),
+        F.round(
+            (F.col("day_total") - F.col("dow_mean")) / F.col("dow_std"), 6
+        ).alias("z"),
+    )
+    return scored.orderBy(F.abs(F.col("z")).desc(), F.asc("day")).limit(top)
+
+
+DOW_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, sum(value) AS day_total
+  FROM events GROUP BY 1
+), d AS (
+  SELECT day, dayofweek(day) + 1 AS dow, day_total FROM daily
+), base AS (
+  SELECT dow, count(*) AS n_days,
+         sum(day_total) / count(*) AS dow_mean,
+         sqrt((sum(day_total * day_total)
+               - sum(day_total) * sum(day_total) / count(*))
+              / (count(*) - 1)) AS dow_std
+  FROM d GROUP BY dow HAVING count(*) >= 2
+)
+SELECT day, d.dow, round(day_total, 6) AS day_total,
+       round(dow_mean, 6) AS dow_mean,
+       round((day_total - dow_mean) / dow_std, 6) AS z
+FROM d JOIN base ON d.dow = base.dow
+ORDER BY abs(round((day_total - dow_mean) / dow_std, 6)) DESC, day
+LIMIT 20
+"""

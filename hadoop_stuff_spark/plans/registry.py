@@ -559,6 +559,18 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "rolling_median_event_values": QuerySpec(
         temporal.rolling_median_event_values, temporal.ROLLING_MEDIAN_SQL
     ),
+    "n2_embedding_dim_stats": QuerySpec(
+        similarity.n2_embedding_dim_stats, similarity.EMBEDDING_DIM_STATS_SQL
+    ),
+    "n1_cluster_canonicalize": QuerySpec(
+        clusters.n1_cluster_canonicalize, clusters.CANONICALIZE_SQL
+    ),
+    "dow_seasonal_outliers": QuerySpec(
+        temporal.dow_seasonal_outliers, temporal.DOW_SEASONAL_SQL
+    ),
+    "n3_weighted_sample": QuerySpec(
+        sampling.n3_weighted_sample, sampling.WEIGHTED_SAMPLE_SQL
+    ),
 }
 
 assert all(
