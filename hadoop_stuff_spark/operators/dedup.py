@@ -86,6 +86,24 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(col, n))
 
 
+def _shingle_index(docs, n: int, max_doc_freq: int | None):
+    """(doc_id, shingle) inverted-index relation with the hot-shingle
+    guard applied: shingles whose document frequency exceeds
+    ``max_doc_freq`` are broadcast-anti-joined out BEFORE any self-join
+    (the df-cut that keeps docs-per-shingle — and so candidate pairs —
+    bounded; see ngram_jaccard_pairs for the semantics)."""
+    sh = docs.select("doc_id", F.explode(shingles("text", n)).alias("shingle"))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -112,17 +130,7 @@ def ngram_jaccard_pairs(
     ``max_doc_freq=None`` disables the guard (exact verifier on
     pre-filtered candidate sets)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.explode(shingles("text", n)).alias("shingle")
-    )
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _shingle_index(docs, n, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -173,6 +181,91 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+"""
+
+
+def ngram_containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC containment near-duplicates: pairs where the smaller
+    document's shingle set is (mostly) inside the larger's —
+    max(|A∩B|/|A|, |A∩B|/|B|) >= threshold. This is the case Jaccard
+    structurally misses: a paragraph quoted whole inside a 100x longer
+    document has containment ~1.0 but Jaccard ~0.01, so a
+    Jaccard-thresholded dedup keeps both copies. Containment is the
+    standard companion metric (quote/boilerplate/subset detection).
+
+    Same inverted-index + hot-shingle-guard machinery as
+    :func:`ngram_jaccard_pairs` (the df-cut applies to intersection and
+    sizes consistently, so values are true containment of the filtered
+    shingle sets); only the score changes. Output per pair: the shared
+    count, both containments, and the max that was thresholded.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_index(docs, n, max_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("size_b"), 6).alias("containment_b"),
+        )
+        .withColumn(
+            "containment", F.greatest("containment_a", "containment_b")
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+NGRAM_CONTAINMENT_SQL = """
+WITH sh_all AS (
+  SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS sh_list
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+), sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 1000)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common * 1.0 / sa.n_sh, 6) AS containment_a,
+       round(n_common * 1.0 / sb.n_sh, 6) AS containment_b,
+       greatest(round(n_common * 1.0 / sa.n_sh, 6),
+                round(n_common * 1.0 / sb.n_sh, 6)) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(round(n_common * 1.0 / sa.n_sh, 6),
+               round(n_common * 1.0 / sb.n_sh, 6)) >= 0.7
 """
 
 # ---------------------------------------------------------------------------

@@ -165,3 +165,52 @@ WITH rows_checks AS (
 SELECT * FROM rows_checks UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM fk
 ORDER BY rule
 """
+
+
+# ---------------------------------------------------------------------------
+# privacy: k-anonymity audit
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: the
+    distribution of equivalence-class sizes (rows sharing identical
+    quasi-identifier values). A dataset is k-anonymous iff its smallest
+    class has size >= k; rows in small classes are the re-identifiable
+    ones a privacy review must find BEFORE a corpus ships. Output:
+    (k, n_classes, n_rows) ascending in k — the head of this frame IS
+    the risk report (k=1 rows are unique on the quasi-identifiers).
+
+    Scale shape: one hash aggregate on the quasi-identifier tuple
+    (map-side partial), then a second aggregate over class sizes whose
+    input is already classes-sized. NULL quasi-values group as their own
+    class (groupBy null-safe semantics on both engines), which is the
+    conservative read — NULL patterns can re-identify too.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("k"))
+    return (
+        classes.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "k",
+            "n_classes",
+            (F.col("k") * F.col("n_classes")).alias("n_rows"),
+        )
+        .orderBy("k")
+    )
+
+
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: class-size distribution of customers under the
+    (nation, market segment) quasi-identifier pair."""
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"])
+
+
+K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS k
+  FROM customer GROUP BY 1, 2
+)
+SELECT k, count(*) AS n_classes, CAST(k * count(*) AS BIGINT) AS n_rows
+FROM classes GROUP BY k ORDER BY k
+"""

@@ -832,3 +832,74 @@ FROM pairs GROUP BY pair
 ORDER BY n_occurrences DESC, pair
 LIMIT 50
 """
+
+
+def skipgram_cooccurrence(
+    docs: DataFrame, window: int = 2, k: int = 100
+) -> DataFrame:
+    """Skip-gram (word, context) co-occurrence counts — the training-pair
+    extraction word2vec/GloVe-style embedding pipelines run over a
+    corpus: every ordered token pair at distance 1..``window`` within a
+    document, top-``k`` by corpus count (ties: word, then context).
+
+    Plan shape: the pair list is built INSIDE one Catalyst expression
+    (nested transform over the token index sequence, flattened) — a
+    single scan + explode, no positional self-join (joining the exploded
+    (doc, pos, token) relation to itself on |pos_a - pos_b| <= window is
+    the naive shape; it shuffles every token position TWICE and the
+    range predicate defeats the equi-join). Partial aggregation folds
+    pairs per partition, so the exchange carries distinct-pair rows,
+    not token positions.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    i_seq = F.sequence(F.lit(1), n - 1)
+    pair_list = F.flatten(
+        F.transform(
+            i_seq,
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + F.lit(window), n)),
+                lambda j: F.struct(
+                    F.element_at(toks, i).alias("w"),
+                    F.element_at(toks, j).alias("c"),
+                ),
+            ),
+        )
+    )
+    pairs = docs.select(
+        F.explode(
+            F.when(n >= 2, pair_list).otherwise(
+                F.expr("CAST(array() AS ARRAY<STRUCT<w: STRING, c: STRING>>)")
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.w", "p.c")
+        .groupBy("w", "c")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("w"), F.asc("c"))
+        .limit(k)
+    )
+
+
+def n3_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: top-100 window-2 skip-gram pairs over documents."""
+    return skipgram_cooccurrence(spread(load_table(spark, sf_dir, "documents")))
+
+
+SKIPGRAM_SQL = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT toks[i] AS w, toks[i + d] AS c
+  FROM (SELECT toks, i, unnest(generate_series(1, 2)) AS d FROM pos)
+  WHERE i + d <= len(toks)
+)
+SELECT w, c, count(*) AS n_pairs
+FROM pairs GROUP BY w, c
+ORDER BY n_pairs DESC, w, c
+LIMIT 100
+"""

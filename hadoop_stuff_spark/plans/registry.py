@@ -571,6 +571,15 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n3_weighted_sample": QuerySpec(
         sampling.n3_weighted_sample, sampling.WEIGHTED_SAMPLE_SQL
     ),
+    "n1_containment_pairs": QuerySpec(
+        dedup.ngram_containment_pairs, dedup.NGRAM_CONTAINMENT_SQL
+    ),
+    "n3_skipgram_cooccurrence": QuerySpec(
+        textstats.n3_skipgram_cooccurrence, textstats.SKIPGRAM_SQL
+    ),
+    "k_anonymity_customers": QuerySpec(
+        quality.k_anonymity_customers, quality.K_ANONYMITY_SQL
+    ),
 }
 
 assert all(
