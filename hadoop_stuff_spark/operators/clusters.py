@@ -395,6 +395,13 @@ def canonicalize_clusters(
     ``scores`` carries (id, score). Returns one row per cluster:
     (cluster_id, canonical doc, its score, cluster_size, n_dropped).
 
+    Members missing from ``scores`` are NOT silently dropped (an inner
+    join would delete whole clusters when scoring ran on a filtered
+    subset — and a downstream "drop non-canonical copies" step would
+    then delete every copy): the join is LEFT, unscored members order
+    after all scored ones (NULLS LAST), and a cluster whose members are
+    all unscored still emits its lowest-id member with a NULL score.
+
     Scale shape: clusters are vanishingly small next to the corpus, so
     the score join is keyed on the member ids only (never a corpus-wide
     shuffle of text), and the argmax window partitions by cluster_id —
@@ -402,9 +409,9 @@ def canonicalize_clusters(
     """
     from pyspark.sql import Window
 
-    joined = members.join(scores.select(id_col, score_col), id_col)
+    joined = members.join(scores.select(id_col, score_col), id_col, "left")
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.col(score_col).desc_nulls_last(), F.asc(id_col)
     )
     return (
         joined.withColumn("_rk", F.row_number().over(w))
@@ -444,9 +451,9 @@ m AS (
   SELECT c.cluster_id, c.doc_id, c.cluster_size, s.model_score,
          row_number() OVER (
            PARTITION BY c.cluster_id
-           ORDER BY s.model_score DESC, c.doc_id
+           ORDER BY s.model_score DESC NULLS LAST, c.doc_id
          ) AS rk
-  FROM clus c JOIN scores s USING (doc_id)
+  FROM clus c LEFT JOIN scores s USING (doc_id)
 )
 SELECT cluster_id, doc_id AS canonical_doc, model_score AS canonical_score,
        cluster_size, cluster_size - 1 AS n_dropped

@@ -131,19 +131,8 @@ def ngram_jaccard_pairs(
     pre-filtered candidate sets)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = _shingle_index(docs, n, max_doc_freq)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
     out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_counts(sh)
         .withColumn(
             "jaccard",
             F.round(
@@ -156,7 +145,34 @@ def ngram_jaccard_pairs(
     return out
 
 
-NGRAM_JACCARD_SQL = """
+def _pair_counts(sh) -> DataFrame:
+    """Shared candidate-pair machinery of the exact shingle-set dedup
+    metrics (Jaccard, containment): per-doc filtered-set sizes + the
+    inverted-index self-join counting shared shingles per (doc_a <
+    doc_b) pair. Returns (doc_a, doc_b, n_common, size_a, size_b);
+    the caller applies its score. One place owns the join, so the
+    shingle width / df-cut / pair semantics cannot drift between
+    metrics."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+# shared CTE block of the exact shingle-set metrics — the SQL mirror of
+# _shingle_index + _pair_counts (shingle width, df-cut 1000, pair join all
+# live HERE, once, for both metrics' oracles)
+_SHINGLE_PAIRS_CTE = """
 WITH sh_all AS (
   SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
   FROM (
@@ -175,13 +191,22 @@ WITH sh_all AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+# NOTE: the WHERE thresholds the ROUNDED value — the engine filters on
+# round(jaccard, 6) >= threshold, so the oracle must too, or a boundary
+# pair (raw in [0.3999995, 0.4)) passes one engine and not the other.
+NGRAM_JACCARD_SQL = (
+    _SHINGLE_PAIRS_CTE
+    + """
 SELECT doc_a, doc_b, n_common,
        round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.4
 """
+)
 
 
 def ngram_containment_pairs(
@@ -207,22 +232,8 @@ def ngram_containment_pairs(
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = _shingle_index(docs, n, max_doc_freq)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_counts(sh)
         .select(
             "doc_a",
             "doc_b",
@@ -237,25 +248,9 @@ def ngram_containment_pairs(
     )
 
 
-NGRAM_CONTAINMENT_SQL = """
-WITH sh_all AS (
-  SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
-  FROM (
-    SELECT doc_id,
-           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                          i -> array_to_string(toks[i:i+2], ' ')) AS sh_list
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-  )
-), sh AS (
-  SELECT doc_id, shingle FROM sh_all
-  WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 1000)
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+NGRAM_CONTAINMENT_SQL = (
+    _SHINGLE_PAIRS_CTE
+    + """
 SELECT doc_a, doc_b, n_common,
        round(n_common * 1.0 / sa.n_sh, 6) AS containment_a,
        round(n_common * 1.0 / sb.n_sh, 6) AS containment_b,
@@ -267,6 +262,7 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE greatest(round(n_common * 1.0 / sa.n_sh, 6),
                round(n_common * 1.0 / sb.n_sh, 6)) >= 0.7
 """
+)
 
 # ---------------------------------------------------------------------------
 # character edit-distance near-dup

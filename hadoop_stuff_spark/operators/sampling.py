@@ -355,11 +355,16 @@ def weighted_sample_topk(
     here — a pure function of the row, so reruns/backfills pick the
     same set), u = (hexval + 1) / 16^6 in (0, 1]. The rank key is
     ln(u)/w — the monotone log form of u^(1/w), one libm call instead
-    of pow — rounded to 8 dp before ranking with key-column tiebreak,
-    so both engines rank identically (ln differs by <=1 ulp across
-    libms, ~1e-19 here; the 8 dp round erases it). Rows with
-    non-positive or NULL weight are excluded (they have zero sampling
-    mass; ln(u)/w would flip sign).
+    of pow. Cross-engine determinism: ln(u) (an O(1)-magnitude value)
+    is rounded to 8 dp BEFORE the division — ln differs by <=1 ulp
+    across libms and the round erases that, while IEEE division of the
+    now-identical operands is exactly rounded, so both engines hold
+    bit-identical keys at FULL resolution. (Rounding the quotient
+    instead would collapse key resolution for large weights —
+    ln(u)/1e8 spans ~1e-8, so an 8 dp round left ~10 distinct keys and
+    the id tiebreak, not the weights, picked the sample.) Ties break
+    on the key column. Rows with non-positive or NULL weight are
+    excluded (they have zero sampling mass; ln(u)/w would flip sign).
 
     Scale shape: one scan, map-only key computation, then
     ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject
@@ -370,7 +375,7 @@ def weighted_sample_topk(
     u = (_hex_prefix_val(h, _HEX_DIGITS).cast("double") + 1.0) / float(
         16**_HEX_DIGITS
     )
-    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 8)
+    es = F.round(F.log(u), 8) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("es_key", es)
@@ -398,8 +403,8 @@ def _weighted_sample_sql() -> str:
     return f"""
 WITH h AS (
   SELECT doc_id, n_chars,
-         round(ln((CAST({hexv} AS DOUBLE) + 1.0) / {float(16**_HEX_DIGITS)})
-               / CAST(n_chars AS DOUBLE), 8) AS es_key
+         round(ln((CAST({hexv} AS DOUBLE) + 1.0) / {float(16**_HEX_DIGITS)}), 8)
+           / CAST(n_chars AS DOUBLE) AS es_key
   FROM documents
   WHERE n_chars > 0
 )

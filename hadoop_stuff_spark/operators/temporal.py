@@ -901,6 +901,10 @@ def rolling_median_event_values(
     Scale shape: one shuffle on user_id, per-user ordered frames of at
     most ``window_rows`` values — window state is O(window_rows), the
     same plan at any corpus size.
+
+    The output column is named for the actual frame
+    (``rolling_median{window_rows}``); ROLLING_MEDIAN_SQL is the oracle
+    for the DEFAULT window_rows=5 only.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -916,7 +920,9 @@ def rolling_median_event_values(
         "event_id",
         "user_id",
         "value",
-        F.round((lo + hi) / F.lit(2.0), 6).alias("rolling_median5"),
+        F.round((lo + hi) / F.lit(2.0), 6).alias(
+            f"rolling_median{window_rows}"
+        ),
     )
 
 
@@ -951,8 +957,11 @@ def dow_seasonal_outliers(
     days-sized data; the weekday baseline is explicit sum/sumsq algebra
     (sqrt IS exactly rounded under IEEE-754, unlike stddev builtins'
     update order), z is rounded to 6 dp BEFORE the |z| ranking, ties
-    break on day. Weekdays observed on fewer than 2 days carry no std
-    and are excluded (inner join) rather than dividing by zero.
+    break on day. Weekdays with no usable baseline are excluded (inner
+    join) rather than dividing by zero: fewer than 2 observed days, OR
+    zero variance (identical totals every week — the division would
+    raise under ANSI mode, and a constant series has no outliers to
+    score anyway).
 
     Scale shape: one shuffle to daily totals (map-side partial agg —
     the exchange carries O(days x partitions) rows), then a 7-row
@@ -982,6 +991,7 @@ def dow_seasonal_outliers(
                 (F.col("_ss") - F.col("_s") * F.col("_s") / n) / (n - 1)
             ).alias("dow_std"),
         )
+        .filter(F.col("dow_std") > 0)
     )
     scored = daily.join(F.broadcast(base), "dow").select(
         "day",
@@ -1008,11 +1018,13 @@ WITH daily AS (
                - sum(day_total) * sum(day_total) / count(*))
               / (count(*) - 1)) AS dow_std
   FROM d GROUP BY dow HAVING count(*) >= 2
+), base_ok AS (
+  SELECT * FROM base WHERE dow_std > 0
 )
 SELECT day, d.dow, round(day_total, 6) AS day_total,
        round(dow_mean, 6) AS dow_mean,
        round((day_total - dow_mean) / dow_std, 6) AS z
-FROM d JOIN base ON d.dow = base.dow
+FROM d JOIN base_ok base ON d.dow = base.dow
 ORDER BY abs(round((day_total - dow_mean) / dow_std, 6)) DESC, day
 LIMIT 20
 """

@@ -120,9 +120,11 @@ def test_dow_seasonal_outliers_flags_the_off_baseline_days(spark, tmp_path):
 
 
 def _es_key(doc_id, weight, salt="es1"):
+    # ln(u) rounded BEFORE the division (full key resolution at any
+    # weight scale; see weighted_sample_topk docstring)
     v = int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:6], 16)
     u = (v + 1.0) / 16**6
-    return round(math.log(u) / weight, 8)
+    return round(math.log(u), 8) / weight
 
 
 def test_weighted_sample_equal_weights_matches_reference_order(spark):
@@ -152,3 +154,66 @@ def test_weighted_sample_heavy_weight_dominates_and_bad_weights_drop(spark):
     assert top["doc_id"] == 2
     all_rows = weighted_sample_topk(df, "doc_id", "w", 10).collect()
     assert {r["doc_id"] for r in all_rows} == {0, 1, 2}
+
+
+def test_weighted_sample_keys_keep_resolution_at_large_weights(spark):
+    """Code-review regression: rounding the QUOTIENT to 8 dp collapsed
+    1000 weight-1e8 rows to ~10 distinct keys (the id tiebreak, not the
+    weights, then picked the sample). Rounding ln(u) before the division
+    keeps full resolution: keys must be (near-)unique and the pick must
+    match the python A-ES reference, not the low-id prefix."""
+    df = spark.createDataFrame(
+        [(i, 10**8) for i in range(1000)], ["doc_id", "w"]
+    )
+    rows = weighted_sample_topk(df, "doc_id", "w", 1000).collect()
+    keys = [r["es_key"] for r in rows]
+    assert len(set(keys)) >= 990
+    top10 = [r["doc_id"] for r in rows[:10]]
+    expect = sorted(
+        ((i, _es_key(i, 10**8)) for i in range(1000)),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert top10 == [i for i, _ in expect]
+    assert top10 != list(range(10))
+
+
+def test_dow_outliers_zero_variance_weekday_excluded_not_crash(spark, tmp_path):
+    """Code-review regression: a weekday whose totals are identical
+    every week has dow_std = 0 — under ANSI mode the z division raised
+    DIVIDE_BY_ZERO. Such weekdays are now excluded like the <2-day
+    ones."""
+    sf = _events_fixture(
+        spark,
+        tmp_path,
+        [
+            ("2026-01-05", 10.0),  # two identical Mondays: std 0
+            ("2026-01-12", 10.0),
+            ("2026-01-06", 5.0),   # two normal Tuesdays
+            ("2026-01-13", 7.0),
+        ],
+    )
+    rows = dow_seasonal_outliers(spark, sf).collect()
+    days = [str(r["day"]) for r in rows]
+    assert "2026-01-05" not in days and "2026-01-12" not in days
+    assert sorted(days) == ["2026-01-06", "2026-01-13"]
+
+
+def test_canonicalize_unscored_members_rank_last_not_drop(spark):
+    """Code-review regression: the score join was INNER, so members
+    missing a score silently vanished — a cluster could pick a worse
+    copy or disappear entirely. Unscored members now rank after scored
+    ones; an all-unscored cluster emits its lowest id with NULL score."""
+    members = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2), (10, 10, 2), (11, 10, 2)],
+        ["doc_id", "cluster_id", "cluster_size"],
+    )
+    # doc 2 unscored; cluster 10 entirely unscored
+    scores = spark.createDataFrame([(1, 0.3)], ["doc_id", "model_score"])
+    out = {
+        r["cluster_id"]: r
+        for r in canonicalize_clusters(members, scores).collect()
+    }
+    assert out[1]["canonical_doc"] == 1  # scored beats unscored
+    assert out[1]["n_dropped"] == 1
+    assert out[10]["canonical_doc"] == 10  # lowest id of the unscored
+    assert out[10]["canonical_score"] is None
