@@ -814,3 +814,62 @@ HAVING count(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occurrences DESC, gram
 LIMIT 50
 """
+
+
+def source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source near-duplication matrix: the oracle-certified exact
+    Jaccard pairs, labeled with each document's source and aggregated to
+    (source_a <= source_b) cells — which sources copy from which. The
+    curation read: heavy off-diagonal cells mean two "independent"
+    sources share content (double-counting in the mixture weights);
+    a heavy diagonal means a source needs dedup before it's weighed.
+
+    Scale shape: the expensive part is the pair generation, already
+    bounded by the hot-shingle guard; labeling is two keyed joins of the
+    PAIRS (tiny relation) against (doc_id, source), and the matrix
+    aggregate is |sources|²-sized. Cells order sources lexically
+    (least/greatest) so the matrix is triangular regardless of which
+    side of a pair a document landed on.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = (
+    "WITH pairs AS ("
+    + NGRAM_JACCARD_SQL
+    + """
+), lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       round(avg(jaccard), 6) AS avg_jaccard
+FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)

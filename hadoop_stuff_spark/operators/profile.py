@@ -341,3 +341,91 @@ SELECT count(*) AS n_keys,
        round(max(n_rows) / (sum(n_rows) * 1.0 / count(*)), 4) AS skew_factor
 FROM per_key
 """
+
+
+def gini_doc_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source concentration profile of document lengths: Gini
+    coefficient and top-decile character share — the "does 1% of the
+    documents carry half the tokens" diagnostic that decides whether a
+    corpus needs length-capping or resampling before training (a
+    high-Gini source dominates the token budget with few, huge
+    documents).
+
+    Exactness: Gini uses the rank identity
+    G = (2·Σ(i·x_(i)) − (n+1)·Σx) / (n·Σx) over ascending ranks i —
+    numerator and denominator are INTEGER (bigint) on both engines, so
+    the single final division is of identical operands (IEEE-exact),
+    rounded to 6 dp. Ranks tie-break on doc_id; the top-decile cut
+    keeps ranks > floor(0.9·n), again integer-exact. Bigint overflow of
+    n·Σx is loud (ANSI on both engines), not silent — it needs
+    quintillion-scale char totals per source.
+
+    Scale shape: the rank window sorts WITHIN each source partition
+    (one hash-shuffle on source, never a global sort); everything after
+    is a per-source aggregate — output rows = |sources|.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n_src"),
+    )
+    n = F.col("n_docs")
+    total = F.col("total_chars")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("i") * F.col("n_chars")).alias("_iwx"),
+            F.sum(
+                F.when(
+                    F.col("i") > F.floor(F.lit(0.9) * F.col("n_src")),
+                    F.col("n_chars"),
+                ).otherwise(F.lit(0))
+            ).alias("_top_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(
+                (F.lit(2) * F.col("_iwx") - (n + 1) * total).cast("double")
+                / (n * total).cast("double"),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.col("_top_chars").cast("double") / total.cast("double"), 6
+            ).alias("top_decile_share"),
+        )
+        .orderBy("source")
+    )
+
+
+GINI_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id
+         ) AS i,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+), agg AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         sum(i * n_chars) AS iwx,
+         sum(CASE WHEN i > floor(0.9 * n_src) THEN n_chars ELSE 0 END)
+           AS top_chars
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       round(CAST(2 * iwx - (n_docs + 1) * total_chars AS DOUBLE)
+             / CAST(n_docs * total_chars AS DOUBLE), 6) AS gini,
+       round(CAST(top_chars AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+         AS top_decile_share
+FROM agg ORDER BY source
+"""

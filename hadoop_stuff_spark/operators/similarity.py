@@ -784,3 +784,76 @@ SELECT dim, count(*) AS n,
        round(max(v), 6) AS max_x
 FROM x GROUP BY dim ORDER BY dim
 """
+
+
+def cosine_pair_histogram(
+    emb: DataFrame, fraction: float = 0.2, salt: str = "cospairs"
+) -> DataFrame:
+    """Distribution of pairwise cosine similarities over a DETERMINISTIC
+    sample of the embedding corpus, bucketed into 20 fixed bins of width
+    0.1 over [-1, 1] — the embedding-space health check: a healthy space
+    piles mass near 0, representation collapse shows as mass near 1,
+    mean-offset anisotropy as a shifted mode (complement to
+    `embedding_dim_stats`, which sees per-dimension symptoms of the same
+    diseases).
+
+    The sample is the md5-keep predicate every sampler here uses (pure
+    function of vec_id: reruns and both engines pick the same vectors);
+    the all-pairs join runs over the SAMPLE only — the O(n²) is on
+    (fraction·n)², the documented exact-diagnostic shape, and fraction
+    is chosen so the sampled pair count stays control-plane-sized. Sims
+    are rounded to 6 dp BEFORE binning (same contract as every cosine
+    op); bin = floor((sim+1)/0.1) clamped to 19 so sim = 1.0 lands in
+    the top bin.
+    """
+    from hadoop_stuff_spark.operators.sampling import deterministic_keep
+
+    s = emb.filter(deterministic_keep("vec_id", fraction, salt)).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    sims = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.round(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        ).alias("sim")
+    )
+    binned = sims.select(
+        F.least(
+            F.floor((F.col("sim") + 1.0) / 0.1).cast("long"), F.lit(19).cast("long")
+        ).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.lit(-1.0) + F.col("bin") * 0.1, 1).alias("bin_lo"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )
+
+
+def n2_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: 20-bin cosine-pair histogram over a deterministic
+    20% sample of the embeddings."""
+    return cosine_pair_histogram(load_table(spark, sf_dir, "embeddings"))
+
+
+COSINE_PAIR_HISTOGRAM_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+  WHERE substring(md5('cospairs' || CAST(vec_id AS VARCHAR)), 1, 6) < '333333'
+), sims AS (
+  SELECT round(list_cosine_similarity(a.v, b.v), 6) AS sim
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+), binned AS (
+  SELECT least(CAST(floor((sim + 1.0) / 0.1) AS BIGINT), 19) AS bin FROM sims
+)
+SELECT bin, CAST(round(-1.0 + bin * 0.1, 1) AS DOUBLE) AS bin_lo,
+       count(*) AS n_pairs
+FROM binned GROUP BY bin ORDER BY bin
+"""

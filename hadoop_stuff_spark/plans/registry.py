@@ -580,6 +580,15 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "k_anonymity_customers": QuerySpec(
         quality.k_anonymity_customers, quality.K_ANONYMITY_SQL
     ),
+    "gini_doc_length_by_source": QuerySpec(
+        profile.gini_doc_length_by_source, profile.GINI_SQL
+    ),
+    "n1_source_overlap_matrix": QuerySpec(
+        dedup.source_overlap_matrix, dedup.SOURCE_OVERLAP_SQL
+    ),
+    "n2_cosine_pair_histogram": QuerySpec(
+        similarity.n2_cosine_pair_histogram, similarity.COSINE_PAIR_HISTOGRAM_SQL
+    ),
 }
 
 assert all(
