@@ -65,6 +65,11 @@ HEADLINE = [
     "n1_semantic_dedup_pairs",
     "n3_importance_resampling",
     "n2_hybrid_rrf_fusion",
+    # round-6 fourth-session wave: containment dedup / tokenizer training /
+    # concentration profiling (all EXTRA_QUERIES, oracle-backed)
+    "n1_containment_pairs",
+    "n3_skipgram_cooccurrence",
+    "gini_doc_length_by_source",
 ]
 
 
