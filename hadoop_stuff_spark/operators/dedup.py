@@ -834,9 +834,10 @@ def source_overlap_matrix(
     side of a pair a document landed on.
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir)
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source"
-    )
+    # label lookup only — no spread(): the projection feeds two keyed
+    # joins that re-shuffle anyway, so a round-robin repartition of the
+    # second documents scan is pure waste
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
     return (

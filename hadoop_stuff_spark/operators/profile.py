@@ -394,13 +394,22 @@ def gini_doc_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "total_chars",
-            F.round(
-                (F.lit(2) * F.col("_iwx") - (n + 1) * total).cast("double")
-                / (n * total).cast("double"),
-                6,
+            # total_chars = 0 (all-empty source): NULL, matching the
+            # oracle — an unguarded division is an ANSI crash
+            F.when(
+                total > 0,
+                F.round(
+                    (F.lit(2) * F.col("_iwx") - (n + 1) * total).cast("double")
+                    / (n * total).cast("double"),
+                    6,
+                ),
             ).alias("gini"),
-            F.round(
-                F.col("_top_chars").cast("double") / total.cast("double"), 6
+            F.when(
+                total > 0,
+                F.round(
+                    F.col("_top_chars").cast("double") / total.cast("double"),
+                    6,
+                ),
             ).alias("top_decile_share"),
         )
         .orderBy("source")

@@ -808,8 +808,13 @@ def cosine_pair_histogram(
     """
     from hadoop_stuff_spark.operators.sampling import deterministic_keep
 
-    s = emb.filter(deterministic_keep("vec_id", fraction, salt)).select(
-        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    s = (
+        emb.filter(deterministic_keep("vec_id", fraction, salt))
+        .select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+        # zero vectors have no direction: an unguarded division is an
+        # ANSI crash on Spark while DuckDB's list_cosine_similarity
+        # silently returns -1.0 — exclude them on BOTH engines
+        .filter(F.col("nrm") > 0)
     )
     a, b = s.alias("a"), s.alias("b")
     sims = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
@@ -847,6 +852,7 @@ WITH s AS (
   SELECT vec_id, embedding::DOUBLE[] AS v
   FROM embeddings
   WHERE substring(md5('cospairs' || CAST(vec_id AS VARCHAR)), 1, 6) < '333333'
+    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ), sims AS (
   SELECT round(list_cosine_similarity(a.v, b.v), 6) AS sim
   FROM s a JOIN s b ON a.vec_id < b.vec_id

@@ -987,8 +987,15 @@ def dow_seasonal_outliers(
             "dow",
             "n_days",
             (F.col("_s") / n).alias("dow_mean"),
+            # greatest(..., 0): identical totals can yield a slightly
+            # NEGATIVE fp variance (ss - s*s/n rounds below zero), and
+            # sqrt of that is NaN — which passes `> 0` in Spark (NaN
+            # compares greater) and crashes DuckDB. Clamp first.
             F.sqrt(
-                (F.col("_ss") - F.col("_s") * F.col("_s") / n) / (n - 1)
+                F.greatest(
+                    (F.col("_ss") - F.col("_s") * F.col("_s") / n) / (n - 1),
+                    F.lit(0.0),
+                )
             ).alias("dow_std"),
         )
         .filter(F.col("dow_std") > 0)
@@ -1014,9 +1021,9 @@ WITH daily AS (
 ), base AS (
   SELECT dow, count(*) AS n_days,
          sum(day_total) / count(*) AS dow_mean,
-         sqrt((sum(day_total * day_total)
-               - sum(day_total) * sum(day_total) / count(*))
-              / (count(*) - 1)) AS dow_std
+         sqrt(greatest((sum(day_total * day_total)
+                        - sum(day_total) * sum(day_total) / count(*))
+                       / (count(*) - 1), 0)) AS dow_std
   FROM d GROUP BY dow HAVING count(*) >= 2
 ), base_ok AS (
   SELECT * FROM base WHERE dow_std > 0

@@ -217,3 +217,26 @@ def test_canonicalize_unscored_members_rank_last_not_drop(spark):
     assert out[1]["n_dropped"] == 1
     assert out[10]["canonical_doc"] == 10  # lowest id of the unscored
     assert out[10]["canonical_score"] is None
+
+
+def test_dow_outliers_negative_fp_variance_is_not_nan(spark, tmp_path):
+    """Second-review regression: identical totals like 0.1 make
+    ss - s*s/n round slightly NEGATIVE, sqrt gave NaN, and NaN > 0 is
+    TRUE in Spark — NaN z rows ranked FIRST. The variance is now clamped
+    at 0 before sqrt, so such weekdays are excluded like exact-zero
+    ones."""
+    sf = _events_fixture(
+        spark,
+        tmp_path,
+        [
+            ("2026-01-05", 0.1),  # three Mondays, all 0.1: fp variance < 0
+            ("2026-01-12", 0.1),
+            ("2026-01-19", 0.1),
+            ("2026-01-06", 5.0),  # two normal Tuesdays
+            ("2026-01-13", 7.0),
+        ],
+    )
+    rows = dow_seasonal_outliers(spark, sf).collect()
+    days = [str(r["day"]) for r in rows]
+    assert all(d.endswith(("-06", "-13")) for d in days)
+    assert all(not math.isnan(r["z"]) for r in rows)

@@ -104,3 +104,30 @@ def test_cosine_pair_histogram_sample_is_deterministic(spark):
     a = sorted(map(tuple, cosine_pair_histogram(emb).collect()))
     b = sorted(map(tuple, cosine_pair_histogram(emb.repartition(7)).collect()))
     assert a == b
+
+
+def test_gini_all_empty_source_yields_null_not_crash(spark, tmp_path):
+    """Second-review regression: a source whose documents are all empty
+    (total_chars = 0) must yield NULL gini/share like the oracle, not an
+    ANSI DIVIDE_BY_ZERO that kills the whole profile."""
+    sf = _docs_fixture(
+        tmp_path,
+        [(0, "", "emptysrc"), (1, "", "emptysrc"), (2, "x" * 10, "ok")],
+    )
+    out = {r["source"]: r for r in gini_doc_length_by_source(spark, sf).collect()}
+    assert out["emptysrc"]["gini"] is None
+    assert out["emptysrc"]["top_decile_share"] is None
+    assert out["emptysrc"]["total_chars"] == 0
+    assert out["ok"]["gini"] == pytest.approx(0.0)
+
+
+def test_cosine_histogram_zero_vector_excluded_not_crash(spark):
+    """Second-review regression: a zero vector has no direction — under
+    ANSI the norm division crashed Spark while DuckDB silently binned a
+    fake -1.0. Zero-norm vectors are excluded on both engines."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0), (2, [0.0, 0.0], 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    rows = cosine_pair_histogram(emb, fraction=1.0).collect()
+    assert sum(r["n_pairs"] for r in rows) == 1  # only the (0,1) pair
