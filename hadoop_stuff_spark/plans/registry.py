@@ -21,11 +21,13 @@ from pyspark.sql import functions as F
 from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions.money import sum_2dp_exact, sum_2dp_exact_sql
 from hadoop_stuff_spark.operators import (
+    anonymize,
     chunking,
     cleaning,
     clusters,
     contamination,
     dedup,
+    gaps,
     importance,
     kmeans,
     lm,
@@ -589,6 +591,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n2_cosine_pair_histogram": QuerySpec(
         similarity.n2_cosine_pair_histogram, similarity.COSINE_PAIR_HISTOGRAM_SQL
     ),
+    "k_suppress_customers": QuerySpec(
+        anonymize.k_suppress_customers, anonymize.K_SUPPRESS_SQL
+    ),
+    "event_gap_report": QuerySpec(gaps.event_gap_report, gaps.EVENT_GAP_SQL),
 }
 
 assert all(

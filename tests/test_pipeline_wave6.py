@@ -1,0 +1,79 @@
+"""Property tests for the sixth round-6-continuation wave: k-anonymity
+suppression enforcement and the event-gap (outage) report."""
+
+import datetime as dt
+
+import pytest
+
+from hadoop_stuff_spark.operators.anonymize import suppress_below_k
+from hadoop_stuff_spark.operators.gaps import event_gap_report
+from hadoop_stuff_spark.operators.quality import k_anonymity_report
+from tests.test_pipeline_wave3 import _events_fixture
+
+
+def test_suppress_below_k_nulls_small_classes_only(spark):
+    """Classes of size 1 and 2 are suppressed at k=3; the size-3 class
+    passes through untouched; non-quasi columns are never modified."""
+    df = spark.createDataFrame(
+        [
+            ("nyc", 30, "u1"),
+            ("nyc", 31, "u2"),
+            ("sf", 40, "u3"),
+            ("sf", 40, "u4"),
+            ("sf", 40, "u5"),
+            ("la", 50, "u6"),
+            ("la", 50, "u7"),
+        ],
+        ["city", "age", "uid"],
+    )
+    out = {r["uid"]: r for r in suppress_below_k(df, ["city", "age"], 3).collect()}
+    assert len(out) == 7  # no rows dropped
+    for uid in ["u1", "u2", "u6", "u7"]:
+        assert out[uid]["city"] is None and out[uid]["age"] is None
+        assert out[uid]["suppressed"] is True
+    for uid in ["u3", "u4", "u5"]:
+        assert out[uid]["city"] == "sf" and out[uid]["age"] == 40
+        assert out[uid]["suppressed"] is False
+
+
+def test_suppress_then_audit_is_k_anonymous(spark):
+    """Composition contract: after enforcement, the audit shows no class
+    of size < k except possibly the single all-NULL suppressed class
+    (which here has 4 members >= k anyway)."""
+    df = spark.createDataFrame(
+        [
+            ("nyc", 30, "a"),
+            ("nyc", 31, "b"),
+            ("la", 50, "c"),
+            ("la", 51, "d"),
+            ("sf", 40, "e"),
+            ("sf", 40, "f"),
+            ("sf", 40, "g"),
+        ],
+        ["city", "age", "uid"],
+    )
+    enforced = suppress_below_k(df, ["city", "age"], 3).drop("suppressed")
+    audit = k_anonymity_report(enforced, ["city", "age"]).collect()
+    assert all(r["k"] >= 3 for r in audit)
+
+
+def test_event_gap_report_finds_planted_outage(spark, tmp_path):
+    """One user with events at minute cadence and a planted 3-day hole:
+    the top gap is the hole, with exact second arithmetic."""
+    sf = _events_fixture(
+        spark,
+        tmp_path,
+        [
+            ("2026-01-05", 1.0),
+            ("2026-01-06", 1.0),
+            ("2026-01-09", 1.0),  # 3-day gap after the 6th
+            ("2026-01-10", 1.0),
+        ],
+    )
+    rows = event_gap_report(spark, sf).collect()
+    assert len(rows) == 3  # 4 events -> 3 gaps
+    top = rows[0]
+    assert str(top["gap_start"]).startswith("2026-01-06")
+    assert str(top["gap_end"]).startswith("2026-01-09")
+    assert top["gap_seconds"] == pytest.approx(3 * 86400.0)
+    assert rows[1]["gap_seconds"] == pytest.approx(86400.0)
