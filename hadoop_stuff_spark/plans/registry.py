@@ -36,6 +36,7 @@ from hadoop_stuff_spark.operators import (
     pq,
     profile,
     quality,
+    quantnorm,
     relational,
     sampling,
     scd,
@@ -595,6 +596,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         anonymize.k_suppress_customers, anonymize.K_SUPPRESS_SQL
     ),
     "event_gap_report": QuerySpec(gaps.event_gap_report, gaps.EVENT_GAP_SQL),
+    "n3_quantile_normalized_scores": QuerySpec(
+        quantnorm.n3_quantile_normalized_scores, quantnorm.QUANTNORM_SQL
+    ),
 }
 
 assert all(

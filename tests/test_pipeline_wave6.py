@@ -77,3 +77,29 @@ def test_event_gap_report_finds_planted_outage(spark, tmp_path):
     assert str(top["gap_end"]).startswith("2026-01-09")
     assert top["gap_seconds"] == pytest.approx(3 * 86400.0)
     assert rows[1]["gap_seconds"] == pytest.approx(86400.0)
+
+
+def test_quantile_normalize_maps_group_ranks_onto_global_grid(spark):
+    """Two sources with shifted distributions: each source's min maps to
+    the global 0th percentile (the global minimum) and each source's max
+    to the global max — after normalization the per-source distributions
+    coincide even though the raw scores never did. Mid ranks interpolate
+    between grid points."""
+    from hadoop_stuff_spark.operators.quantnorm import quantile_normalize
+
+    rows = [
+        # source "lo": scores 0.1..0.3; source "hi": 0.6..0.8
+        (0, "lo", 0.1), (1, "lo", 0.2), (2, "lo", 0.3),
+        (3, "hi", 0.6), (4, "hi", 0.7), (5, "hi", 0.8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "model_score"])
+    out = {r["doc_id"]: r["norm_score"] for r in
+           quantile_normalize(df, "model_score", "source", "doc_id").collect()}
+    # rank 0 of each source -> global minimum (0.1); rank 1 -> global max
+    assert out[0] == pytest.approx(0.1)
+    assert out[3] == pytest.approx(0.1)
+    assert out[2] == pytest.approx(0.8)
+    assert out[5] == pytest.approx(0.8)
+    # the mid elements of both sources land on the SAME normalized value
+    assert out[1] == out[4]
+    assert 0.1 < out[1] < 0.8
