@@ -283,3 +283,86 @@ def dedup_first_seen_ttl(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time inactivity watchdog (timer semantics)
+
+_WATCHDOG_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("last_seen_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_WATCHDOG_STATE = StructType(
+    [
+        StructField("last_seen_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _watchdog_fn_factory(silence_ms: int):
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_ms, n = state.get
+            # one alert per silence; the key's next arrival re-arms fresh
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [key[0]], "last_seen_ms": [last_ms], "n_events": [n]}
+            )
+            return
+        last_ms, n = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            if len(pdf):
+                # datetime64[ns] -> epoch ms (tz-aware values are UTC ns)
+                ms = int(pdf["ts"].astype("int64").max() // 1_000_000)
+                last_ms = max(last_ms, ms)
+                n += len(pdf)
+        state.update((last_ms, n))
+        state.setTimeoutTimestamp(last_ms + silence_ms)
+
+    return fn
+
+
+def inactivity_alerts(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    silence_seconds: int,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """EVENT-TIME inactivity watchdog: emit one alert row per key whose
+    event stream goes silent for more than ``silence_seconds`` of EVENT
+    time — "sensor went dark", "user churned mid-session", the streaming
+    twin of the batch `operators/gaps.event_gap_report`.
+
+    This is the repo's one EVENT-TIME timer: unlike the TTL dedup's
+    ProcessingTimeTimeout (wall clock of the cluster — flaky under
+    contention, meaningless on replay), the timeout here is
+    `setTimeoutTimestamp(last_seen + silence)` against the WATERMARK, so
+    alerts are a pure function of the data's own timestamps: replays and
+    late-running clusters produce the identical alert stream, and a
+    backfill of last year's events raises last year's alerts. The alert
+    carries the key's last-seen event time and its event count; the
+    alerted key's state is removed (one alert per silence — a
+    re-appearing key re-arms from scratch).
+
+    State per key is two longs — O(active keys), sharded by the state
+    store exactly like the other stateful ops. The watermark delay
+    bounds how out-of-order events may arrive and still count as
+    activity.
+    """
+    renamed = stream.selectExpr(
+        f"{key_col} AS key", f"{ts_col} AS ts"
+    ).withWatermark("ts", watermark_delay)
+    return renamed.groupBy("key").applyInPandasWithState(
+        _watchdog_fn_factory(silence_seconds * 1000),
+        outputStructType=_WATCHDOG_OUT,
+        stateStructType=_WATCHDOG_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
