@@ -1035,3 +1035,128 @@ FROM d JOIN base_ok base ON d.dow = base.dow
 ORDER BY abs(round((day_total - dow_mean) / dow_std, 6)) DESC, day
 LIMIT 20
 """
+
+
+def concurrent_session_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    bucket_seconds: int = 3600,
+    top: int = 25,
+) -> DataFrame:
+    """INTERVAL×INTERVAL overlap join: which user pairs were active at
+    the same time, and for how long — co-presence/concurrency analysis
+    (fraud rings, shared-device detection, capacity planning). Sessions
+    come from the gaps-and-islands sessionizer already certified by the
+    funnel ops; a pair of sessions overlaps iff
+    a.start <= b.end AND b.start <= a.end.
+
+    Scale shape — the point of this operator: `range_join` covers
+    point-in-interval; interval-vs-interval cannot equi-join directly
+    (a naive join on the overlap predicate is a BroadcastNestedLoopJoin
+    — quadratic). Each session interval explodes to the (few) fixed
+    ``bucket_seconds`` cells it touches, the join becomes a plain
+    equi-join on the cell, the exact overlap predicate re-applies
+    post-join, and multi-cell double-matches collapse with ONE
+    dropDuplicates on the session-pair key BEFORE aggregation. Fan-out
+    per session is bounded by ceil(duration / bucket) + 1. Overlap
+    seconds are exact integer epoch arithmetic summed as longs —
+    order-independent, no float drift.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.lit(gap_minutes * 60)
+    sess = (
+        ev.select("user_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("ss"),
+            F.max(F.unix_timestamp("ts")).alias("se"),
+        )
+    )
+    cells = sess.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("ss") / bucket_seconds),
+                F.floor(F.col("se") / bucket_seconds),
+            )
+        ),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.ss") <= F.col("b.se"))
+            & (F.col("b.ss") <= F.col("a.se")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("sess_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("sess_b"),
+            (
+                F.least(F.col("a.se"), F.col("b.se"))
+                - F.greatest(F.col("a.ss"), F.col("b.ss"))
+            ).alias("overlap_s"),
+        )
+        .dropDuplicates(["user_a", "sess_a", "user_b", "sess_b"])
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_session_pairs"),
+            F.sum("overlap_s").alias("total_overlap_s"),
+        )
+        .orderBy(
+            F.desc("total_overlap_s"), F.asc("user_a"), F.asc("user_b")
+        )
+        .limit(top)
+    )
+
+
+CONCURRENT_SESSIONS_SQL = """
+WITH sess AS (
+  -- floor(epoch()) mirrors Spark unix_timestamp's whole-second
+  -- truncation: with fractional seconds a boundary-touching pair
+  -- (overlap exactly 0) would exist on one engine only
+  SELECT user_id, session_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS ss,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS se
+  FROM (
+    SELECT user_id, ts,
+           sum(CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+      SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts) AS prev_s
+      FROM events
+    )
+  )
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         least(a.se, b.se) - greatest(a.ss, b.ss) AS overlap_s
+  FROM sess a JOIN sess b
+    ON a.user_id < b.user_id AND a.ss <= b.se AND b.ss <= a.se
+)
+SELECT user_a, user_b, count(*) AS n_session_pairs,
+       CAST(sum(overlap_s) AS BIGINT) AS total_overlap_s
+FROM pairs GROUP BY 1, 2
+ORDER BY total_overlap_s DESC, user_a, user_b
+LIMIT 25
+"""

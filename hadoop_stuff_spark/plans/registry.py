@@ -599,6 +599,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "n3_quantile_normalized_scores": QuerySpec(
         quantnorm.n3_quantile_normalized_scores, quantnorm.QUANTNORM_SQL
     ),
+    "concurrent_session_pairs": QuerySpec(
+        temporal.concurrent_session_pairs, temporal.CONCURRENT_SESSIONS_SQL
+    ),
 }
 
 assert all(

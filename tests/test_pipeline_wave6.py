@@ -103,3 +103,56 @@ def test_quantile_normalize_maps_group_ranks_onto_global_grid(spark):
     # the mid elements of both sources land on the SAME normalized value
     assert out[1] == out[4]
     assert 0.1 < out[1] < 0.8
+
+
+def test_concurrent_session_pairs_planted_overlap(spark, tmp_path):
+    """Users 7 and 8 share a planted 30-minute overlap (within one
+    session each); user 9's session is disjoint. The bucketed
+    interval-overlap join must find exactly the (7,8) pair with exact
+    integer overlap seconds, counted ONCE despite the sessions spanning
+    several join cells."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ns(hhmm):
+        t = dt.datetime(2026, 1, 5, *hhmm, tzinfo=dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000
+
+    # user 7: 10:00-12:00 (events every 20 min -> one session)
+    # user 8: 11:30-13:30 -> overlap 11:30-12:00 = 1800 s
+    # user 9: 15:00-15:10 -> disjoint
+    rows = []
+    eid = 0
+    for user, times in [
+        (7, [(10, 0), (10, 20), (10, 40), (11, 0), (11, 20), (11, 40), (12, 0)]),
+        (8, [(11, 30), (11, 50), (12, 10), (12, 30), (12, 50), (13, 10), (13, 30)]),
+        (9, [(15, 0), (15, 10)]),
+    ]:
+        for hhmm in times:
+            rows.append((eid, ns(hhmm), user))
+            eid += 1
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["t"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    sf = tmp_path / "sfc"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+
+    from hadoop_stuff_spark.operators.temporal import concurrent_session_pairs
+
+    out = concurrent_session_pairs(spark, str(sf)).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["user_a"], r["user_b"]) == (7, 8)
+    assert r["n_session_pairs"] == 1  # multi-cell matches collapsed
+    assert r["total_overlap_s"] == 1800
