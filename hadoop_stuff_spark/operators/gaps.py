@@ -25,6 +25,7 @@ def event_gap_report(
     order: (user, gap start/end, exact gap in seconds). Ties break on
     (user_id, gap_start event id) so both engines rank identically;
     each user's first event has no predecessor and contributes no gap.
+    EVENT_GAP_SQL is the oracle for the DEFAULT ``top=25`` only.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -34,7 +34,7 @@ _GRID = [i / 100.0 for i in range(101)]
 
 
 def quantile_normalize(
-    df: DataFrame, score_col: str, group_col: str, id_col: str
+    df: DataFrame, score_col: str, group_col: str
 ) -> DataFrame:
     """Add ``norm_score``: ``score_col`` quantile-normalized across
     ``group_col`` onto the global distribution (101-point grid, linear
@@ -44,7 +44,17 @@ def quantile_normalize(
     aggregate) — if it carries an expensive upstream (a UDF scoring
     chain, a join), materialize it first (eager localCheckpoint /
     cache), or that upstream runs twice; the registry lint enforces
-    this for the certification query."""
+    this for the certification query. Ties in ``score_col`` share a
+    percent_rank and therefore a normalized value — no id tiebreak is
+    needed. Raises on input columns colliding with the reserved
+    internal names (the score_quality convention)."""
+    reserved = {"norm_score", "_pr", "_grid"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(clash)}; "
+            "rename them before quantile_normalize"
+        )
     w = Window.partitionBy(group_col).orderBy(F.asc(score_col))
     ranked = df.withColumn("_pr", F.percent_rank().over(w))
     # 100 TB swap point: approx_percentile(score, grid, accuracy) here
@@ -85,9 +95,9 @@ def n3_quantile_normalized_scores(
         .select("doc_id", "source", "model_score")
         .localCheckpoint(eager=True)
     )
-    return quantile_normalize(
-        scored, "model_score", "source", "doc_id"
-    ).select("doc_id", "source", "model_score", "norm_score")
+    return quantile_normalize(scored, "model_score", "source").select(
+        "doc_id", "source", "model_score", "norm_score"
+    )
 
 
 def _quantnorm_sql() -> str:

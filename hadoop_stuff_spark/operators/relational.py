@@ -1172,20 +1172,11 @@ def funnel_conversion(
     certified by `sessionized_event_counts`), then a per-session
     conditional agg comparing first view time vs last purchase time.
     No self-join: the ordering test is min/max inside the group."""
+    from hadoop_stuff_spark.operators.temporal import sessionize
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.lit(gap_minutes * 60)
-    sess = (
-        ev.select("user_id", "ts", "event_type")
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_sess",
-            (
-                F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap)
-            ).cast("int"),
-        )
-        .withColumn("session_id", F.sum("new_sess").over(w))
+    sess = sessionize(
+        ev.select("user_id", "ts", "event_type"), gap_minutes=gap_minutes
     )
     per_sess = sess.groupBy("user_id", "session_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),

@@ -1037,6 +1037,24 @@ LIMIT 20
 """
 
 
+def sessionize(
+    df, user_col: str = "user_id", ts_col: str = "ts", gap_minutes: int = 30
+):
+    """THE gaps-and-islands sessionizer (single implementation — funnel
+    conversion and the interval-overlap join both build on it): a new
+    session starts at a user's first event or after a gap of more than
+    ``gap_minutes`` of whole-second event time (unix_timestamp
+    truncation — the cross-engine contract; DuckDB oracles must mirror
+    floor(epoch())). Adds a per-user ``session_id`` (1-based running
+    count); all input columns pass through."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.lit(gap_minutes * 60)
+    sec = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(sec).over(w)
+    new_sess = (prev.isNull() | (sec - prev > gap)).cast("int")
+    return df.withColumn("session_id", F.sum(new_sess).over(w))
+
+
 def concurrent_session_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -1064,19 +1082,8 @@ def concurrent_session_pairs(
     order-independent, no float drift.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.lit(gap_minutes * 60)
     sess = (
-        ev.select("user_id", "ts")
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_sess",
-            (
-                F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap)
-            ).cast("int"),
-        )
-        .withColumn("session_id", F.sum("new_sess").over(w))
+        sessionize(ev.select("user_id", "ts"), gap_minutes=gap_minutes)
         .groupBy("user_id", "session_id")
         .agg(
             F.min(F.unix_timestamp("ts")).alias("ss"),

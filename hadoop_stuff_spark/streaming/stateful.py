@@ -315,15 +315,44 @@ def _watchdog_fn_factory(silence_ms: int):
                 {"key": [key[0]], "last_seen_ms": [last_ms], "n_events": [n]}
             )
             return
-        last_ms, n = state.get if state.exists else (0, 0)
+        # Batch-independence: a silence can also be REVEALED by data —
+        # a key re-appearing after a gap inside the same micro-batch (a
+        # backfill replays months in one batch). Walking the batch's
+        # timestamps in order and emitting an alert at every elapsed
+        # gap makes the alert stream identical however the same events
+        # are chopped into batches; the watermark timer only covers the
+        # final, still-open silence.
+        if state.exists:
+            last_ms, n = state.get
+        else:
+            last_ms, n = None, 0
+        batch_ms: list[int] = []
         for pdf in pdf_iter:
             if len(pdf):
                 # datetime64[ns] -> epoch ms (tz-aware values are UTC ns)
-                ms = int(pdf["ts"].astype("int64").max() // 1_000_000)
-                last_ms = max(last_ms, ms)
-                n += len(pdf)
+                batch_ms.extend(
+                    (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                )
+        alerts_last, alerts_n = [], []
+        for ms in sorted(batch_ms):
+            if last_ms is not None and ms - last_ms > silence_ms:
+                alerts_last.append(last_ms)
+                alerts_n.append(n)
+                n = 0
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+            n += 1
+        if last_ms is None:  # no prior state and an empty batch
+            return
         state.update((last_ms, n))
         state.setTimeoutTimestamp(last_ms + silence_ms)
+        if alerts_last:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(alerts_last),
+                    "last_seen_ms": alerts_last,
+                    "n_events": alerts_n,
+                }
+            )
 
     return fn
 
@@ -346,7 +375,10 @@ def inactivity_alerts(
     `setTimeoutTimestamp(last_seen + silence)` against the WATERMARK, so
     alerts are a pure function of the data's own timestamps: replays and
     late-running clusters produce the identical alert stream, and a
-    backfill of last year's events raises last year's alerts. The alert
+    backfill of last year's events raises last year's alerts — including
+    silences wholly contained INSIDE one micro-batch, which the data
+    path detects by walking the batch's timestamps (the timer only
+    covers the final, still-open silence). The alert
     carries the key's last-seen event time and its event count; the
     alerted key's state is removed (one alert per silence — a
     re-appearing key re-arms from scratch).

@@ -94,7 +94,7 @@ def test_quantile_normalize_maps_group_ranks_onto_global_grid(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "source", "model_score"])
     out = {r["doc_id"]: r["norm_score"] for r in
-           quantile_normalize(df, "model_score", "source", "doc_id").collect()}
+           quantile_normalize(df, "model_score", "source").collect()}
     # rank 0 of each source -> global minimum (0.1); rank 1 -> global max
     assert out[0] == pytest.approx(0.1)
     assert out[3] == pytest.approx(0.1)
@@ -156,3 +156,33 @@ def test_concurrent_session_pairs_planted_overlap(spark, tmp_path):
     assert (r["user_a"], r["user_b"]) == (7, 8)
     assert r["n_session_pairs"] == 1  # multi-cell matches collapsed
     assert r["total_overlap_s"] == 1800
+
+
+def test_suppress_drops_sub_k_null_class(spark):
+    """Review regression: suppressed rows merge into ONE all-NULL class;
+    if that class is itself smaller than k the rows are DROPPED (record
+    suppression) — a lone (NULL, NULL) row is exactly as re-identifiable
+    as any unique pattern. Output must be k-anonymous unconditionally."""
+    df = spark.createDataFrame(
+        [("nyc", 30, "a"), ("sf", 40, "b"), ("sf", 40, "c"), ("sf", 40, "d")],
+        ["city", "age", "uid"],
+    )
+    out = suppress_below_k(df, ["city", "age"], 3)
+    assert {r["uid"] for r in out.collect()} == {"b", "c", "d"}  # 'a' dropped
+    audit = k_anonymity_report(out.drop("suppressed"), ["city", "age"]).collect()
+    assert all(r["k"] >= 3 for r in audit)
+
+
+def test_suppress_and_quantnorm_reject_reserved_columns(spark):
+    """Reserved internal names raise instead of silently shadowing user
+    data (the score_quality convention)."""
+    import pytest as _pytest
+
+    from hadoop_stuff_spark.operators.quantnorm import quantile_normalize
+
+    df = spark.createDataFrame([("x", 1, True)], ["city", "age", "suppressed"])
+    with _pytest.raises(ValueError, match="reserved"):
+        suppress_below_k(df, ["city"], 2)
+    df2 = spark.createDataFrame([(0, "s", 0.5, 1.0)], ["doc_id", "source", "model_score", "norm_score"])
+    with _pytest.raises(ValueError, match="reserved"):
+        quantile_normalize(df2, "model_score", "source")

@@ -47,8 +47,10 @@ def _run(spark, logdir, ckpt, outdir, silence_seconds=3600):
 def test_watchdog_alerts_on_event_time_silence(spark, tmp_path):
     """A and B both active at T; only B keeps sending. Once B's events
     push the watermark past A's last_seen + 1h, A's timer fires — with
-    A's true last-seen timestamp and event count. B, still active,
-    never alerts."""
+    A's true last-seen timestamp and event count. B's own 2h10m gap
+    (BASE -> BASE+7800) is a real silence too, revealed by the DATA
+    path the moment its late event arrives; B's final 100 s gap is
+    under the threshold and never alerts."""
     logdir = str(tmp_path / "logs")
     ckpt = str(tmp_path / "ckpt")
     outdir = str(tmp_path / "out")
@@ -68,12 +70,14 @@ def test_watchdog_alerts_on_event_time_silence(spark, tmp_path):
     _write_log(logdir, "b2.txt", [f"B {BASE + 7900}"])
     _run(spark, logdir, ckpt, outdir)
 
-    alerts = spark.read.parquet(outdir).collect()
-    users = {r.key for r in alerts}
-    assert "A" in users and "B" not in users
-    (a,) = [r for r in alerts if r.key == "A"]
-    assert a.last_seen_ms == (BASE + 60) * 1000
-    assert a.n_events == 2
+    alerts = sorted(
+        (r.key, r.last_seen_ms, r.n_events)
+        for r in spark.read.parquet(outdir).collect()
+    )
+    assert alerts == [
+        ("A", (BASE + 60) * 1000, 2),  # timer-raised, true last-seen + count
+        ("B", BASE * 1000, 1),         # data-revealed on B's own return
+    ]
 
 
 def test_watchdog_rearms_after_alert(spark, tmp_path):
@@ -105,3 +109,39 @@ def test_watchdog_rearms_after_alert(spark, tmp_path):
         (BASE * 1000, 1),           # first silence: 1 event seen
         ((BASE + 7300) * 1000, 1),  # re-armed fresh: count reset to 1
     ]
+
+
+def test_watchdog_backfill_equals_incremental(spark, tmp_path):
+    """Review regression: a silence wholly contained inside ONE
+    micro-batch (the backfill case) must raise the same alerts as the
+    same events processed incrementally — the data path walks the
+    batch's timestamps, the timer only covers the final open silence."""
+    lines = [f"A {BASE}", f"B {BASE}", f"A {BASE + 7300}", f"B {BASE + 7300}",
+             f"B {BASE + 12000}", f"B {BASE + 12100}"]
+
+    # incremental: one file per run
+    inc = {k: str(tmp_path / k) for k in ("logs_i", "ckpt_i", "out_i")}
+    os.makedirs(inc["logs_i"])
+    for i, line_group in enumerate([lines[:2], lines[2:4], lines[4:5], lines[5:]]):
+        _write_log(inc["logs_i"], f"b{i}.txt", line_group)
+        _run(spark, inc["logs_i"], inc["ckpt_i"], inc["out_i"])
+
+    # backfill: everything in one availableNow run (+ one nudge so the
+    # final timer sweep happens in both scenarios)
+    bf = {k: str(tmp_path / k) for k in ("logs_b", "ckpt_b", "out_b")}
+    os.makedirs(bf["logs_b"])
+    _write_log(bf["logs_b"], "b0.txt", lines[:5])
+    _run(spark, bf["logs_b"], bf["ckpt_b"], bf["out_b"])
+    _write_log(bf["logs_b"], "b1.txt", lines[5:])
+    _run(spark, bf["logs_b"], bf["ckpt_b"], bf["out_b"])
+
+    def alerts(outdir):
+        return sorted(
+            (r.key, r.last_seen_ms, r.n_events)
+            for r in spark.read.parquet(outdir).collect()
+        )
+
+    a_inc, a_bf = alerts(inc["out_i"]), alerts(bf["out_b"])
+    assert a_inc == a_bf
+    # A's first silence (BASE -> BASE+7300 > 1h) must be present in both
+    assert ("A", BASE * 1000, 1) in a_bf
