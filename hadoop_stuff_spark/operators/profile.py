@@ -438,3 +438,90 @@ SELECT source, n_docs, total_chars,
          AS top_decile_share
 FROM agg ORDER BY source
 """
+
+
+def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout over event values: users are
+    hash-assigned to arms (the md5-keep predicate — the same user lands
+    in the same arm on every engine, run, and partitioning), and each
+    event_type reports per-arm n/mean plus the Welch test statistic
+    t = (mean_a - mean_b) / sqrt(var_a/n_a + var_b/n_b) — the unequal-
+    variance form, the safe default for experiment analysis.
+
+    Exactness: explicit sum/sumsq algebra (no stddev builtins), sqrt is
+    IEEE-exact, all rounded to 6 dp. Event types where either arm has
+    <2 events or both variances are 0 are excluded (the statistic is
+    undefined; under ANSI the division would raise — the engine-wide
+    degenerate-input rule).
+
+    Scale shape: ONE scan, one hash aggregate on event_type with the
+    arm folded in as conditional sums (map-side partial) — adding an
+    arm or a metric adds a column, not a pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 6)
+        < "800000"
+    )
+    v = F.col("value")
+
+    def _arm(pred, tag):
+        return [
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"{tag}_n"),
+            F.sum(F.when(pred, v).otherwise(0.0)).alias(f"{tag}_s"),
+            F.sum(F.when(pred, v * v).otherwise(0.0)).alias(f"{tag}_ss"),
+        ]
+
+    agg = ev.groupBy("event_type").agg(*_arm(in_a, "a"), *_arm(~in_a, "b"))
+    na, nb = F.col("a_n"), F.col("b_n")
+    ma = F.col("a_s") / na
+    mb = F.col("b_s") / nb
+    va = (F.col("a_ss") - F.col("a_s") * F.col("a_s") / na) / (na - 1)
+    vb = (F.col("b_ss") - F.col("b_s") * F.col("b_s") / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    return (
+        agg.filter((na >= 2) & (nb >= 2))
+        .select(
+            "event_type",
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            F.round(ma, 6).alias("mean_a"),
+            F.round(mb, 6).alias("mean_b"),
+            se2.alias("_se2"),
+            F.round((ma - mb) / F.sqrt(se2), 6).alias("welch_t"),
+        )
+        .filter(F.col("_se2") > 0)
+        .drop("_se2")
+        .orderBy("event_type")
+    )
+
+
+AB_ZTEST_SQL = """
+WITH t AS (
+  SELECT event_type,
+         substring(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 6) < '800000'
+           AS in_a,
+         value
+  FROM events
+), agg AS (
+  SELECT event_type,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN in_a THEN value ELSE 0.0 END) AS s_a,
+         sum(CASE WHEN in_a THEN value * value ELSE 0.0 END) AS ss_a,
+         sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN NOT in_a THEN value ELSE 0.0 END) AS s_b,
+         sum(CASE WHEN NOT in_a THEN value * value ELSE 0.0 END) AS ss_b
+  FROM t GROUP BY event_type
+), stats AS (
+  SELECT event_type, n_a, n_b,
+         s_a / n_a AS ma, s_b / n_b AS mb,
+         (ss_a - s_a * s_a / n_a) / (n_a - 1) AS va,
+         (ss_b - s_b * s_b / n_b) / (n_b - 1) AS vb
+  FROM agg WHERE n_a >= 2 AND n_b >= 2
+)
+SELECT event_type, n_a, n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS welch_t
+FROM stats WHERE va / n_a + vb / n_b > 0
+ORDER BY event_type
+"""

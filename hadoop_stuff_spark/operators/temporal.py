@@ -1167,3 +1167,72 @@ FROM pairs GROUP BY 1, 2
 ORDER BY total_overlap_s DESC, user_a, user_b
 LIMIT 25
 """
+
+
+def ohlc_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) resampling of the event ``value``
+    signal into hourly buckets per event_type — the candlestick
+    downsample every telemetry/market pipeline runs before charting or
+    coarse modeling (first/last need an ORDER, which plain min/max
+    aggregation cannot express).
+
+    Cross-engine exactness: open/close pick RAW stored doubles (no
+    arithmetic at all — both engines return identical bits), selected
+    by two row_number windows over the (ts, event_id) total order —
+    not min_by/arg_min builtins, whose composite-key tie semantics are
+    not contractual across engines.
+
+    Scale shape: ONE hash shuffle on (event_type, hour bucket) feeds
+    both windows AND the final aggregate (same partitioning reused);
+    per-bucket window state is a counter. Output is buckets-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = b.withColumn("_ra", F.row_number().over(wa)).withColumn(
+        "_rd", F.row_number().over(wd)
+    )
+    return (
+        ranked.groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+OHLC_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+         ) AS ra,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rd
+  FROM events
+)
+SELECT event_type, bucket,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM ranked GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""

@@ -602,6 +602,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "concurrent_session_pairs": QuerySpec(
         temporal.concurrent_session_pairs, temporal.CONCURRENT_SESSIONS_SQL
     ),
+    "ohlc_event_values": QuerySpec(temporal.ohlc_event_values, temporal.OHLC_SQL),
+    "ab_value_ztest": QuerySpec(profile.ab_value_ztest, profile.AB_ZTEST_SQL),
 }
 
 assert all(

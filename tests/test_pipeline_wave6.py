@@ -186,3 +186,69 @@ def test_suppress_and_quantnorm_reject_reserved_columns(spark):
     df2 = spark.createDataFrame([(0, "s", 0.5, 1.0)], ["doc_id", "source", "model_score", "norm_score"])
     with _pytest.raises(ValueError, match="reserved"):
         quantile_normalize(df2, "model_score", "source")
+
+
+def test_ohlc_open_close_follow_event_order(spark, tmp_path):
+    """Open is the FIRST value by (ts, event_id), close the LAST — a
+    min/max aggregate cannot express this; planted values pin it, and
+    high/low are the extremes regardless of position."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    base_ns = 1_700_000_000 * 1_000_000_000
+    vals = [5.0, 9.0, 1.0, 7.0]  # open 5, high 9, low 1, close 7
+    table = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array([base_ns + i * 60_000_000_000 for i in range(4)], pa.timestamp("ns")),
+        "user_id": pa.array([7] * 4, pa.int64()),
+        "event_type": pa.array(["t"] * 4),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    })
+    sf2 = tmp_path / "sf_ohlc"
+    os.makedirs(sf2)
+    pq.write_table(table, str(sf2 / "events.parquet"))
+
+    from hadoop_stuff_spark.operators.temporal import ohlc_event_values
+
+    (row,) = ohlc_event_values(spark, str(sf2)).collect()
+    assert (row["open"], row["high"], row["low"], row["close"]) == (5.0, 9.0, 1.0, 7.0)
+    assert row["n_events"] == 4
+
+
+def test_ab_ztest_detects_planted_lift(spark, tmp_path):
+    """Events whose value depends on the md5 arm assignment: arm A gets
+    10±eps, arm B gets 5±eps -> welch_t is large and positive, and the
+    per-arm means are exact."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    rows = []
+    for uid in range(40):
+        in_a = int(hashlib.md5(f"ab1:{uid}".encode()).hexdigest()[:6], 16) < 0x800000
+        base = 10.0 if in_a else 5.0
+        for j in range(3):
+            rows.append((len(rows), base + (j - 1) * 0.1, uid))
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base_ns + i * 1_000_000_000 for i in range(len(rows))], pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["t"] * len(rows)),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    sf = tmp_path / "sf_ab"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+
+    from hadoop_stuff_spark.operators.profile import ab_value_ztest
+
+    (row,) = ab_value_ztest(spark, str(sf)).collect()
+    assert row["mean_a"] == pytest.approx(10.0)
+    assert row["mean_b"] == pytest.approx(5.0)
+    assert row["welch_t"] > 50  # planted 5.0 lift vs 0.1-scale noise
+    assert row["n_a"] + row["n_b"] == len(rows)
