@@ -458,18 +458,22 @@ def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm folded in as conditional sums (map-side partial) — adding an
     arm or a metric adds a column, not a pass.
     """
+    from hadoop_stuff_spark.operators.sampling import deterministic_keep
+
     ev = load_table(spark, sf_dir, "events")
-    in_a = (
-        F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 6)
-        < "800000"
-    )
+    # the repo's canonical md5-keep predicate at fraction 0.5 — NOT a
+    # hand-rolled copy, so helper fixes reach this assignment too
+    in_a = deterministic_keep("user_id", 0.5, salt="ab1:")
     v = F.col("value")
 
     def _arm(pred, tag):
+        # n counts only rows that contribute to the sums: a NULL value
+        # in n but not in s/ss would silently bias mean and variance
+        counted = pred & v.isNotNull()
         return [
-            F.sum(F.when(pred, 1).otherwise(0)).alias(f"{tag}_n"),
-            F.sum(F.when(pred, v).otherwise(0.0)).alias(f"{tag}_s"),
-            F.sum(F.when(pred, v * v).otherwise(0.0)).alias(f"{tag}_ss"),
+            F.sum(F.when(counted, 1).otherwise(0)).alias(f"{tag}_n"),
+            F.sum(F.when(counted, v).otherwise(0.0)).alias(f"{tag}_s"),
+            F.sum(F.when(counted, v * v).otherwise(0.0)).alias(f"{tag}_ss"),
         ]
 
     agg = ev.groupBy("event_type").agg(*_arm(in_a, "a"), *_arm(~in_a, "b"))
@@ -505,12 +509,12 @@ WITH t AS (
   FROM events
 ), agg AS (
   SELECT event_type,
-         sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
-         sum(CASE WHEN in_a THEN value ELSE 0.0 END) AS s_a,
-         sum(CASE WHEN in_a THEN value * value ELSE 0.0 END) AS ss_a,
-         sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_b,
-         sum(CASE WHEN NOT in_a THEN value ELSE 0.0 END) AS s_b,
-         sum(CASE WHEN NOT in_a THEN value * value ELSE 0.0 END) AS ss_b
+         sum(CASE WHEN in_a AND value IS NOT NULL THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN in_a AND value IS NOT NULL THEN value ELSE 0.0 END) AS s_a,
+         sum(CASE WHEN in_a AND value IS NOT NULL THEN value * value ELSE 0.0 END) AS ss_a,
+         sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN value ELSE 0.0 END) AS s_b,
+         sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN value * value ELSE 0.0 END) AS ss_b
   FROM t GROUP BY event_type
 ), stats AS (
   SELECT event_type, n_a, n_b,

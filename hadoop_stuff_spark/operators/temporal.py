@@ -1195,11 +1195,13 @@ def ohlc_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", "bucket").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    # close = the row whose ascending rank equals the partition size —
+    # an UNORDERED count frame is sort-compatible with wa, so the whole
+    # thing costs ONE per-partition sort (a second, descending
+    # row_number window would sort every partition twice)
+    wn = Window.partitionBy("event_type", "bucket")
     ranked = b.withColumn("_ra", F.row_number().over(wa)).withColumn(
-        "_rd", F.row_number().over(wd)
+        "_n", F.count(F.lit(1)).over(wn)
     )
     return (
         ranked.groupBy("event_type", "bucket")
@@ -1207,7 +1209,9 @@ def ohlc_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+            F.max(
+                F.when(F.col("_ra") == F.col("_n"), F.col("value"))
+            ).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type", "bucket")
@@ -1221,17 +1225,16 @@ WITH ranked AS (
            PARTITION BY event_type, date_trunc('hour', ts)
            ORDER BY ts, event_id
          ) AS ra,
-         row_number() OVER (
+         count(*) OVER (
            PARTITION BY event_type, date_trunc('hour', ts)
-           ORDER BY ts DESC, event_id DESC
-         ) AS rd
+         ) AS n
   FROM events
 )
 SELECT event_type, bucket,
        max(CASE WHEN ra = 1 THEN value END) AS open,
        max(value) AS high,
        min(value) AS low,
-       max(CASE WHEN rd = 1 THEN value END) AS close,
+       max(CASE WHEN ra = n THEN value END) AS close,
        count(*) AS n_events
 FROM ranked GROUP BY 1, 2
 ORDER BY event_type, bucket

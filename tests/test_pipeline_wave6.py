@@ -252,3 +252,75 @@ def test_ab_ztest_detects_planted_lift(spark, tmp_path):
     assert row["mean_b"] == pytest.approx(5.0)
     assert row["welch_t"] > 50  # planted 5.0 lift vs 0.1-scale noise
     assert row["n_a"] + row["n_b"] == len(rows)
+
+
+def test_ohlc_tiebreak_on_equal_timestamps(spark, tmp_path):
+    """Review regression: the (ts, event_id) tie-break is the operator's
+    reason to use row_number over min_by — exercise it: all four events
+    share ONE timestamp, so open/close are decided by event_id alone."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    vals = [3.0, 8.0, 2.0, 6.0]  # event_ids 0..3 -> open 3.0, close 6.0
+    table = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array([base_ns] * 4, pa.timestamp("ns")),
+        "user_id": pa.array([7] * 4, pa.int64()),
+        "event_type": pa.array(["t"] * 4),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    })
+    sf = tmp_path / "sf_tie"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+
+    from hadoop_stuff_spark.operators.temporal import ohlc_event_values
+
+    (row,) = ohlc_event_values(spark, str(sf)).collect()
+    assert (row["open"], row["close"]) == (3.0, 6.0)
+    assert (row["high"], row["low"]) == (8.0, 2.0)
+
+
+def test_ab_ztest_null_values_excluded_from_counts(spark, tmp_path):
+    """Review regression: a NULL value must not inflate an arm's n while
+    being absent from its sum — the mean would silently shrink."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    # find two A-arm and two B-arm users
+    def arm(uid):
+        return int(hashlib.md5(f"ab1:{uid}".encode()).hexdigest()[:6], 16) < 0x800000
+    a_users = [u for u in range(100) if arm(u)][:2]
+    b_users = [u for u in range(100) if not arm(u)][:2]
+    rows, vals = [], []
+    for u in a_users:
+        rows += [(len(rows), u), (len(rows) + 1, u)]
+        vals += [10.0, None]  # one real event + one NULL per A user
+    for u in b_users:
+        rows += [(len(rows), u), (len(rows) + 1, u)]
+        vals += [5.0, 6.0]
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base_ns + i * 1_000_000_000 for i in range(len(rows))], pa.timestamp("ns")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["t"] * len(rows)),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    sf = tmp_path / "sf_null"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+
+    from hadoop_stuff_spark.operators.profile import ab_value_ztest
+
+    (row,) = ab_value_ztest(spark, str(sf)).collect()
+    assert row["n_a"] == 2  # NULLs not counted
+    assert row["mean_a"] == pytest.approx(10.0)  # not shrunk by NULLs
+    assert row["n_b"] == 4
