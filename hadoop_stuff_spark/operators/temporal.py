@@ -1239,3 +1239,58 @@ SELECT event_type, bucket,
 FROM ranked GROUP BY 1, 2
 ORDER BY event_type, bucket
 """
+
+
+def user_activity_span(spark: SparkSession, sf_dir: str, top: int = 50) -> DataFrame:
+    """Per-user lifetime profile: first/last event, span in whole days,
+    distinct ACTIVE days, and events per active day — the engagement
+    table cohort/churn analyses start from (active-day intensity
+    separates "daily user" from "two bursts a year apart", which raw
+    counts and spans both hide). Top ``top`` users by event count
+    (ties: user_id) keep the output bounded; the oracle covers this
+    default.
+
+    Exactness: span uses whole-day date arithmetic (datediff /
+    date_diff on DATE — timezone-free after the shared CAST); intensity
+    is an exact integer ratio rounded once at 6 dp. One hash aggregate
+    on user_id (map-side partial), then TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count_distinct(F.to_date("ts")).alias("active_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "first_ts",
+            "last_ts",
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
+                "span_days"
+            ),
+            "active_days",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.col("active_days"), 6
+            ).alias("events_per_active_day"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(top)
+    )
+
+
+USER_ACTIVITY_SPAN_SQL = """
+SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+       date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+         AS span_days,
+       count(DISTINCT CAST(ts AS DATE)) AS active_days,
+       count(*) AS n_events,
+       round(count(*) * 1.0 / count(DISTINCT CAST(ts AS DATE)), 6)
+         AS events_per_active_day
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 50
+"""

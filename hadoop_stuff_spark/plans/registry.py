@@ -604,6 +604,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "ohlc_event_values": QuerySpec(temporal.ohlc_event_values, temporal.OHLC_SQL),
     "ab_value_ztest": QuerySpec(profile.ab_value_ztest, profile.AB_ZTEST_SQL),
+    "user_activity_span": QuerySpec(
+        temporal.user_activity_span, temporal.USER_ACTIVITY_SPAN_SQL
+    ),
 }
 
 assert all(

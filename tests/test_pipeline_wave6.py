@@ -324,3 +324,29 @@ def test_ab_ztest_null_values_excluded_from_counts(spark, tmp_path):
     assert row["n_a"] == 2  # NULLs not counted
     assert row["mean_a"] == pytest.approx(10.0)  # not shrunk by NULLs
     assert row["n_b"] == 4
+
+
+def test_user_activity_span_hand_computed(spark, tmp_path):
+    """Two bursts a year apart: span 365 days but only 4 active days —
+    the intensity column separates what span and count both hide."""
+    sf = _events_fixture(
+        spark,
+        tmp_path,
+        [
+            ("2025-01-01", 1.0),
+            ("2025-01-01", 1.0),
+            ("2025-01-02", 1.0),
+            ("2026-01-01", 1.0),
+            ("2026-01-01", 1.0),
+            ("2026-01-01", 1.0),
+            ("2026-01-02", 1.0),
+            ("2026-01-02", 1.0),
+        ],
+    )
+    from hadoop_stuff_spark.operators.temporal import user_activity_span
+
+    (r,) = user_activity_span(spark, sf).collect()
+    assert r["span_days"] == 366  # 2025-01-01 -> 2026-01-02
+    assert r["active_days"] == 4
+    assert r["n_events"] == 8
+    assert r["events_per_active_day"] == pytest.approx(2.0)
