@@ -292,7 +292,11 @@ def _curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-QUERIES: dict[str, QuerySpec] = {
+# Catalog half A: the r1-r6 driver window (50 oracle-backed entries, in the
+# declaration order CORRECTNESS_r01-r06 certified) + the rows-only tail.
+# The actual QUERIES/EXTRA_QUERIES split is computed by the rotation block
+# below — do NOT export this dict directly.
+_CATALOG_A: dict[str, QuerySpec] = {
     # -- M0 flagship + reference-parity ops (S/T/A/ST/U ids) -----------------
     "flagship_grep_count": QuerySpec(flagship, FLAGSHIP_SQL),
     "t4_grep_regex": QuerySpec(t4_grep_regex, T4_SQL),
@@ -407,11 +411,12 @@ QUERIES: dict[str, QuerySpec] = {
     "n1_curate_pipeline": QuerySpec(_curate_pipeline, None),
 }
 
-# Oracle-backed queries cut from the driver window (near-duplicates of
-# retained entries — VERDICT r1 #2 asked for consolidation). They remain
-# first-class engine calls, certified locally against DuckDB by
-# tests/test_oracle_parity.py at every pytest run.
-EXTRA_QUERIES: dict[str, QuerySpec] = {
+# Catalog half B: every oracle-backed query added after the r1 window froze
+# (r2-r6 waves), in declaration order. All are certified locally against
+# DuckDB by tests/test_oracle_parity.py at every pytest run; the rotation
+# block below cycles them through the 50-slot driver window so each earns
+# an independent driver CORRECTNESS row.
+_CATALOG_B: dict[str, QuerySpec] = {
     "cube_order_stats": QuerySpec(relational.cube_order_stats, relational.CUBE_SQL),
     "q7_nation_volume_by_year": QuerySpec(
         relational.q7_nation_volume_by_year, relational.Q7_SQL
@@ -609,12 +614,68 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
 }
 
+# --------------------------------------------------------------------------
+# Driver-window rotation (VERDICT r6 #1)
+#
+# The round driver certifies only the FIRST 50 oracle-backed QUERIES entries
+# (hard cap); everything else gets a local tests/test_oracle_parity.py pass,
+# which — however faithful — is self-certification. So the window ROTATES
+# each round: 15 never-rotated anchors (flagship + the SURVEY §2
+# reference-parity ids) + 35 slots cycled through the catalog in declaration
+# order, so every oracle-backed query eventually earns an independent driver
+# CORRECTNESS row.
+#
+# Schedule (cohorts are declaration-order slices):
+#   r1-r6 : the original _CATALOG_A window        → CORRECTNESS_r01..r06
+#   r7    : anchors + cohort A = _CATALOG_B[0:35] → first driver rows for 35
+#   r8    : anchors + cohort B = _CATALOG_B[35:70]
+#   r9    : anchors + cohort C = _CATALOG_B[70:] + displaced _CATALOG_A
+#           queries (oldest driver row first), then round-robin.
+# Rotating = replacing _WINDOW_ROTATION with the next cohort's names; the
+# asserts below keep the 50-slot / oracle-first contract intact.
+
+_ANCHORS = [
+    "flagship_grep_count",
+    "t4_grep_regex",
+    "t5_substring_filter",
+    "t7_a4_record_count",
+    "t1_t3_a1_a3_chunked_count",
+    "t1_t2_gzip_roundtrip",
+    "a5_grouped_count",
+    "st2_st3_wiretap_routing",
+    "t4_multi_pattern_grep",
+    "windowed_event_counts",
+    "sessionized_event_counts",
+    "t9_flow_log_roundtrip",
+    "t9_cdr_parse_agg",
+    "u2_grouped_custom_agg",
+    "u3_expression_predicate",
+]
+
+# r7 window = cohort A: the first 35 _CATALOG_B entries in declaration order.
+_WINDOW_ROTATION = list(_CATALOG_B)[:35]
+
+_ORACLE_CATALOG: dict[str, QuerySpec] = {
+    **{n: s for n, s in _CATALOG_A.items() if s.oracle},
+    **_CATALOG_B,
+}
+_ROWS_ONLY: dict[str, QuerySpec] = {n: s for n, s in _CATALOG_A.items() if not s.oracle}
+
+QUERIES: dict[str, QuerySpec] = {
+    **{n: _ORACLE_CATALOG[n] for n in _ANCHORS + _WINDOW_ROTATION},
+    **_ROWS_ONLY,
+}
+EXTRA_QUERIES: dict[str, QuerySpec] = {
+    n: s for n, s in _ORACLE_CATALOG.items() if n not in QUERIES
+}
+
+assert len(set(_CATALOG_A) & set(_CATALOG_B)) == 0, "catalog halves must not overlap"
 assert all(
     s.oracle for s in EXTRA_QUERIES.values()
 ), "EXTRA_QUERIES is the locally-certified oracle set: every entry needs SQL"
 
 _N_ORACLE_FIRST = 50
-assert (
+assert len(_ANCHORS) + len(_WINDOW_ROTATION) == _N_ORACLE_FIRST and (
     sum(1 for s in QUERIES.values() if s.oracle) == _N_ORACLE_FIRST
     and all(s.oracle for s in list(QUERIES.values())[:_N_ORACLE_FIRST])
 ), "driver window contract broken: first 50 entries must be exactly the oracle-backed set"
