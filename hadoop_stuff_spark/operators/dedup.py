@@ -288,7 +288,13 @@ def edit_distance_pairs(
     corpus scale (many docs share a length window); at 100 TB use this
     as the exact VERIFIER on MinHash/SimHash candidate pairs — same
     role ngram_jaccard_pairs plays — where the banded levenshtein and
-    the one-scan band join are exactly what you want."""
+    the one-scan band join are exactly what you want.
+
+    Oracle note: EDIT_DISTANCE_SQL hardcodes the DEFAULT ``max_dist=16``
+    (the registry-certified configuration) — calls with a different
+    ``max_dist`` are covered by the planted-distance property tests, not
+    the SQL oracle (the same default-only convention
+    rolling_median_event_values and event_gap_report follow)."""
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", F.length("text").alias("len")
     )

@@ -97,21 +97,37 @@ def outlier_orders_by_zscore(
     distribution-shift tripwire a data-quality gate runs per ingest
     batch.
 
-    Plan shape: one shuffle on the class key for the avg/stddev window
+    Exactness (cross-engine convention — ADVICE r6): class stats come
+    from explicit integer-cent sum/sumsq accumulators (decimal-exact, so
+    order-independent — builtin avg/stddev update order is not
+    contractual), and |z| is rounded to 6 dp BEFORE the z_cut comparison
+    on both engines, so a boundary row cannot flip n_outliers between
+    engines or partitionings. Zero-variance / n<2 classes yield NULL z
+    instead of an ANSI divide-by-zero (the engine-wide degenerate-input
+    rule).
+
+    Plan shape: one shuffle on the class key for the windowed sums
     (class stats computed once, streamed past every row — no self-join
     of facts to a stats subquery), then a map-side-partial re-agg to one
-    row per class. At 100 TB the window state per class is two scalars;
-    skewed class sizes don't matter because the window is an aggregate,
-    not a sort."""
+    row per class. At 100 TB the window state per class is three
+    scalars; skewed class sizes don't matter because the window is an
+    aggregate, not a sort."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice")
+    cents = F.round(v * 100, 0).cast("decimal(19,0)")
     w = Window.partitionBy("o_orderpriority")
-    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
-        "o_totalprice"
-    ).over(w)
+    n = F.count(v).over(w)
+    # exact integer sums (cents / cents², decimal — sum of squares at
+    # 100 TB overflows bigint, decimal(38,0) does not), THEN one
+    # deterministic cast to double: both engines see identical operands
+    s = F.sum(cents).over(w).cast("double") / 100.0
+    ss = F.sum(cents * cents).over(w).cast("double") / 10000.0
+    var = (ss - s * s / n) / (n - 1)
+    abs_z = F.when((n >= 2) & (var > 0), F.round(F.abs(v - s / n) / F.sqrt(var), 6))
     return (
-        o.select("o_orderpriority", F.abs(z).alias("abs_z"))
+        o.select("o_orderpriority", abs_z.alias("abs_z"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -123,11 +139,23 @@ def outlier_orders_by_zscore(
 
 
 OUTLIER_ZSCORE_SQL = """
-WITH z AS (
-  SELECT o_orderpriority,
-         abs((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
-             / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority)) AS abs_z
+WITH sums AS (
+  SELECT o_orderpriority, o_totalprice,
+         count(o_totalprice) OVER w AS n,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)) OVER w
+              AS DOUBLE) / 100.0 AS s,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+                  * CAST(round(o_totalprice * 100, 0) AS HUGEINT)) OVER w
+              AS DOUBLE) / 10000.0 AS ss
   FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority)
+), z AS (
+  SELECT o_orderpriority,
+         CASE WHEN n >= 2 AND (ss - s * s / n) / (n - 1) > 0 THEN
+           round(abs(o_totalprice - s / n)
+                 / sqrt((ss - s * s / n) / (n - 1)), 6)
+         END AS abs_z
+  FROM sums
 )
 SELECT o_orderpriority,
        count(*) AS n_orders,
@@ -202,15 +230,25 @@ def histogram_order_values(
     the cost is two scans of one column and a 20-row aggregate — no sort,
     no per-bin passes. The top bound is clamped into the last bin so
     max-valued rows land in bin n_bins-1 rather than a one-row overflow
-    bin."""
+    bin. Degenerate input (min == max, e.g. a constant column or a
+    single-row batch — ADVICE r6) short-circuits every row into bin 0:
+    the unguarded floor((v - lo) / 0.0) is 0/0 = NaN, whose int cast is
+    an ANSI crash on Spark and a cast failure in DuckDB."""
     o = load_table(spark, sf_dir, "orders").select("o_totalprice")
     bounds = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / n_bins
-    bin_id = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(n_bins - 1)
-    ).cast("int")
+    bin_id = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+    )
     agg = (
         o.join(F.broadcast(bounds))
         .select(bin_id.alias("bin"), "lo", "hi")
@@ -234,7 +272,9 @@ HISTOGRAM_SQL = """
 WITH bounds AS (
   SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
 ), binned AS (
-  SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS INTEGER) AS bin,
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+              END AS INTEGER) AS bin,
          lo, hi
   FROM orders CROSS JOIN bounds
 )
@@ -448,11 +488,18 @@ def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (mean_a - mean_b) / sqrt(var_a/n_a + var_b/n_b) — the unequal-
     variance form, the safe default for experiment analysis.
 
-    Exactness: explicit sum/sumsq algebra (no stddev builtins), sqrt is
-    IEEE-exact, all rounded to 6 dp. Event types where either arm has
-    <2 events or both variances are 0 are excluded (the statistic is
-    undefined; under ANSI the division would raise — the engine-wide
-    degenerate-input rule).
+    Exactness: explicit sum/sumsq algebra (no stddev builtins), with
+    the accumulators FIXED-POINTED at micro-unit (1e-6) resolution —
+    round(value·10⁶) as exact decimal integer sums (ADVICE r6: plain
+    double sums are summation-order-dependent across partitionings, and
+    a 6-dp round on the final statistic does not bound accumulated
+    drift for large groups; decimal rather than bigint because the
+    sum of squares overflows int64 at scale). Each exact integer sum is
+    cast to double ONCE, so both engines compute the statistic from
+    bit-identical operands. sqrt is IEEE-exact, all rounded to 6 dp.
+    Event types where either arm has <2 events or both variances are 0
+    are excluded (the statistic is undefined; under ANSI the division
+    would raise — the engine-wide degenerate-input rule).
 
     Scale shape: ONE scan, one hash aggregate on event_type with the
     arm folded in as conditional sums (map-side partial) — adding an
@@ -465,6 +512,7 @@ def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hand-rolled copy, so helper fixes reach this assignment too
     in_a = deterministic_keep("user_id", 0.5, salt="ab1:")
     v = F.col("value")
+    v_fp = F.round(v * 1000000.0, 0).cast("decimal(19,0)")  # micro-units
 
     def _arm(pred, tag):
         # n counts only rows that contribute to the sums: a NULL value
@@ -472,16 +520,20 @@ def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted = pred & v.isNotNull()
         return [
             F.sum(F.when(counted, 1).otherwise(0)).alias(f"{tag}_n"),
-            F.sum(F.when(counted, v).otherwise(0.0)).alias(f"{tag}_s"),
-            F.sum(F.when(counted, v * v).otherwise(0.0)).alias(f"{tag}_ss"),
+            F.sum(F.when(counted, v_fp).otherwise(F.lit(0))).alias(f"{tag}_s"),
+            F.sum(F.when(counted, v_fp * v_fp).otherwise(F.lit(0))).alias(f"{tag}_ss"),
         ]
 
     agg = ev.groupBy("event_type").agg(*_arm(in_a, "a"), *_arm(~in_a, "b"))
     na, nb = F.col("a_n"), F.col("b_n")
-    ma = F.col("a_s") / na
-    mb = F.col("b_s") / nb
-    va = (F.col("a_ss") - F.col("a_s") * F.col("a_s") / na) / (na - 1)
-    vb = (F.col("b_ss") - F.col("b_s") * F.col("b_s") / nb) / (nb - 1)
+    sa = F.col("a_s").cast("double") / 1000000.0
+    sb = F.col("b_s").cast("double") / 1000000.0
+    ssa = F.col("a_ss").cast("double") / 1000000000000.0
+    ssb = F.col("b_ss").cast("double") / 1000000000000.0
+    ma = sa / na
+    mb = sb / nb
+    va = (ssa - sa * sa / na) / (na - 1)
+    vb = (ssb - sb * sb / nb) / (nb - 1)
     se2 = va / na + vb / nb
     return (
         agg.filter((na >= 2) & (nb >= 2))
@@ -507,21 +559,32 @@ WITH t AS (
            AS in_a,
          value
   FROM events
+), fp AS (
+  SELECT event_type, in_a, value,
+         CAST(round(value * 1000000.0, 0) AS HUGEINT) AS v_fp
+  FROM t
 ), agg AS (
   SELECT event_type,
          sum(CASE WHEN in_a AND value IS NOT NULL THEN 1 ELSE 0 END) AS n_a,
-         sum(CASE WHEN in_a AND value IS NOT NULL THEN value ELSE 0.0 END) AS s_a,
-         sum(CASE WHEN in_a AND value IS NOT NULL THEN value * value ELSE 0.0 END) AS ss_a,
+         sum(CASE WHEN in_a AND value IS NOT NULL THEN v_fp ELSE 0 END) AS s_a,
+         sum(CASE WHEN in_a AND value IS NOT NULL THEN v_fp * v_fp ELSE 0 END) AS ss_a,
          sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN 1 ELSE 0 END) AS n_b,
-         sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN value ELSE 0.0 END) AS s_b,
-         sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN value * value ELSE 0.0 END) AS ss_b
-  FROM t GROUP BY event_type
+         sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN v_fp ELSE 0 END) AS s_b,
+         sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN v_fp * v_fp ELSE 0 END) AS ss_b
+  FROM fp GROUP BY event_type
+), dbl AS (
+  SELECT event_type, n_a, n_b,
+         CAST(s_a AS DOUBLE) / 1000000.0 AS sa,
+         CAST(s_b AS DOUBLE) / 1000000.0 AS sb,
+         CAST(ss_a AS DOUBLE) / 1000000000000.0 AS ssa,
+         CAST(ss_b AS DOUBLE) / 1000000000000.0 AS ssb
+  FROM agg WHERE n_a >= 2 AND n_b >= 2
 ), stats AS (
   SELECT event_type, n_a, n_b,
-         s_a / n_a AS ma, s_b / n_b AS mb,
-         (ss_a - s_a * s_a / n_a) / (n_a - 1) AS va,
-         (ss_b - s_b * s_b / n_b) / (n_b - 1) AS vb
-  FROM agg WHERE n_a >= 2 AND n_b >= 2
+         sa / n_a AS ma, sb / n_b AS mb,
+         (ssa - sa * sa / n_a) / (n_a - 1) AS va,
+         (ssb - sb * sb / n_b) / (n_b - 1) AS vb
+  FROM dbl
 )
 SELECT event_type, n_a, n_b,
        round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,

@@ -89,6 +89,7 @@ def route_batch(
     subs: DataFrame,
     record_col: str = "value",
     strategy: str = "literal",
+    max_collect_subs: int = 100_000,
 ) -> DataFrame:
     """One micro-batch of the wiretap fan-out: every record tested against
     every subscription's regex (content-based multicast, ST3 — a record can
@@ -99,16 +100,22 @@ def route_batch(
       plane — tiny by design; ``start_wiretap`` collects it per micro-batch
       anyway) and delegate to :func:`route_batch_literal`, whose patterns
       compile ONCE per codegen chunk. ~10x faster than the join: no
-      per-row Pattern.compile.
+      per-row Pattern.compile. The collect is capped at
+      ``max_collect_subs`` rows (via ``limit``, so the driver never
+      materializes more than the cap + 1 regardless of the frame's true
+      size): a caller that hands a non-control-plane-sized subscriptions
+      frame silently degrades to the join strategy instead of pulling it
+      onto the driver every micro-batch (ADVICE r6).
     - ``"join"``: broadcast nested-loop join with a column-valued regex
       predicate, recompiled per row by the JVM. The escape hatch for a
       subscriptions side that genuinely cannot be collected (regexes
       computed per-row from other columns, or a non-control-plane-sized
       frame)."""
     if strategy == "literal":
-        return route_batch_literal(
-            batch, [r.asDict() for r in subs.collect()], record_col
-        )
+        rows = subs.limit(max_collect_subs + 1).collect()
+        if len(rows) <= max_collect_subs:
+            return route_batch_literal(batch, [r.asDict() for r in rows], record_col)
+        strategy = "join"  # beyond control-plane size: never bake as literals
     if strategy != "join":
         raise ValueError(f"strategy must be 'literal' or 'join', got {strategy!r}")
     joined = batch.join(
