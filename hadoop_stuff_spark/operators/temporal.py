@@ -743,32 +743,78 @@ def ema_event_values(
     the first observation) that windowed aggregates cannot express because
     each step depends on the previous RESULT, not a frame of inputs.
 
-    Distributed shape: the recurrence is sequential only WITHIN a user, so
-    the plan is one shuffle on user_id, an in-row ordered fold
-    (array_sort over (ts, event_id, value) structs → aggregate HOF), and
-    nothing else — each user's history folds independently, which is the
-    correct parallelism at any scale (state per task is bounded by one
-    user's events, the same bound every sessionizer carries). The fold
-    order is total (event_id breaks ts ties), so the float recurrence is
-    deterministic and matches DuckDB's ``list_reduce`` over a
-    ``list(... ORDER BY ts, event_id)`` term by term."""
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("ts", "event_id", "value"))
-        ).alias("h")
+    Distributed shape (VERDICT r6 #2 — the whale-key fix): one shuffle on
+    user_id (``repartition``), a JVM-side secondary sort
+    (``sortWithinPartitions(user_id, ts, event_id)``), then ONE streaming
+    Arrow fold (``mapInPandas``) that walks the sorted partition carrying
+    (n, acc, last) per user across batches. No per-user array is ever
+    materialized: the previous ``collect_list`` fold held one user's
+    ENTIRE history as a single in-row array, which — unlike window state —
+    cannot spill, so one whale key (bot account, 100M events) was an
+    executor OOM / 2 GiB array failure at scale. Now per-task memory is
+    O(distinct users in the partition) × 3 scalars, and the whale's
+    events stream through in bounded Arrow batches.
+
+    Determinism: the sort order is total (event_id breaks ts ties) and
+    the fold applies x·α + acc·(1−α) in that order, term by term — the
+    identical op sequence DuckDB's ``list_reduce`` over
+    ``list(... ORDER BY ts, event_id)`` performs, so the float results
+    are bit-equal before the 4 dp round. A NULL value anywhere in a
+    user's history makes that user's ema NULL (the HOF fold's and
+    list_reduce's shared propagation rule)."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
     )
-    vals = F.transform(F.col("h"), lambda s: s["value"])
-    ema = F.aggregate(
-        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
-        lambda acc, x: x * alpha + acc * (1.0 - alpha),
+    one_minus = 1.0 - alpha
+
+    def fold(batches):
+        # user_id -> [n_events, acc (NaN = NULL-poisoned), last, null_seen]
+        state: dict = {}
+        order: list = []
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            nulls = pdf["value"].isna().to_numpy()
+            for uid, x, is_null in zip(uids, vals, nulls):
+                st = state.get(uid)
+                if st is None:
+                    state[uid] = [1, x, x, bool(is_null)]
+                    order.append(uid)
+                else:
+                    st[0] += 1
+                    st[1] = x * alpha + st[1] * one_minus
+                    st[2] = x
+                    st[3] = st[3] or bool(is_null)
+        if order:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(u) for u in order],
+                    "n_events": [state[u][0] for u in order],
+                    "ema_value": [
+                        None if state[u][3] or math.isnan(state[u][1]) else state[u][1]
+                        for u in order
+                    ],
+                    "last_value": [
+                        None if math.isnan(state[u][2]) else state[u][2]
+                        for u in order
+                    ],
+                }
+            )
+
+    folded = ev.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    ).mapInPandas(
+        fold, "user_id bigint, n_events bigint, ema_value double, last_value double"
     )
-    return per_user.select(
+    return folded.select(
         "user_id",
-        F.size("h").alias("n_events"),
-        F.round(ema, 4).alias("ema_value"),
-        F.round(F.element_at(vals, -1), 4).alias("last_value"),
+        "n_events",
+        F.round("ema_value", 4).alias("ema_value"),
+        F.round("last_value", 4).alias("last_value"),
     ).orderBy("user_id")
 
 

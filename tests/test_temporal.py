@@ -204,3 +204,88 @@ def test_asof_join_plan_single_shuffle(spark, trades_quotes):
     )
     assert "Join" not in plan  # no join operator at all
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ema_whale_user_streams_without_per_user_array(spark, tmp_path):
+    """VERDICT r6 #2 regression: one whale key (1M events) must stream
+    through the sorted-partition fold — the plan carries MapInPandas and
+    NO per-user collect_list array. Constant whale values pin the fold's
+    seed+recurrence exactly (EMA of a constant is the constant); a small
+    user alongside pins the hand-computed recurrence and the tie-free
+    (ts, event_id) order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_stuff_spark.operators.temporal import ema_event_values
+
+    n_whale = 1_000_000
+    base_ns = 1_700_000_000 * 1_000_000_000
+    user_ids = [1] * n_whale + [2, 2, 2]
+    values = [2.5] * n_whale + [1.0, 2.0, 4.0]
+    n = len(user_ids)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base_ns + i * 1_000_000 for i in range(n)], pa.timestamp("ns")
+            ),
+            "user_id": pa.array(user_ids, pa.int64()),
+            "event_type": pa.array(["t"] * n),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf = tmp_path / "sf_whale"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+
+    out_df = ema_event_values(spark, str(sf))
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "collect_list" not in plan, plan  # the whale-OOM shape is gone
+
+    out = {r["user_id"]: r for r in out_df.collect()}
+    assert out[1]["n_events"] == n_whale
+    assert out[1]["ema_value"] == 2.5  # EMA of a constant is the constant
+    assert out[1]["last_value"] == 2.5
+    # hand fold for user 2: 1.0 -> 2*0.25+1*0.75 = 1.25 -> 4*0.25+1.25*0.75
+    assert out[2]["n_events"] == 3
+    assert out[2]["ema_value"] == pytest.approx(1.9375)
+    assert out[2]["last_value"] == 4.0
+
+
+def test_ema_null_value_poisons_user(spark, tmp_path):
+    """A NULL value anywhere in a user's history must make that user's
+    ema NULL (the list_reduce/HOF propagation rule the oracle mirrors),
+    while other users are untouched."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_stuff_spark.operators.temporal import ema_event_values
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    table = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(
+                [base_ns + i * 1_000_000_000 for i in range(5)], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["t"] * 5),
+            "value": pa.array([1.0, None, 3.0, 5.0, 7.0], pa.float64()),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    sf = tmp_path / "sf_emanull"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+
+    out = {r["user_id"]: r for r in ema_event_values(spark, str(sf)).collect()}
+    assert out[1]["ema_value"] is None
+    assert out[1]["n_events"] == 3
+    assert out[1]["last_value"] == 3.0
+    assert out[2]["ema_value"] == pytest.approx(5.5)  # 7*0.25 + 5*0.75
