@@ -342,6 +342,68 @@ def _scaling_audit(spark, sf_dir: str, sf01_medians: dict[str, float]):
     print(f"# scaling worst slope: {out['worst_slope']}", file=sys.stderr)
     if flagged:
         print(f"# scaling FLAGGED super-linear: {flagged}", file=sys.stderr)
+    try:
+        out["extra_decade"] = _extra_decade(spark, sf01_medians, errors)
+    except Exception as exc:  # noqa: BLE001
+        out["extra_decade"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    return out
+
+
+# The steepest headline queries from the r6 three-point grid: three points
+# fit a slope, four expose a bend (VERDICT r6 #6), so these also run at a
+# locally-replicated LARGER sf (scripts/make_scaling_sf.py — 5x sf0.1 via
+# key-remapped fact replication, densities held at sf0.1 levels).
+STEEP = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "copurchase_pairs",
+    "pagerank_copurchase_parts",
+    "n1_containment_pairs",
+    "n1_curate_pipeline",
+]
+
+
+def _extra_decade(spark, sf01_medians: dict[str, float], errors: dict[str, str]):
+    """Fourth scaling point: run the STEEP queries once at the replicated
+    sf0.5 dir and report growth vs the sf0.1 headline median. Data grows
+    5x, so a linear query shows ratio <= ~5; flag above 10 (the same 2x
+    grace the decade grid uses). Skipped quietly if the dir is absent
+    (run scripts/make_scaling_sf.py to create it)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    extra_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_EXTRA", os.path.join(repo, ".scaling", "sf0.5")
+    )
+    if not os.path.isdir(extra_dir):
+        return {"skipped": f"{extra_dir} missing (scripts/make_scaling_sf.py)"}
+    label = os.path.basename(extra_dir.rstrip("/")).removeprefix("sf")
+    data_growth = float(label) / 0.1
+    times: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name in STEEP:
+        fn = ALL_QUERIES[name].fn
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, extra_dir)
+            df.count() if name not in _COLLECT else len(df.collect())
+        except Exception as exc:  # noqa: BLE001
+            errors[f"{name}@sf{label}"] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        times[name] = round(time.perf_counter() - t0, 3)
+        if sf01_medians.get(name):
+            ratios[name] = round(times[name] / sf01_medians[name], 2)
+    flagged = sorted(n for n, r in ratios.items() if r > 2 * data_growth)
+    out = {
+        "dir": extra_dir,
+        "sf": float(label),
+        "data_growth_vs_headline": data_growth,
+        "times": times,
+        "ratio_vs_headline": ratios,
+        "flag_threshold": 2 * data_growth,
+        "flagged_super_linear": flagged,
+    }
+    print(f"# extra decade sf{label}: {ratios}", file=sys.stderr)
+    if flagged:
+        print(f"# extra decade FLAGGED: {flagged}", file=sys.stderr)
     return out
 
 
