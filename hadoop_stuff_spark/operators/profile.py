@@ -592,3 +592,341 @@ SELECT event_type, n_a, n_b,
 FROM stats WHERE va / n_a + vb / n_b > 0
 ORDER BY event_type
 """
+
+
+def corr_price_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between extended price and quantity per
+    returnflag — the feature-relationship scan a profiling pass runs over
+    numeric column pairs before modeling (and the builtin ``corr`` is a
+    float accumulator whose update order is not contractual, so this uses
+    the engine-wide explicit-sums rule instead).
+
+    Exactness: both columns are fixed-pointed at cents (2 dp covers the
+    money column exactly and the integral quantities trivially), and all
+    five accumulators (Σx, Σy, Σxy, Σx², Σy²) are exact decimal integer
+    sums — order-independent, engine-portable. Correlation is scale
+    invariant, so r is computed directly on the cent-scaled integers:
+    each exact sum is cast to double ONCE and combined in a fixed op
+    order on both engines. Zero-variance groups yield NULL (guard > 0,
+    the degenerate-input rule).
+
+    Scale shape: ONE scan, one hash aggregate per group carrying seven
+    numbers — the textbook map-side-combinable correlation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(19,0)")
+    yc = F.round(F.col("l_quantity") * 100, 0).cast("decimal(19,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(xc).alias("_sx"),
+        F.sum(yc).alias("_sy"),
+        F.sum(xc * yc).alias("_sxy"),
+        F.sum(xc * xc).alias("_sxx"),
+        F.sum(yc * yc).alias("_syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    r = F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy))
+    return (
+        agg.select("l_returnflag", "n_rows", F.round(r, 6).alias("pearson_r"))
+        .orderBy("l_returnflag")
+    )
+
+
+CORR_SQL = """
+WITH agg AS (
+  SELECT l_returnflag, count(*) AS n_rows,
+         sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS sx,
+         sum(CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS sy,
+         sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+             * CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS sxy,
+         sum(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_quantity * 100, 0) AS HUGEINT)
+             * CAST(round(l_quantity * 100, 0) AS HUGEINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+), dbl AS (
+  SELECT l_returnflag, n_rows,
+         CAST(n_rows AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+         CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+  FROM agg
+)
+SELECT l_returnflag, n_rows,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         round((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS pearson_r
+FROM dbl
+ORDER BY l_returnflag
+"""
+
+
+def spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount per
+    returnflag — the monotonic-relationship scan that is robust to the
+    heavy ties and non-normal shapes raw Pearson chokes on (discount has
+    a handful of distinct values, the worst case for naive ranking).
+
+    Ties take AVERAGE ranks (the textbook Spearman), computed portably as
+    min-rank + (tie-class size − 1)/2; doubling makes every average rank
+    an INTEGER, so the Pearson-on-ranks accumulators are exact decimal
+    integer sums and correlation's scale invariance erases the doubling.
+
+    Scale shape: two rank windows sort WITHIN each returnflag partition
+    (one hash shuffle, no global sort — the inherent cost of exact
+    Spearman; at petabyte scale swap ranks for approx_percentile-binned
+    grades), then the same one-pass sums as the Pearson profile."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount"
+    )
+
+    def rank2(col: str) -> F.Column:
+        w = Window.partitionBy("l_returnflag").orderBy(F.asc(col))
+        tie = Window.partitionBy("l_returnflag", col)
+        return (2 * F.rank().over(w) + F.count(F.lit(1)).over(tie) - 1).cast(
+            "decimal(19,0)"
+        )
+
+    from pyspark.sql import Window
+
+    ranked = li.select(
+        "l_returnflag", rank2("l_quantity").alias("rx"), rank2("l_discount").alias("ry")
+    )
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("rx").alias("_sx"),
+        F.sum("ry").alias("_sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("_sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("_sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("_syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy))
+    return (
+        agg.select("l_returnflag", "n_rows", F.round(rho, 6).alias("spearman_rho"))
+        .orderBy("l_returnflag")
+    )
+
+
+SPEARMAN_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+           + count(*) OVER (PARTITION BY l_returnflag, l_discount) - 1 AS ry
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag, count(*) AS n_rows,
+         sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+         sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+         sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+         sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+  FROM ranked GROUP BY l_returnflag
+), dbl AS (
+  SELECT l_returnflag, n_rows,
+         CAST(n_rows AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+         CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+  FROM agg
+)
+SELECT l_returnflag, n_rows,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         round((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS spearman_rho
+FROM dbl
+ORDER BY l_returnflag
+"""
+
+
+def chi2_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan of event_type × day-of-week: observed
+    cell counts vs the marginal-product expectation — the categorical
+    drift tripwire that catches "errors spike on Mondays" shapes a
+    per-column profile misses.
+
+    Exactness: O, row/column/grand totals are integer counts; E and each
+    cell's (O−E)²/E are doubles from identical integer operands in a
+    fixed op order. The chi2_total column sums the 6 dp-ROUNDED cell
+    contributions as exact fixed-point integers, so the cross-cell sum
+    is order-independent on both engines. ZERO cells are materialized
+    (observed-types × observed-dows grid, left-joined counts): a fully
+    separated contingency drops half its cells from a naive groupBy and
+    silently understates chi² — caught by the wave's property test.
+
+    Scale shape: one scan to |types|×7 observed cells plus two marginal
+    aggregates; the grid crossJoin multiplies two TINY aggregate frames
+    (|types| × 7 rows) and the window arithmetic runs over the grid —
+    marginals never re-read facts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n_obs"))
+    types = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_row_total"))
+    dows = ev.groupBy("dow").agg(F.count(F.lit(1)).alias("_col_total"))
+    grid = (
+        types.crossJoin(dows)
+        .join(cells, ["event_type", "dow"], "left")
+        .select(
+            "event_type", "dow", "_row_total", "_col_total",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        )
+    )
+    grand = F.sum("n_obs").over(Window.partitionBy())
+    expected = (
+        F.col("_row_total").cast("double")
+        * F.col("_col_total").cast("double")
+        / grand.cast("double")
+    )
+    contrib = F.round(
+        (F.col("n_obs").cast("double") - expected) ** 2 / expected, 6
+    )
+    with_c = grid.select(
+        "event_type", "dow", "n_obs",
+        F.round(expected, 4).alias("expected"),
+        contrib.alias("chi2_contrib"),
+    )
+    total = (
+        F.sum(F.round(F.col("chi2_contrib") * 1000000, 0).cast("long")).over(
+            Window.partitionBy()
+        )
+        / 1000000.0
+    )
+    return with_c.select(
+        "event_type", "dow", "n_obs", "expected", "chi2_contrib",
+        F.round(total, 6).alias("chi2_total"),
+    ).orderBy("event_type", "dow")
+
+
+CHI2_SQL = """
+WITH base AS (
+  SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow FROM events
+), cells AS (
+  SELECT event_type, dow, count(*) AS n_obs FROM base GROUP BY 1, 2
+), types AS (
+  SELECT event_type, count(*) AS row_total FROM base GROUP BY 1
+), dows AS (
+  SELECT dow, count(*) AS col_total FROM base GROUP BY 1
+), grid AS (
+  SELECT t.event_type, d.dow, t.row_total, d.col_total,
+         coalesce(c.n_obs, 0) AS n_obs
+  FROM types t CROSS JOIN dows d
+  LEFT JOIN cells c ON c.event_type = t.event_type AND c.dow = d.dow
+), e AS (
+  SELECT event_type, dow, n_obs,
+         CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+           / CAST(sum(n_obs) OVER () AS DOUBLE) AS expected
+  FROM grid
+), c AS (
+  SELECT event_type, dow, n_obs, expected,
+         round(pow(CAST(n_obs AS DOUBLE) - expected, 2) / expected, 6)
+           AS chi2_contrib
+  FROM e
+)
+SELECT event_type, dow, n_obs, round(expected, 4) AS expected, chi2_contrib,
+       round(sum(CAST(round(chi2_contrib * 1000000, 0) AS BIGINT)) OVER ()
+             / 1000000.0, 6) AS chi2_total
+FROM c
+ORDER BY event_type, dow
+"""
+
+
+def mad_outlier_orders(
+    spark: SparkSession, sf_dir: str, z_cut: float = 3.5
+) -> DataFrame:
+    """Median-absolute-deviation outlier report per priority class — the
+    robust companion to ``outlier_orders_by_zscore``: a few extreme rows
+    inflate the classical stddev and hide themselves (|z| is bounded by
+    (n−1)/√n), while the MAD-based robust z-score
+    0.6745·(x − median)/MAD keeps flagging them.
+
+    Exactness: both medians ride the portable exact-percentile pair
+    (Spark ``percentile`` == DuckDB ``quantile_cont``) and are rounded
+    to 6 dp at the broadcast boundary, so both engines compute
+    deviations from identical constants; the robust z is rounded to
+    6 dp BEFORE the cut (the boundary rule). Zero-MAD classes yield
+    NULL / 0 outliers.
+
+    Scale shape: three scans (the inherent cost of a median OF
+    deviations FROM a median) with the per-class constants broadcast
+    between them — never a fact-side join shuffle; at petabyte scale
+    swap the exact percentiles for approx_percentile."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("med"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    devs = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", "med", "n_orders",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("dev"),
+    )
+    mad = devs.groupBy("o_orderpriority").agg(
+        F.first("med").alias("med"),
+        F.first("n_orders").alias("n_orders"),
+        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"),
+    )
+    rz = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * F.abs(F.col("o_totalprice") - F.col("med")) / F.col("mad"),
+            6,
+        ),
+    )
+    return (
+        o.join(F.broadcast(mad), "o_orderpriority")
+        .select("o_orderpriority", "med", "mad", "n_orders", rz.alias("rz"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("n_orders").alias("n_orders"),
+            F.first("med").alias("median_price"),
+            F.first("mad").alias("mad"),
+            F.sum(F.when(F.col("rz") > z_cut, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max("rz"), 3).alias("max_robust_z"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MAD_OUTLIER_SQL = """
+WITH med AS (
+  SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), mad AS (
+  SELECT o.o_orderpriority, min(m.med) AS med, min(m.n_orders) AS n_orders,
+         round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 6) AS mad
+  FROM orders o JOIN med m USING (o_orderpriority)
+  GROUP BY 1
+), rz AS (
+  SELECT o.o_orderpriority, m.med, m.mad, m.n_orders,
+         CASE WHEN m.mad > 0 THEN
+           round(0.6745 * abs(o.o_totalprice - m.med) / m.mad, 6)
+         END AS rz
+  FROM orders o JOIN mad m USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       CAST(min(n_orders) AS BIGINT) AS n_orders,
+       min(med) AS median_price,
+       min(mad) AS mad,
+       CAST(sum(CASE WHEN rz > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(rz), 3) AS max_robust_z
+FROM rz
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

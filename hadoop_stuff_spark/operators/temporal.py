@@ -1340,3 +1340,57 @@ FROM events GROUP BY user_id
 ORDER BY n_events DESC, user_id
 LIMIT 50
 """
+
+
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per priority class — the trend
+    readout every pipeline dashboard keys on, computed with the exact
+    integer-cent monthly sums (order-independent, engine-portable) and a
+    lag window over the tiny month series.
+
+    Growth is vs the previous OBSERVED month for the class (a gap month
+    simply isn't a row — document-before-use, the resample operator fills
+    calendars when that matters). First observed month has NULL growth.
+    Revenue sums are always positive here, but the > 0 guard still
+    protects the division under ANSI (the degenerate-input rule).
+
+    Scale shape: one scan to |classes|×|months| cells (map-side partial
+    cent sums), then a lag window over the cell table — fact rows never
+    enter a window."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("_cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("_cents").over(w)
+    growth = F.when(
+        prev > 0, F.round((F.col("_cents") - prev).cast("double") / prev, 6)
+    )
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        F.round(F.col("_cents") / 100.0, 2).alias("revenue"),
+        growth.alias("mom_growth"),
+    ).orderBy("o_orderpriority", "month")
+
+
+MOM_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month,
+       round(cents / 100.0, 2) AS revenue,
+       CASE WHEN lag(cents) OVER w > 0 THEN
+         round(CAST(cents - lag(cents) OVER w AS DOUBLE)
+               / lag(cents) OVER w, 6)
+       END AS mom_growth
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+"""

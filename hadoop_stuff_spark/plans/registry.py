@@ -612,6 +612,21 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "user_activity_span": QuerySpec(
         temporal.user_activity_span, temporal.USER_ACTIVITY_SPAN_SQL
     ),
+    # round-7 wave A: statistical profiling (correlation / independence /
+    # robust outliers / trend)
+    "corr_price_quantity": QuerySpec(
+        profile.corr_price_quantity_by_flag, profile.CORR_SQL
+    ),
+    "spearman_quantity_discount": QuerySpec(
+        profile.spearman_quantity_discount, profile.SPEARMAN_SQL
+    ),
+    "chi2_event_type_dow": QuerySpec(profile.chi2_event_type_dow, profile.CHI2_SQL),
+    "mad_outlier_orders": QuerySpec(
+        profile.mad_outlier_orders, profile.MAD_OUTLIER_SQL
+    ),
+    "mom_revenue_growth": QuerySpec(
+        temporal.mom_revenue_growth, temporal.MOM_GROWTH_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -110,6 +110,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "n2_retrieval_mrr",            # broadcast 20-row query set (exact eval baseline)
         "n2_cosine_pair_histogram",    # all-pairs over a deterministic SAMPLE (bounded diagnostic)
         "n3_quantile_normalized_scores",  # 1-row global quantile grid broadcast
+        "chi2_event_type_dow",         # |types| x 7 marginal-grid crossJoin (two tiny aggregates)
     }
     sf = "/root/testdata/sf0.001"
     bad = []
