@@ -1394,3 +1394,184 @@ FROM monthly
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
 ORDER BY o_orderpriority, month
 """
+
+
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics: mean gap, coefficient of
+    variation, and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) — the
+    bot-vs-human separator (metronomic automation drives B toward −1,
+    bursty human sessions toward +1, Poisson arrivals to 0).
+
+    Exactness: gaps are exact integer MICROSECONDS via timestampdiff
+    (``unix_micros`` rejects the TIMESTAMP_NTZ the catalog rebuilds —
+    the round-6 rule), and Σgap / Σgap² are exact decimal integer sums
+    (squares overflow bigint at scale), cast to double once and combined
+    in a fixed op order. Users with <2 gaps or zero mean are excluded
+    (undefined statistic, the degenerate-input rule); σ uses the
+    population form n rather than n−1 so B stays in [−1, 1].
+
+    Scale shape: one shuffle on user_id for the lag window (sort within
+    user only), then one map-side-combinable aggregate per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", F.lag("ts").over(w).alias("_prev"))
+        .select(
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, _prev, ts)").alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    gc = F.col("g").cast("decimal(19,0)")
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(gc).alias("_s"),
+        F.sum(gc * gc).alias("_ss"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mu = s / n
+    var = ss / n - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ok = (F.col("n_gaps") >= 2) & (mu > 0)
+    return (
+        agg.select(
+            "user_id",
+            "n_gaps",
+            F.round(mu / 1000000.0, 4).alias("mean_gap_s"),
+            F.when(ok, F.round(sigma / mu, 6)).alias("cv_gap"),
+            F.when(ok, F.round((sigma - mu) / (sigma + mu), 6)).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS g
+  FROM events
+), agg AS (
+  SELECT user_id, count(*) AS n_gaps,
+         sum(CAST(g AS HUGEINT)) AS s,
+         sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS ss
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+), dbl AS (
+  SELECT user_id, n_gaps,
+         CAST(n_gaps AS DOUBLE) AS n,
+         CAST(s AS DOUBLE) AS s, CAST(ss AS DOUBLE) AS ss
+  FROM agg
+), st AS (
+  SELECT user_id, n_gaps,
+         s / n AS mu,
+         sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sigma
+  FROM dbl
+)
+SELECT user_id, n_gaps,
+       round(mu / 1000000.0, 4) AS mean_gap_s,
+       CASE WHEN n_gaps >= 2 AND mu > 0 THEN round(sigma / mu, 6) END AS cv_gap,
+       CASE WHEN n_gaps >= 2 AND mu > 0 THEN
+         round((sigma - mu) / (sigma + mu), 6)
+       END AS burstiness
+FROM st
+ORDER BY user_id
+"""
+
+
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the user's EARLIEST
+    click-or-view at or before it — the complement of
+    ``asof_purchase_last_click`` (last-touch), and the two reports
+    bracketing every marketing-attribution debate.
+
+    Same union + ordered-window shape as the as-of join (one shuffle on
+    user_id, no join amplification), but carrying ``first_value`` with
+    ignorenulls instead of ``last``: the running FIRST touch needs no
+    re-scan however long the history grows. Touches order before
+    purchases at equal timestamps (≤ semantics, the asof convention).
+    Purchases with no prior touch report 'none'. Hours-to-convert
+    averages exact integer microsecond diffs (fixed-point rule), rounded
+    to 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("_ts"),
+        F.col("event_id").alias("_eid"),
+        F.lit(0).alias("_side"),
+        F.struct("ts", "event_type").alias("_touch"),
+    )
+    from pyspark.sql import types as _T
+
+    touch_t = _T.StructType(
+        [
+            _T.StructField("ts", ev.schema["ts"].dataType),
+            _T.StructField("event_type", _T.StringType()),
+        ]
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("_ts"),
+        F.col("event_id").alias("_eid"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(touch_t).alias("_touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_ts", "_side", "_eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        touches.unionByName(purchases)
+        .select(
+            "user_id", "_ts", "_side",
+            F.first("_touch", ignorenulls=True).over(w).alias("_ft"),
+        )
+        .filter(F.col("_side") == 1)
+    )
+    micros = F.expr("timestampdiff(MICROSECOND, _ft.ts, _ts)")
+    return (
+        carried.select(
+            F.coalesce(F.col("_ft.event_type"), F.lit("none")).alias(
+                "first_touch_type"
+            ),
+            micros.alias("_m"),
+        )
+        .groupBy("first_touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum("_m").cast("double") / F.count("_m") / 3600000000.0, 4
+            ).alias("avg_hours_to_convert"),
+        )
+        .orderBy("first_touch_type")
+    )
+
+
+FIRST_TOUCH_SQL = """
+WITH u AS (
+  SELECT user_id, ts AS _ts, event_id AS _eid, 0 AS _side,
+         ts AS touch_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT user_id, ts, event_id, 1, NULL, NULL
+  FROM events WHERE event_type = 'purchase'
+), carried AS (
+  SELECT user_id, _ts, _side,
+         first_value(touch_ts IGNORE NULLS) OVER w AS ft_ts,
+         first_value(touch_type IGNORE NULLS) OVER w AS ft_type
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY _ts, _side, _eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT coalesce(ft_type, 'none') AS first_touch_type,
+       count(*) AS n_purchases,
+       round(CAST(sum(date_diff('microsecond', ft_ts, _ts)) AS DOUBLE)
+             / count(date_diff('microsecond', ft_ts, _ts))
+             / 3600000000.0, 4) AS avg_hours_to_convert
+FROM carried WHERE _side = 1
+GROUP BY 1
+ORDER BY 1
+"""

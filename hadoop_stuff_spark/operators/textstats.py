@@ -903,3 +903,175 @@ FROM pairs GROUP BY w, c
 ORDER BY n_pairs DESC, w, c
 LIMIT 100
 """
+
+
+def n3_unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence KL(P_source ‖ P_corpus) — the
+    standard "how far does this source's language drift from the mix"
+    score a pretraining-mixture designer reads before reweighting (the
+    same quantity DSIR-style selection builds on, here as a per-source
+    diagnostic).
+
+    Exactness: every p and q is a ratio of integer window-sum counts;
+    each word's term p·ln(p/q) is rounded to 9 dp and summed as exact
+    fixed-point integers, so the cross-word sum is order-independent on
+    both engines (a raw double Σ over a large vocabulary is not). Every
+    source word appears in the corpus by construction, so q > 0 and the
+    log is total.
+
+    Scale shape: one explode → hash aggregate to (source, word) counts;
+    the three totals (per word, per source, grand) are window sums over
+    the COUNT table (vocabulary-sized, never fact rows); output is one
+    row per source."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("word"))
+    counts = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    w_word = Window.partitionBy("word")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    p = F.col("n").cast("double") / F.sum("n").over(w_src).cast("double")
+    q = (
+        F.sum("n").over(w_word).cast("double")
+        / F.sum("n").over(w_all).cast("double")
+    )
+    term_fp = F.round(p * F.log(p / q) * 1000000000, 0).cast("long")
+    per_word = counts.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        term_fp.alias("_t"),
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.round(F.sum("_t") / 1000000000.0, 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+UNIGRAM_KL_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT source, word, count(*) AS n FROM tok GROUP BY 1, 2
+), terms AS (
+  SELECT source, n,
+         CAST(round(
+           (CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE))
+           * ln((CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE))
+                / (CAST(sum(n) OVER (PARTITION BY word) AS DOUBLE)
+                   / CAST(sum(n) OVER () AS DOUBLE)))
+           * 1000000000, 0) AS BIGINT) AS t
+  FROM counts
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS vocab_size,
+       round(sum(t) / 1000000000.0, 6) AS kl_vs_corpus
+FROM terms GROUP BY source
+ORDER BY source
+"""
+
+
+def n3_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax legomena share (words seen exactly once, as a
+    fraction of the source vocabulary) and type-token ratio — the two
+    classic lexical-richness signals: boilerplate-heavy sources show LOW
+    hapax share and TTR, scraped-garbage sources show suspiciously high
+    ones.
+
+    Exactness: pure integer counts; the two ratios are single divisions
+    of exact integers, rounded to 6 dp. Scale shape: explode → one
+    (source, word) hash aggregate → one vocabulary-sized re-aggregate;
+    nothing touches fact rows twice."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("word"))
+    counts = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            "hapax_count",
+            F.round(
+                F.col("hapax_count").cast("double") / F.col("vocab_size"), 6
+            ).alias("hapax_share"),
+            F.round(
+                F.col("vocab_size").cast("double") / F.col("n_tokens"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+HAPAX_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT source, word, count(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS vocab_size,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_share,
+       round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS type_token_ratio
+FROM counts GROUP BY source
+ORDER BY source
+"""
+
+
+def n3_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution: mean length plus the short
+    (≤2 chars) and long (≥10 chars) tails — the quick tokenizer-health
+    readout (a source full of 1-char tokens is OCR noise or a bad
+    splitter; one full of 10+-char tokens is concatenation damage or
+    markup residue).
+
+    Exactness: integer length sums and counts; ratios are single exact
+    divisions rounded to 6 dp. Scale shape: explode feeding ONE
+    map-side-combinable aggregate per source — lengths fold into the
+    partial aggregate, so the shuffle carries five numbers per source."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("_w")).select(
+        "source", F.length("_w").alias("len")
+    )
+    n = F.count(F.lit(1))
+    return (
+        tok.groupBy("source")
+        .agg(
+            n.alias("n_tokens"),
+            F.round(F.sum("len").cast("double") / n, 4).alias("mean_len"),
+            F.round(
+                F.sum(F.when(F.col("len") <= 2, 1).otherwise(0)).cast("double") / n, 6
+            ).alias("short_share"),
+            F.round(
+                F.sum(F.when(F.col("len") >= 10, 1).otherwise(0)).cast("double") / n, 6
+            ).alias("long_share"),
+            F.max("len").alias("max_len"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_LENGTH_SQL = """
+WITH tok AS (
+  SELECT source, length(unnest(string_split(text, ' '))) AS len FROM documents
+)
+SELECT source, count(*) AS n_tokens,
+       round(CAST(sum(len) AS DOUBLE) / count(*), 4) AS mean_len,
+       round(CAST(sum(CASE WHEN len <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS short_share,
+       round(CAST(sum(CASE WHEN len >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS long_share,
+       CAST(max(len) AS INTEGER) AS max_len
+FROM tok GROUP BY source
+ORDER BY source
+"""

@@ -627,6 +627,23 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "mom_revenue_growth": QuerySpec(
         temporal.mom_revenue_growth, temporal.MOM_GROWTH_SQL
     ),
+    # round-7 wave B: lexical drift / richness, behavioral cadence,
+    # first-touch attribution
+    "n3_unigram_kl_by_source": QuerySpec(
+        textstats.n3_unigram_kl_by_source, textstats.UNIGRAM_KL_SQL
+    ),
+    "n3_hapax_ratio_by_source": QuerySpec(
+        textstats.n3_hapax_ratio_by_source, textstats.HAPAX_SQL
+    ),
+    "n3_token_length_profile": QuerySpec(
+        textstats.n3_token_length_profile, textstats.TOKEN_LENGTH_SQL
+    ),
+    "user_burstiness": QuerySpec(
+        temporal.user_burstiness, temporal.USER_BURSTINESS_SQL
+    ),
+    "first_touch_attribution": QuerySpec(
+        temporal.first_touch_attribution, temporal.FIRST_TOUCH_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -211,3 +211,142 @@ def test_mom_growth_hand_computed_with_gap(spark, tmp_path):
     assert out[1]["mom_growth"] == pytest.approx(0.5)
     assert out[2]["mom_growth"] == pytest.approx(-0.5)
     assert [r["revenue"] for r in out] == [100.0, 150.0, 75.0]
+
+
+def _docs_fixture(tmp_path, rows, name="sf_docs"):
+    """(source, text) rows; doc_id/lang/n_chars filled in."""
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[0] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def test_unigram_kl_zero_for_identical_distribution(spark, tmp_path):
+    """Two sources with IDENTICAL unigram distributions: each source's
+    distribution equals the corpus mix, so KL = 0 exactly; a skewed third
+    source gets strictly positive KL (Gibbs' inequality)."""
+    from hadoop_stuff_spark.operators.textstats import n3_unigram_kl_by_source
+
+    same = "a a b c"
+    rows = [("s1", same), ("s2", same)]
+    sf = _docs_fixture(tmp_path, rows, "sf_kl0")
+    out = {r["source"]: r for r in n3_unigram_kl_by_source(spark, sf).collect()}
+    assert out["s1"]["kl_vs_corpus"] == 0.0
+    assert out["s2"]["kl_vs_corpus"] == 0.0
+
+    rows = [("s1", "a a a a"), ("s2", "b b b b"), ("s3", "a b a b")]
+    sf = _docs_fixture(tmp_path, rows, "sf_klpos")
+    out = {r["source"]: r for r in n3_unigram_kl_by_source(spark, sf).collect()}
+    assert out["s1"]["kl_vs_corpus"] > 0
+    assert out["s2"]["kl_vs_corpus"] > 0
+    # s1 and s2 are symmetric mirror images: identical divergence
+    assert out["s1"]["kl_vs_corpus"] == out["s2"]["kl_vs_corpus"]
+    # the mixed source sits closest to the corpus mix
+    assert out["s3"]["kl_vs_corpus"] < out["s1"]["kl_vs_corpus"]
+
+
+def test_hapax_and_ttr_hand_computed(spark, tmp_path):
+    """'a a b c' → vocab 3, hapax {b, c} → share 2/3, TTR 3/4; an
+    all-repeats source → hapax 0."""
+    from hadoop_stuff_spark.operators.textstats import n3_hapax_ratio_by_source
+
+    rows = [("rich", "a a b c"), ("flat", "x x x x")]
+    sf = _docs_fixture(tmp_path, rows, "sf_hapax")
+    out = {r["source"]: r for r in n3_hapax_ratio_by_source(spark, sf).collect()}
+    assert out["rich"]["vocab_size"] == 3
+    assert out["rich"]["hapax_count"] == 2
+    assert out["rich"]["hapax_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["rich"]["type_token_ratio"] == 0.75
+    assert out["flat"]["hapax_count"] == 0
+    assert out["flat"]["type_token_ratio"] == 0.25
+
+
+def test_token_length_profile_hand_computed(spark, tmp_path):
+    """Known token lengths: 'ab a abcdefghij xyz' → mean 4.75, short 2/4,
+    long 1/4, max 10."""
+    from hadoop_stuff_spark.operators.textstats import n3_token_length_profile
+
+    sf = _docs_fixture(tmp_path, [("s", "ab a abcdefghij xyz")], "sf_toklen")
+    (r,) = n3_token_length_profile(spark, sf).collect()
+    assert r["n_tokens"] == 4
+    assert r["mean_len"] == pytest.approx((2 + 1 + 10 + 3) / 4)
+    assert r["short_share"] == 0.5
+    assert r["long_share"] == 0.25
+    assert r["max_len"] == 10
+
+
+def _events_typed_fixture(tmp_path, rows, name="sf_evt"):
+    """(user_id, event_type, second-offset) rows, base epoch + offset s."""
+    base_ns = 1_700_000_000 * 1_000_000_000
+    n = len(rows)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base_ns + int(r[2] * 1_000_000_000) for r in rows],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+    return str(sf)
+
+
+def test_burstiness_metronome_vs_burst(spark, tmp_path):
+    """Perfectly regular gaps → σ=0 → CV 0, B = -1; a bursty user
+    (many tiny gaps + one huge one) → B > 0; single-gap users are
+    excluded from the ratio columns (n_gaps >= 2)."""
+    from hadoop_stuff_spark.operators.temporal import user_burstiness
+
+    rows = (
+        [(1, "t", i * 60.0) for i in range(10)]  # metronome: 60 s gaps
+        + [(2, "t", t) for t in [0, 1, 2, 3, 4, 100000]]  # bursty
+        + [(3, "t", 0.0), (3, "t", 50.0)]  # single gap
+    )
+    sf = _events_typed_fixture(tmp_path, rows, "sf_burst")
+    out = {r["user_id"]: r for r in user_burstiness(spark, sf).collect()}
+    assert out[1]["cv_gap"] == 0.0
+    assert out[1]["burstiness"] == -1.0
+    assert out[1]["mean_gap_s"] == 60.0
+    # B is bounded by (sqrt(n-1)-1)/(sqrt(n-1)+1) = 1/3 at n_gaps=5; the
+    # constructed burst hits that bound to 5 dp
+    assert out[2]["burstiness"] == pytest.approx(1 / 3, abs=1e-4)
+    assert out[3]["n_gaps"] == 1
+    assert out[3]["cv_gap"] is None and out[3]["burstiness"] is None
+
+
+def test_first_touch_vs_last_touch_semantics(spark, tmp_path):
+    """User sees view → click → purchase: FIRST touch credits the view
+    (last-touch would credit the click); a touch AFTER the purchase never
+    counts; a touchless purchaser lands in 'none'."""
+    from hadoop_stuff_spark.operators.temporal import first_touch_attribution
+
+    rows = [
+        (1, "view", 0.0),
+        (1, "click", 3600.0),
+        (1, "purchase", 7200.0),  # first touch = view, 2 h to convert
+        (2, "purchase", 100.0),
+        (2, "click", 200.0),  # too late: after the purchase
+    ]
+    sf = _events_typed_fixture(tmp_path, rows, "sf_touch")
+    out = {r["first_touch_type"]: r for r in first_touch_attribution(spark, sf).collect()}
+    assert set(out) == {"view", "none"}
+    assert out["view"]["n_purchases"] == 1
+    assert out["view"]["avg_hours_to_convert"] == 2.0
+    assert out["none"]["n_purchases"] == 1
+    assert out["none"]["avg_hours_to_convert"] is None
