@@ -880,3 +880,154 @@ SELECT source_a, source_b, count(*) AS n_pairs,
 FROM lab GROUP BY 1, 2 ORDER BY 1, 2
 """
 )
+
+
+def shingle_df_profile(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Shingle document-frequency profile: how many shingles live in each
+    power-of-two df band, and what share of inverted-index postings they
+    carry — the report that SIZES the hot-shingle guard
+    (``ngram_jaccard_pairs``'s ``max_doc_freq``): the top band's postings
+    share is exactly the self-join work the df-cut deletes.
+
+    Exactness: df values are integer counts; the band is floor(log2(df))
+    computed via exact binary STRING length (length(bin(df)) − 1), never
+    float log2 — a power-of-two df on a log2 ulp boundary cannot
+    misband. Shares are single divisions of exact integer window sums,
+    rounded to 6 dp.
+
+    Scale shape: one explode → (shingle, df) hash aggregate (the same
+    shape the dedup index builds), then a ~60-row band table; window
+    totals never re-read the index."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_index(docs, n, max_doc_freq=None)
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    band = (F.length(F.bin(F.col("df"))) - 1).alias("df_band")
+    per_band = dfs.groupBy(band).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("postings"),
+        F.max("df").alias("max_df"),
+    )
+    w_all = Window.partitionBy()
+    return per_band.select(
+        "df_band",
+        (F.pow(F.lit(2.0), F.col("df_band"))).cast("long").alias("band_lo"),
+        "n_shingles",
+        "postings",
+        "max_df",
+        F.round(
+            F.col("postings").cast("double") / F.sum("postings").over(w_all), 6
+        ).alias("postings_share"),
+    ).orderBy("df_band")
+
+
+SHINGLE_DF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )
+         )) AS shingle
+  FROM documents
+), dfs AS (
+  SELECT shingle, count(*) AS df FROM tok GROUP BY 1
+), bands AS (
+  SELECT length(printf('%b', df)) - 1 AS df_band,
+         count(*) AS n_shingles, sum(df) AS postings, max(df) AS max_df
+  FROM dfs GROUP BY 1
+)
+SELECT df_band,
+       CAST(pow(2.0, df_band) AS BIGINT) AS band_lo,
+       n_shingles,
+       CAST(postings AS BIGINT) AS postings,
+       CAST(max_df AS BIGINT) AS max_df,
+       round(CAST(postings AS DOUBLE) / sum(postings) OVER (), 6)
+         AS postings_share
+FROM bands
+ORDER BY df_band
+"""
+
+
+def novelty_curve(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Corpus novelty decay: docs in ingestion order (doc_id), each
+    scored by the share of its distinct shingles FIRST seen in it, then
+    averaged per doc-order decile — the curve that answers "how fast
+    does new data stop being new", i.e. the marginal value of the next
+    crawl batch before any dedup spend.
+
+    Exactness: first-seer is an integer min(doc_id) per shingle (window
+    over the inverted index); each doc's novelty ratio is one exact
+    integer division rounded to 6 dp, and the per-decile average sums
+    those ROUNDED ratios as fixed-point integers (order-independent).
+    The decile cut is ntile over doc_id — total order, both engines.
+
+    Scale shape: explode → shingle-partition window (min carries one
+    bigint per shingle) → per-doc aggregate → decile window over the
+    DOC table. Nothing quadratic; the shingle window is the same
+    shuffle the dedup index pays."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_index(docs, n, max_doc_freq=None)
+    first = F.min("doc_id").over(Window.partitionBy("shingle"))
+    per_doc = (
+        sh.select("doc_id", (F.col("doc_id") == first).alias("_novel"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("_novel"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty")
+        )
+    )
+    decile = F.ntile(10).over(Window.orderBy("doc_id"))
+    return (
+        per_doc.select("novelty", decile.alias("doc_decile"))
+        .groupBy("doc_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("novelty") * 1000000, 0).cast("long"))
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_novelty"),
+        )
+        .orderBy("doc_decile")
+    )
+
+
+NOVELTY_CURVE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )
+         )) AS shingle
+  FROM documents
+), marked AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY shingle) AS novel
+  FROM tok
+), per_doc AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS novelty
+  FROM marked GROUP BY doc_id
+), deciled AS (
+  SELECT novelty, ntile(10) OVER (ORDER BY doc_id) AS doc_decile
+  FROM per_doc
+)
+SELECT doc_decile, count(*) AS n_docs,
+       round(sum(CAST(round(novelty * 1000000, 0) AS BIGINT)) / 1000000.0
+             / count(*), 6) AS avg_novelty
+FROM deciled
+GROUP BY doc_decile
+ORDER BY doc_decile
+"""

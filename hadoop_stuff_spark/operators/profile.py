@@ -930,3 +930,76 @@ FROM rz
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def order_value_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue decile table (the Lorenz-curve companion to the
+    Gini operator): customers ranked by exact total spend, cut into
+    ntile deciles, each reporting its revenue share and the cumulative
+    share — the "top 10% of customers carry X% of revenue" report every
+    growth review opens with.
+
+    Exactness: spend is exact integer cents; shares and the cumulative
+    share are single divisions of exact integer window sums, rounded to
+    6 dp; the decile cut is ntile over a TOTAL order (spend desc,
+    custkey asc), identical on both engines including the
+    remainder-to-front bucket-size rule.
+
+    Scale shape: facts fold to one row per customer (map-side partial
+    cent sums); the ntile window totally orders the CUSTOMER table —
+    key-cardinality, not fact-cardinality (at 100 TB that is still a
+    single-partition sort of |customers| rows; shard it by ranking
+    within hash buckets if customers outgrow one task)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("_cents")
+    )
+    w = Window.orderBy(F.desc("_cents"), F.asc("o_custkey"))
+    deciled = per_cust.select(
+        "_cents", F.ntile(10).over(w).alias("decile")
+    )
+    per_dec = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("_cents").alias("_dec_cents"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("_dec_cents").over(w_all)
+    cum = F.sum("_dec_cents").over(w_cum)
+    return per_dec.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("_dec_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("_dec_cents").cast("double") / total, 6).alias(
+            "revenue_share"
+        ),
+        F.round(cum.cast("double") / total, 6).alias("cum_share"),
+    ).orderBy("decile")
+
+
+DECILE_LIFT_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), deciled AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM per_cust
+), per_dec AS (
+  SELECT decile, count(*) AS n_customers, sum(cents) AS dec_cents
+  FROM deciled GROUP BY 1
+)
+SELECT decile, n_customers,
+       round(dec_cents / 100.0, 2) AS revenue,
+       round(CAST(dec_cents AS DOUBLE) / sum(dec_cents) OVER (), 6)
+         AS revenue_share,
+       round(CAST(sum(dec_cents) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / sum(dec_cents) OVER (), 6) AS cum_share
+FROM per_dec
+ORDER BY decile
+"""

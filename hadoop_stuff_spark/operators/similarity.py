@@ -863,3 +863,115 @@ SELECT bin, CAST(round(-1.0 + bin * 0.1, 1) AS DOUBLE) AS bin_lo,
        count(*) AS n_pairs
 FROM binned GROUP BY bin ORDER BY bin
 """
+
+
+def n2_knn_label_agreement(
+    spark: SparkSession, sf_dir: str, k: int = 5, sample_mod: int = 40
+) -> DataFrame:
+    """Embedding-quality eval: k-NN label agreement — for a deterministic
+    sample of labeled vectors (vec_id % sample_mod == 0), does the
+    majority label of the k nearest cosine neighbors match the vector's
+    own label? The standard no-training probe of whether an embedding
+    space separates the classes it claims to.
+
+    Deterministic end to end: the sample is modular (no RNG), similarity
+    is rounded to 6 dp before ranking with vec_id tie-break (the
+    topk_cosine_bruteforce convention), and the majority vote breaks
+    count ties toward the SMALLEST label. Exact brute-force scoring —
+    the allowlisted broadcast-query-set baseline shape; at corpus scale
+    route the same eval through the IVF index instead.
+
+    Output: one row per true label with its query count and k-NN
+    accuracy (exact integer division, 6 dp)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = broadcast(
+        emb.filter(F.col("vec_id") % sample_mod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            l2_norm("embedding").alias("qnrm"),
+            F.col("label").alias("query_label"),
+        )
+    )
+    corpus = spread(emb).select(
+        "vec_id", "embedding", "label", l2_norm("embedding").alias("nrm")
+    )
+    scored = (
+        corpus.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "label",
+            "vec_id",
+            F.round(
+                dot("qvec", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    votes = topk.groupBy("query_id", "query_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    majority = (
+        votes.withColumn("vrk", F.row_number().over(w_vote))
+        .filter(F.col("vrk") == 1)
+        .select("query_id", "query_label", F.col("label").alias("knn_label"))
+    )
+    return (
+        majority.groupBy(F.col("query_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("knn_label") == F.col("query_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries"), 6
+            ).alias("knn_accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+KNN_LABEL_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec, label AS query_label
+  FROM embeddings WHERE vec_id % 40 = 0
+), scored AS (
+  SELECT q.query_id, q.query_label, e.label, e.vec_id,
+         round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+), votes AS (
+  SELECT query_id, query_label, label, count(*) AS n_votes
+  FROM topk GROUP BY 1, 2, 3
+), majority AS (
+  SELECT query_id, query_label, label AS knn_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY n_votes DESC, label) AS vrk
+    FROM votes
+  ) WHERE vrk = 1
+)
+SELECT query_label AS label, count(*) AS n_queries,
+       CAST(sum(CASE WHEN knn_label = query_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN knn_label = query_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS knn_accuracy
+FROM majority
+GROUP BY 1
+ORDER BY 1
+"""

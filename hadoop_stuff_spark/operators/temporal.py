@@ -1575,3 +1575,63 @@ FROM carried WHERE _side = 1
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users with a 7-row trailing moving average and
+    week-over-week change — the first chart on every product dashboard,
+    and the operational drift tripwire for an event pipeline (a silent
+    ingestion gap shows up as a DAU cliff before anything else).
+
+    Exactness: DAU is an exact per-day COUNT(DISTINCT user_id); the
+    moving average is an integer window sum over up to 7 rows divided
+    once (round 4); WoW change divides exact integers (round 6, NULL
+    when no row 7 back). Both window metrics are over OBSERVED days —
+    a wholly-missing day is absent (lag(7) then reaches 8 days back);
+    resample first when calendar alignment matters.
+
+    Scale shape: one fact scan into a per-day distinct aggregate
+    (two-phase: partial distinct per partition, final per day), then
+    windows over the tiny day series. The global-ordered window sees
+    |days| rows, never facts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.orderBy("day")
+    prev7 = F.lag("dau", 7).over(w)
+    return daily.select(
+        "day",
+        "dau",
+        "n_events",
+        F.round(
+            F.sum("dau").over(w7).cast("double") / F.count(F.lit(1)).over(w7), 4
+        ).alias("dau_ma7"),
+        F.when(
+            prev7 > 0,
+            F.round((F.col("dau") - prev7).cast("double") / prev7, 6),
+        ).alias("wow_change"),
+    ).orderBy("day")
+
+
+DAU_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(DISTINCT user_id) AS dau,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, dau, n_events,
+       round(CAST(sum(dau) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS dau_ma7,
+       CASE WHEN lag(dau, 7) OVER (ORDER BY day) > 0 THEN
+         round(CAST(dau - lag(dau, 7) OVER (ORDER BY day) AS DOUBLE)
+               / lag(dau, 7) OVER (ORDER BY day), 6)
+       END AS wow_change
+FROM daily
+ORDER BY day
+"""

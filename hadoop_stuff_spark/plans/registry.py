@@ -644,6 +644,19 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "first_touch_attribution": QuerySpec(
         temporal.first_touch_attribution, temporal.FIRST_TOUCH_SQL
     ),
+    # round-7 wave C: revenue concentration, dedup-index sizing, embedding
+    # eval, dashboard timeseries, corpus novelty
+    "order_value_decile_lift": QuerySpec(
+        profile.order_value_decile_lift, profile.DECILE_LIFT_SQL
+    ),
+    "n1_shingle_df_profile": QuerySpec(
+        dedup.shingle_df_profile, dedup.SHINGLE_DF_SQL
+    ),
+    "n2_knn_label_agreement": QuerySpec(
+        similarity.n2_knn_label_agreement, similarity.KNN_LABEL_SQL
+    ),
+    "daily_active_users": QuerySpec(temporal.daily_active_users, temporal.DAU_SQL),
+    "n1_novelty_curve": QuerySpec(dedup.novelty_curve, dedup.NOVELTY_CURVE_SQL),
 }
 
 # --------------------------------------------------------------------------

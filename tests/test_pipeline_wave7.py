@@ -350,3 +350,117 @@ def test_first_touch_vs_last_touch_semantics(spark, tmp_path):
     assert out["view"]["avg_hours_to_convert"] == 2.0
     assert out["none"]["n_purchases"] == 1
     assert out["none"]["avg_hours_to_convert"] is None
+
+
+def test_decile_lift_lorenz_properties(spark, sf_dir):
+    """Structural invariants of the Lorenz table: 10 deciles, shares sum
+    to 1, cumulative share is monotone ending at 1, and decile 1 (the
+    biggest spenders) carries at least the uniform share."""
+    from hadoop_stuff_spark.operators.profile import order_value_decile_lift
+
+    rows = order_value_decile_lift(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["revenue_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    cums = [r["cum_share"] for r in rows]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    assert cums[-1] == pytest.approx(1.0, abs=1e-6)
+    assert rows[0]["revenue_share"] >= 0.1  # top decile >= uniform
+
+
+def test_shingle_df_profile_bands_are_exact_log2(spark, tmp_path):
+    """Constructed dfs hit band boundaries exactly: a shingle in 1 doc →
+    band 0, in 2 and 3 docs → band 1, in 4 docs → band 2 — integer
+    binary-length banding, immune to log2 ulp."""
+    from hadoop_stuff_spark.operators.dedup import shingle_df_profile
+
+    # each doc contributes its distinct 3-shingles; craft overlap counts:
+    # 'a b c' appears in 4 docs (band 2); 'x y z' in 2 (band 1);
+    # 'p q r' in 1 (band 0)
+    rows = (
+        [("s", "a b c")] * 4 + [("s", "x y z")] * 2 + [("s", "p q r")]
+    )
+    sf = _docs_fixture(tmp_path, rows, "sf_dfprof")
+    out = {r["df_band"]: r for r in shingle_df_profile(spark, sf).collect()}
+    assert out[0]["n_shingles"] == 1 and out[0]["band_lo"] == 1
+    assert out[1]["n_shingles"] == 1 and out[1]["band_lo"] == 2
+    assert out[2]["n_shingles"] == 1 and out[2]["band_lo"] == 4
+    assert out[2]["max_df"] == 4
+    # postings shares: 1/7, 2/7, 4/7
+    assert out[2]["postings_share"] == pytest.approx(4 / 7, abs=1e-6)
+
+
+def test_novelty_curve_duplicate_tail_scores_zero(spark, tmp_path):
+    """First docs are all-novel (novelty 1); exact copies appended later
+    contribute 0 novelty — the curve must fall to 0 for the copy tail."""
+    from hadoop_stuff_spark.operators.dedup import novelty_curve
+
+    fresh = [("s", f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(0, 40, 4)]
+    copies = [("s", "w0 w1 w2 w3")] * 10  # exact dup of doc 0's shingles
+    sf = _docs_fixture(tmp_path, fresh + copies, "sf_novel")
+    rows = novelty_curve(spark, sf).collect()
+    assert rows[0]["avg_novelty"] == 1.0  # earliest decile: all novel
+    assert rows[-1]["avg_novelty"] == 0.0  # the copy tail: nothing new
+
+
+def test_knn_label_agreement_separable_space(spark, tmp_path):
+    """Perfectly separable toy embedding space (two orthogonal label
+    clusters): k-NN accuracy must be 1.0 for both labels."""
+    import numpy as np
+
+    from hadoop_stuff_spark.operators.similarity import n2_knn_label_agreement
+
+    rng = np.random.default_rng(7)
+    vecs, labels = [], []
+    for i in range(200):
+        lab = i % 2
+        base = np.zeros(8)
+        base[lab * 4] = 10.0  # orthogonal cluster axes
+        vecs.append((base + rng.normal(0, 0.1, 8)).astype(np.float32))
+        labels.append(lab)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    sf = tmp_path / "sf_knn"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "embeddings.parquet"))
+    # sample_mod=3 so the modular sample hits BOTH parity-assigned labels
+    # (the default 40 would only ever sample even ids = label 0 here)
+    out = {
+        r["label"]: r
+        for r in n2_knn_label_agreement(spark, str(sf), sample_mod=3).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["knn_accuracy"] == 1.0
+    assert out[1]["knn_accuracy"] == 1.0
+    assert out[0]["n_queries"] + out[1]["n_queries"] == 67  # ceil(200/3)
+
+
+def test_dau_moving_average_and_wow(spark, tmp_path):
+    """14 contiguous days, DAU doubling in week 2: ma7 averages the
+    trailing window (shorter at the head) and wow_change is exactly 1.0
+    for every week-2 day."""
+    from hadoop_stuff_spark.operators.temporal import daily_active_users
+
+    rows = []
+    uid = 0
+    for d in range(14):
+        day = f"2026-03-{d+2:02d}"
+        n_users = 2 if d < 7 else 4
+        for _ in range(n_users):
+            rows.append((uid, "t", d * 86400.0 + uid * 0.001))
+            uid += 1
+    sf = _events_typed_fixture(tmp_path, rows, "sf_dau")
+    out = daily_active_users(spark, sf).collect()
+    assert len(out) == 14
+    assert all(r["dau"] == 2 for r in out[:7])
+    assert all(r["dau"] == 4 for r in out[7:])
+    assert out[0]["dau_ma7"] == 2.0  # head window of 1
+    assert out[6]["dau_ma7"] == 2.0
+    assert out[13]["dau_ma7"] == 4.0
+    assert all(r["wow_change"] is None for r in out[:7])
+    assert all(r["wow_change"] == 1.0 for r in out[7:])

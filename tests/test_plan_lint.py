@@ -111,6 +111,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "n2_cosine_pair_histogram",    # all-pairs over a deterministic SAMPLE (bounded diagnostic)
         "n3_quantile_normalized_scores",  # 1-row global quantile grid broadcast
         "chi2_event_type_dow",         # |types| x 7 marginal-grid crossJoin (two tiny aggregates)
+        "n2_knn_label_agreement",      # broadcast modular query sample (exact eval baseline)
     }
     sf = "/root/testdata/sf0.001"
     bad = []
