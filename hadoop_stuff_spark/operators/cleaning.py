@@ -158,3 +158,56 @@ WITH dirty AS (
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS fp
 FROM stripped
 """
+
+
+def boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, n: int = 5, min_sources: int = 2, top: int = 20
+) -> DataFrame:
+    """Boilerplate candidates: the word n-grams with the highest document
+    frequency that ALSO span multiple sources — cross-source repetition
+    is the signature of template text (headers, licenses, nav chrome),
+    exactly what a cleaning pass strips before near-dedup so boilerplate
+    doesn't glue unrelated documents together.
+
+    Deterministic: distinct n-grams per doc (an n-gram repeated inside
+    one doc counts once toward df), ties broken by the n-gram string;
+    top-k is a TakeOrderedAndProject, never a global sort. Scale shape:
+    explode → ONE (ngram) hash aggregate carrying (df, n_sources)
+    partials; candidate n-grams above a df floor are vocabulary-scale,
+    not corpus-scale."""
+    from hadoop_stuff_spark.operators.dedup import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(shingles("text", n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_sources") >= min_sources)
+        .orderBy(F.desc("df"), "ngram")
+        .limit(top)
+    )
+
+
+BOILERPLATE_SQL = """
+WITH grams AS (
+  SELECT doc_id, source, unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+           )
+         )) AS ngram
+  FROM documents
+)
+SELECT ngram, count(*) AS df,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM grams
+GROUP BY ngram
+HAVING count(DISTINCT source) >= 2
+ORDER BY df DESC, ngram
+LIMIT 20
+"""

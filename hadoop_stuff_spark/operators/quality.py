@@ -214,3 +214,147 @@ WITH classes AS (
 SELECT k, count(*) AS n_classes, CAST(k * count(*) AS BIGINT) AS n_rows
 FROM classes GROUP BY k ORDER BY k
 """
+
+
+# (child table, child key, parent table, parent key) — the star schema's
+# full FK edge set (TESTDATA.md tables)
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity sweep: every FK edge of the
+    star schema checked for orphaned child rows in one report — the
+    admission gate a warehouse load runs before publishing a snapshot
+    (one silent orphan batch and every downstream join starts dropping
+    revenue rows).
+
+    Plan shape per edge: child LEFT JOIN parent on the key counting
+    NULL parents (the LEFT-join-count form rather than anti-join so ONE
+    pass yields both n_child_rows and n_orphans); dim-sized parents
+    broadcast. Edges are independent single-row aggregates unioned —
+    at 100 TB each is one scan of the child's key column, and the big
+    children (lineitem ×3) could share a scan via conditional counts if
+    profiling demanded it."""
+    parts = []
+    for child_t, ck, parent_t, pk in _FK_EDGES:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t)
+        joined = child.select(F.col(ck)).join(
+            F.broadcast(parent.select(F.col(pk).alias(ck)).distinct()
+                        .withColumn("_hit", F.lit(1))),
+            ck,
+            "left",
+        )
+        parts.append(
+            joined.agg(
+                F.lit(child_t).alias("child_table"),
+                F.lit(ck).alias("fk_column"),
+                F.lit(parent_t).alias("parent_table"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("child_table", "fk_column")
+
+
+_RI_SQL_PARTS = [
+    f"""SELECT '{c}' AS child_table, '{ck}' AS fk_column,
+       '{p}' AS parent_table,
+       count(*) AS n_child_rows,
+       CAST(sum(CASE WHEN par.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM {c} ch LEFT JOIN (SELECT DISTINCT {pk} FROM {p}) par
+  ON ch.{ck} = par.{pk}"""
+    for c, ck, p, pk in _FK_EDGES
+]
+REFERENTIAL_SQL = (
+    "\nUNION ALL\n".join(_RI_SQL_PARTS)
+    + "\nORDER BY child_table, fk_column"
+)
+
+
+# (table, primary key column) — single-column PKs of the catalog tables
+_PK_COLS = [
+    ("customer", "c_custkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("events", "event_id"),
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+]
+
+
+def duplicate_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every catalog table: rows,
+    distinct keys, duplicated keys, and the worst multiplicity — the
+    upstream-double-delivery tripwire (a replayed ingest batch shows up
+    here as max_multiplicity 2 before any downstream join fans out).
+
+    Plan shape per table: ONE hash aggregate on the key (map-side
+    partial, NULL keys grouped like any value) then a single-row
+    re-aggregate with NULL-key rows split into their own column (a NULL
+    PK is its own defect class, not a duplicate) — one scan per table,
+    no driver round-trips; tables are independent unioned aggregates."""
+    parts = []
+    for t, k in _PK_COLS:
+        df = load_table(spark, sf_dir, t)
+        per_key = df.groupBy(k).agg(F.count(F.lit(1)).alias("_m"))
+        kk = F.col(k)
+        parts.append(
+            per_key.agg(
+                F.lit(t).alias("table_name"),
+                F.lit(k).alias("key_column"),
+                F.sum("_m").alias("n_rows"),
+                F.sum(F.when(kk.isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_keys"),
+                F.sum(F.when(kk.isNotNull() & (F.col("_m") > 1), 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup_keys"),
+                F.max(F.when(kk.isNotNull(), F.col("_m"))).alias(
+                    "max_multiplicity"
+                ),
+                F.coalesce(
+                    F.sum(F.when(kk.isNull(), F.col("_m"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_null_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+_DK_SQL_PARTS = [
+    f"""SELECT '{t}' AS table_name, '{k}' AS key_column,
+       CAST(sum(m) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {k} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keys,
+       CAST(sum(CASE WHEN {k} IS NOT NULL AND m > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_keys,
+       CAST(max(CASE WHEN {k} IS NOT NULL THEN m END) AS BIGINT)
+         AS max_multiplicity,
+       CAST(coalesce(sum(CASE WHEN {k} IS NULL THEN m END), 0) AS BIGINT)
+         AS n_null_keys
+FROM (SELECT {k}, count(*) AS m FROM {t} GROUP BY 1)"""
+    for t, k in _PK_COLS
+]
+DUPLICATE_KEY_SQL = (
+    "\nUNION ALL\n".join(_DK_SQL_PARTS) + "\nORDER BY table_name"
+)

@@ -975,3 +975,85 @@ FROM majority
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def n2_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outlier report per label: MAD-based robust z over
+    vector L2 norms — the broken-embedding detector (a failed encode
+    batch lands as near-zero or exploded norms, and the label dimension
+    localizes WHICH class's encoder run went bad).
+
+    Norms are rounded to 6 dp at birth so both engines rank identical
+    values; medians ride the portable exact-percentile pair; robust z is
+    rounded to 6 dp before the 3.5 cut; zero-MAD labels (all-identical
+    norms) yield NULL / 0 outliers. Scale: norms fold map-side, the MAD
+    needs the same three label-broadcast passes as mad_outlier_orders."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = spread(emb).select(
+        "label", F.round(l2_norm("embedding"), 6).alias("nrm")
+    )
+    med = norms.groupBy("label").agg(
+        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("med"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    devs = norms.join(broadcast(med), "label").select(
+        "label", "med", "n_vectors", F.abs(F.col("nrm") - F.col("med")).alias("dev")
+    )
+    mad = devs.groupBy("label").agg(
+        F.first("med").alias("med"),
+        F.first("n_vectors").alias("n_vectors"),
+        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"),
+    )
+    rz = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * F.abs(F.col("nrm") - F.col("med")) / F.col("mad"), 6
+        ),
+    )
+    return (
+        norms.join(broadcast(mad), "label")
+        .select("label", "med", "mad", "n_vectors", rz.alias("rz"))
+        .groupBy("label")
+        .agg(
+            F.first("n_vectors").alias("n_vectors"),
+            F.first("med").alias("median_norm"),
+            F.first("mad").alias("mad"),
+            F.sum(F.when(F.col("rz") > 3.5, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max("rz"), 3).alias("max_robust_z"),
+        )
+        .orderBy("label")
+    )
+
+
+NORM_OUTLIERS_SQL = """
+WITH norms AS (
+  SELECT label,
+         round(sqrt(list_aggregate(
+           list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6) AS nrm
+  FROM embeddings
+), med AS (
+  SELECT label, round(quantile_cont(nrm, 0.5), 6) AS med,
+         count(*) AS n_vectors
+  FROM norms GROUP BY 1
+), mad AS (
+  SELECT n.label, min(m.med) AS med, min(m.n_vectors) AS n_vectors,
+         round(quantile_cont(abs(n.nrm - m.med), 0.5), 6) AS mad
+  FROM norms n JOIN med m USING (label)
+  GROUP BY 1
+), rz AS (
+  SELECT n.label, m.med, m.mad, m.n_vectors,
+         CASE WHEN m.mad > 0 THEN
+           round(0.6745 * abs(n.nrm - m.med) / m.mad, 6)
+         END AS rz
+  FROM norms n JOIN mad m USING (label)
+)
+SELECT label,
+       CAST(min(n_vectors) AS BIGINT) AS n_vectors,
+       min(med) AS median_norm,
+       min(mad) AS mad,
+       CAST(sum(CASE WHEN rz > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(rz), 3) AS max_robust_z
+FROM rz
+GROUP BY label
+ORDER BY label
+"""

@@ -657,6 +657,20 @@ _CATALOG_B: dict[str, QuerySpec] = {
     ),
     "daily_active_users": QuerySpec(temporal.daily_active_users, temporal.DAU_SQL),
     "n1_novelty_curve": QuerySpec(dedup.novelty_curve, dedup.NOVELTY_CURVE_SQL),
+    # round-7 wave D: schema-wide integrity + cleaning candidates +
+    # embedding health
+    "referential_integrity_report": QuerySpec(
+        quality.referential_integrity_report, quality.REFERENTIAL_SQL
+    ),
+    "duplicate_key_report": QuerySpec(
+        quality.duplicate_key_report, quality.DUPLICATE_KEY_SQL
+    ),
+    "n3_boilerplate_ngrams": QuerySpec(
+        cleaning.boilerplate_ngrams, cleaning.BOILERPLATE_SQL
+    ),
+    "n2_norm_outliers": QuerySpec(
+        similarity.n2_norm_outliers, similarity.NORM_OUTLIERS_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

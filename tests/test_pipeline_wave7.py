@@ -464,3 +464,134 @@ def test_dau_moving_average_and_wow(spark, tmp_path):
     assert out[13]["dau_ma7"] == 4.0
     assert all(r["wow_change"] is None for r in out[:7])
     assert all(r["wow_change"] == 1.0 for r in out[7:])
+
+
+def test_referential_integrity_finds_planted_orphans(spark, tmp_path):
+    """A miniature star schema with two planted orphan lineitems (bad
+    orderkey, bad partkey) and one orphan order (bad custkey): each edge
+    reports exactly its own orphans."""
+    sf = tmp_path / "sf_ri"
+    os.makedirs(sf)
+
+    def w(name, cols):
+        pq.write_table(pa.table(cols), str(sf / f"{name}.parquet"))
+
+    w("region", {"r_regionkey": pa.array([0], pa.int32()),
+                 "r_name": pa.array(["r"])})
+    w("nation", {"n_nationkey": pa.array([0], pa.int32()),
+                 "n_regionkey": pa.array([0], pa.int32()),
+                 "n_name": pa.array(["n"])})
+    w("customer", {"c_custkey": pa.array([1, 2], pa.int64()),
+                   "c_nationkey": pa.array([0, 0], pa.int32())})
+    w("supplier", {"s_suppkey": pa.array([1], pa.int64()),
+                   "s_nationkey": pa.array([0], pa.int32())})
+    w("part", {"p_partkey": pa.array([1], pa.int64())})
+    w("orders", {"o_orderkey": pa.array([10, 11], pa.int64()),
+                 "o_custkey": pa.array([1, 99], pa.int64())})  # 99: orphan
+    w("lineitem", {
+        "l_orderkey": pa.array([10, 10, 77], pa.int64()),  # 77: orphan
+        "l_partkey": pa.array([1, 88, 1], pa.int64()),     # 88: orphan
+        "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+    })
+
+    from hadoop_stuff_spark.operators.quality import referential_integrity_report
+
+    out = {
+        (r["child_table"], r["fk_column"]): r
+        for r in referential_integrity_report(spark, str(sf)).collect()
+    }
+    assert out[("lineitem", "l_orderkey")]["n_orphans"] == 1
+    assert out[("lineitem", "l_partkey")]["n_orphans"] == 1
+    assert out[("lineitem", "l_suppkey")]["n_orphans"] == 0
+    assert out[("orders", "o_custkey")]["n_orphans"] == 1
+    assert out[("nation", "n_regionkey")]["n_orphans"] == 0
+    assert all(r["n_child_rows"] > 0 for r in out.values())
+
+
+def test_duplicate_key_report_counts_dups_and_nulls_separately(spark, tmp_path):
+    """Planted double-delivery (one orderkey twice) and a NULL key: the
+    dup count excludes the NULL class and the NULL count excludes dups."""
+    sf = tmp_path / "sf_dk"
+    os.makedirs(sf)
+
+    def w(name, cols):
+        pq.write_table(pa.table(cols), str(sf / f"{name}.parquet"))
+
+    w("orders", {"o_orderkey": pa.array([1, 1, 2, None], pa.int64())})
+    # the other six audited tables: clean single rows
+    w("customer", {"c_custkey": pa.array([1], pa.int64())})
+    w("documents", {"doc_id": pa.array([1], pa.int64())})
+    w("embeddings", {"vec_id": pa.array([1], pa.int64())})
+    w("events", {"event_id": pa.array([1], pa.int64())})
+    w("part", {"p_partkey": pa.array([1], pa.int64())})
+    w("supplier", {"s_suppkey": pa.array([1], pa.int64())})
+
+    from hadoop_stuff_spark.operators.quality import duplicate_key_report
+
+    out = {r["table_name"]: r for r in duplicate_key_report(spark, str(sf)).collect()}
+    o = out["orders"]
+    assert (o["n_rows"], o["n_keys"]) == (4, 2)
+    assert o["n_dup_keys"] == 1
+    assert o["max_multiplicity"] == 2
+    assert o["n_null_keys"] == 1
+    assert out["customer"]["n_dup_keys"] == 0
+
+
+def test_boilerplate_ngrams_cross_source_only(spark, tmp_path):
+    """The shared template 5-gram (in both sources) surfaces; the n-gram
+    repeated many times but confined to ONE source does not."""
+    from hadoop_stuff_spark.operators.cleaning import boilerplate_ngrams
+
+    template = "all rights reserved by corp"
+    rows = (
+        [("s1", f"{template} alpha beta gamma delta")] * 3
+        + [("s2", f"{template} eps zeta eta theta")] * 3
+        + [("s1", "one source only phrase here")] * 5
+    )
+    sf = _docs_fixture(tmp_path, rows, "sf_boiler")
+    out = boilerplate_ngrams(spark, sf).collect()
+    grams = {r["ngram"]: r for r in out}
+    assert template in grams
+    assert grams[template]["df"] == 6
+    assert grams[template]["n_sources"] == 2
+    assert "one source only phrase here" not in grams
+    # top entry is the highest-df cross-source gram
+    assert out[0]["df"] == max(r["df"] for r in out)
+
+
+def test_norm_outliers_flags_broken_embedding(spark, tmp_path):
+    """One near-zero vector among unit-norm vectors of the same label:
+    flagged; a clean label reports 0 with NULL-safe MAD handling."""
+    from hadoop_stuff_spark.operators.similarity import n2_norm_outliers
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs, labels = [], []
+    for i in range(30):
+        v = rng.normal(0, 1, 8)
+        v = v / np.linalg.norm(v) * (1.0 + rng.normal(0, 0.01))
+        vecs.append(v)
+        labels.append(0)
+    vecs.append(np.zeros(8) + 1e-6)  # the broken encode
+    labels.append(0)
+    for i in range(10):
+        v = rng.normal(0, 1, 8)
+        vecs.append(v / np.linalg.norm(v))
+        labels.append(1)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    sf = tmp_path / "sf_norm"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "embeddings.parquet"))
+    out = {r["label"]: r for r in n2_norm_outliers(spark, str(sf)).collect()}
+    assert out[0]["n_outliers"] == 1
+    assert out[0]["median_norm"] == pytest.approx(1.0, abs=0.05)
+    # label 1 is exactly unit-norm: MAD 0 -> NULL z, no crash, 0 outliers
+    assert out[1]["n_outliers"] == 0
