@@ -967,7 +967,11 @@ def novelty_curve(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     Scale shape: explode → shingle-partition window (min carries one
     bigint per shingle) → per-doc aggregate → decile window over the
     DOC table. Nothing quadratic; the shingle window is the same
-    shuffle the dedup index pays."""
+    shuffle the dedup index pays. The decile ntile is a GLOBAL window
+    over the per-doc table — doc-cardinality rows through one sort
+    task (the order_value_decile_lift caveat): at corpus scale, bucket
+    doc_id by range first and rank within buckets, or replace ntile
+    with width_bucket over the known doc_id span."""
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"))

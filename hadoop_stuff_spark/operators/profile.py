@@ -594,6 +594,37 @@ ORDER BY event_type
 """
 
 
+def _corr_sums(x, y) -> list:
+    """The five exact decimal accumulators of a Pearson correlation
+    (Σx, Σy, Σxy, Σx², Σy²) over pre-fixed-pointed integer columns —
+    shared by the Pearson and Spearman (ranks) operators so the
+    certified exactness rules live in ONE place."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    ]
+
+
+def _corr_column():
+    """Correlation from the :func:`_corr_sums` accumulators: each exact
+    integer sum cast to double ONCE, combined in a fixed op order, NULL
+    on zero variance (the degenerate-input rule). Scale-invariant, so
+    fixed-point scaling factors cancel."""
+    n = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy))
+
+
 def corr_price_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between extended price and quantity per
     returnflag — the feature-relationship scan a profiling pass runs over
@@ -615,27 +646,10 @@ def corr_price_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     xc = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(19,0)")
     yc = F.round(F.col("l_quantity") * 100, 0).cast("decimal(19,0)")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(xc).alias("_sx"),
-        F.sum(yc).alias("_sy"),
-        F.sum(xc * yc).alias("_sxy"),
-        F.sum(xc * xc).alias("_sxx"),
-        F.sum(yc * yc).alias("_syy"),
-    )
-    n = F.col("n_rows").cast("double")
-    sx = F.col("_sx").cast("double")
-    sy = F.col("_sy").cast("double")
-    sxy = F.col("_sxy").cast("double")
-    sxx = F.col("_sxx").cast("double")
-    syy = F.col("_syy").cast("double")
-    dx = n * sxx - sx * sx
-    dy = n * syy - sy * sy
-    r = F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy))
-    return (
-        agg.select("l_returnflag", "n_rows", F.round(r, 6).alias("pearson_r"))
-        .orderBy("l_returnflag")
-    )
+    agg = li.groupBy("l_returnflag").agg(*_corr_sums(xc, yc))
+    return agg.select(
+        "l_returnflag", "n_rows", F.round(_corr_column(), 6).alias("pearson_r")
+    ).orderBy("l_returnflag")
 
 
 CORR_SQL = """
@@ -678,12 +692,22 @@ def spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     an INTEGER, so the Pearson-on-ranks accumulators are exact decimal
     integer sums and correlation's scale invariance erases the doubling.
 
+    NULL policy: rows with a NULL in EITHER column are excluded before
+    ranking (pairwise-complete, the statistics-package default) — it
+    also removes the engine divergence where Spark ranks NULLS FIRST
+    and DuckDB NULLS LAST, which would shift every rank by the NULL
+    count.
+
     Scale shape: two rank windows sort WITHIN each returnflag partition
     (one hash shuffle, no global sort — the inherent cost of exact
     Spearman; at petabyte scale swap ranks for approx_percentile-binned
     grades), then the same one-pass sums as the Pearson profile."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_quantity", "l_discount"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount")
+        .filter(
+            F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+        )
     )
 
     def rank2(col: str) -> F.Column:
@@ -699,36 +723,24 @@ def spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", rank2("l_quantity").alias("rx"), rank2("l_discount").alias("ry")
     )
     agg = ranked.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("rx").alias("_sx"),
-        F.sum("ry").alias("_sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("_sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("_sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("_syy"),
+        *_corr_sums(F.col("rx"), F.col("ry"))
     )
-    n = F.col("n_rows").cast("double")
-    sx = F.col("_sx").cast("double")
-    sy = F.col("_sy").cast("double")
-    sxy = F.col("_sxy").cast("double")
-    sxx = F.col("_sxx").cast("double")
-    syy = F.col("_syy").cast("double")
-    dx = n * sxx - sx * sx
-    dy = n * syy - sy * sy
-    rho = F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy))
-    return (
-        agg.select("l_returnflag", "n_rows", F.round(rho, 6).alias("spearman_rho"))
-        .orderBy("l_returnflag")
-    )
+    return agg.select(
+        "l_returnflag", "n_rows", F.round(_corr_column(), 6).alias("spearman_rho")
+    ).orderBy("l_returnflag")
 
 
 SPEARMAN_SQL = """
-WITH ranked AS (
+WITH complete AS (
+  SELECT l_returnflag, l_quantity, l_discount FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+), ranked AS (
   SELECT l_returnflag,
          2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
            + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
          2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
            + count(*) OVER (PARTITION BY l_returnflag, l_discount) - 1 AS ry
-  FROM lineitem
+  FROM complete
 ), agg AS (
   SELECT l_returnflag, count(*) AS n_rows,
          sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
@@ -768,18 +780,18 @@ def chi2_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     separated contingency drops half its cells from a naive groupBy and
     silently understates chi² — caught by the wave's property test.
 
-    Scale shape: one scan to |types|×7 observed cells plus two marginal
-    aggregates; the grid crossJoin multiplies two TINY aggregate frames
-    (|types| × 7 rows) and the window arithmetic runs over the grid —
-    marginals never re-read facts."""
+    Scale shape: ONE fact scan to |types|×7 observed cells; both
+    marginals re-aggregate the CELL table (vocabulary-sized, the
+    unigram-KL convention — facts are never re-read), and the grid
+    crossJoin multiplies the two tiny marginal frames."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.dayofweek("ts").alias("dow")
     )
     cells = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n_obs"))
-    types = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_row_total"))
-    dows = ev.groupBy("dow").agg(F.count(F.lit(1)).alias("_col_total"))
+    types = cells.groupBy("event_type").agg(F.sum("n_obs").alias("_row_total"))
+    dows = cells.groupBy("dow").agg(F.sum("n_obs").alias("_col_total"))
     grid = (
         types.crossJoin(dows)
         .join(cells, ["event_type", "dow"], "left")
@@ -820,9 +832,9 @@ WITH base AS (
 ), cells AS (
   SELECT event_type, dow, count(*) AS n_obs FROM base GROUP BY 1, 2
 ), types AS (
-  SELECT event_type, count(*) AS row_total FROM base GROUP BY 1
+  SELECT event_type, sum(n_obs) AS row_total FROM cells GROUP BY 1
 ), dows AS (
-  SELECT dow, count(*) AS col_total FROM base GROUP BY 1
+  SELECT dow, sum(n_obs) AS col_total FROM cells GROUP BY 1
 ), grid AS (
   SELECT t.event_type, d.dow, t.row_total, d.col_total,
          coalesce(c.n_obs, 0) AS n_obs
@@ -868,38 +880,54 @@ def mad_outlier_orders(
     between them — never a fact-side join shuffle; at petabyte scale
     swap the exact percentiles for approx_percentile."""
     o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    med = o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("med"),
-        F.count(F.lit(1)).alias("n_orders"),
+    return mad_report(
+        o, "o_orderpriority", "o_totalprice",
+        z_cut=z_cut, median_name="median_price", n_name="n_orders",
     )
-    devs = o.join(F.broadcast(med), "o_orderpriority").select(
-        "o_orderpriority", "med", "n_orders",
-        F.abs(F.col("o_totalprice") - F.col("med")).alias("dev"),
+
+
+def mad_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_cut: float = 3.5,
+    median_name: str = "median_value",
+    n_name: str = "n_rows",
+) -> DataFrame:
+    """The shared 3-pass MAD machinery (median → median-of-deviations →
+    robust-z count) behind mad_outlier_orders and n2_norm_outliers: the
+    0.6745 consistency constant, the 6 dp round-before-cut rule, and
+    the zero-MAD NULL policy live HERE once, so a change cannot skew
+    one certified operator and not the other."""
+    g, v = F.col(group_col), F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("med"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    mad = devs.groupBy("o_orderpriority").agg(
+    devs = df.join(F.broadcast(med), group_col).select(
+        g, "med", "_n", F.abs(v - F.col("med")).alias("dev")
+    )
+    mad = devs.groupBy(group_col).agg(
         F.first("med").alias("med"),
-        F.first("n_orders").alias("n_orders"),
+        F.first("_n").alias("_n"),
         F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"),
     )
     rz = F.when(
         F.col("mad") > 0,
-        F.round(
-            F.lit(0.6745) * F.abs(F.col("o_totalprice") - F.col("med")) / F.col("mad"),
-            6,
-        ),
+        F.round(F.lit(0.6745) * F.abs(v - F.col("med")) / F.col("mad"), 6),
     )
     return (
-        o.join(F.broadcast(mad), "o_orderpriority")
-        .select("o_orderpriority", "med", "mad", "n_orders", rz.alias("rz"))
-        .groupBy("o_orderpriority")
+        df.join(F.broadcast(mad), group_col)
+        .select(g, "med", "mad", "_n", rz.alias("rz"))
+        .groupBy(group_col)
         .agg(
-            F.first("n_orders").alias("n_orders"),
-            F.first("med").alias("median_price"),
+            F.first("_n").alias(n_name),
+            F.first("med").alias(median_name),
             F.first("mad").alias("mad"),
             F.sum(F.when(F.col("rz") > z_cut, 1).otherwise(0)).alias("n_outliers"),
             F.round(F.max("rz"), 3).alias("max_robust_z"),
         )
-        .orderBy("o_orderpriority")
+        .orderBy(group_col)
     )
 
 

@@ -238,21 +238,27 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape per edge: child LEFT JOIN parent on the key counting
     NULL parents (the LEFT-join-count form rather than anti-join so ONE
-    pass yields both n_child_rows and n_orphans); dim-sized parents
-    broadcast. Edges are independent single-row aggregates unioned —
-    at 100 TB each is one scan of the child's key column, and the big
-    children (lineitem ×3) could share a scan via conditional counts if
+    pass yields both n_child_rows and n_orphans). Only the genuinely
+    dim-sized parents (nation/region/part/supplier — bounded at any SF)
+    get the broadcast HINT; orders and customer are fact-sized, so
+    their edges go unhinted and AQE picks broadcast vs shuffle from the
+    real size (an unconditional hint would OOM on billions of distinct
+    orderkeys at 100 TB). Edges are independent single-row aggregates
+    unioned — each one scan of the child's key column; the big children
+    (lineitem ×3) could share a scan via conditional counts if
     profiling demanded it."""
+    dim_parents = {"nation", "region", "part", "supplier"}
     parts = []
     for child_t, ck, parent_t, pk in _FK_EDGES:
         child = load_table(spark, sf_dir, child_t)
         parent = load_table(spark, sf_dir, parent_t)
-        joined = child.select(F.col(ck)).join(
-            F.broadcast(parent.select(F.col(pk).alias(ck)).distinct()
-                        .withColumn("_hit", F.lit(1))),
-            ck,
-            "left",
+        keys = (
+            parent.select(F.col(pk).alias(ck)).distinct()
+            .withColumn("_hit", F.lit(1))
         )
+        if parent_t in dim_parents:
+            keys = F.broadcast(keys)
+        joined = child.select(F.col(ck)).join(keys, ck, "left")
         parts.append(
             joined.agg(
                 F.lit(child_t).alias("child_table"),

@@ -882,19 +882,25 @@ def n2_knn_label_agreement(
     route the same eval through the IVF index instead.
 
     Output: one row per true label with its query count and k-NN
-    accuracy (exact integer division, 6 dp)."""
+    accuracy (exact integer division, 6 dp). Zero-norm vectors (failed
+    encodes — what n2_norm_outliers hunts) have no direction: excluded
+    from BOTH sides on BOTH engines, because the unguarded division is
+    an ANSI crash on Spark while DuckDB's list_cosine_similarity
+    silently returns -1.0 (the n2_cosine_pair_histogram rule)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = broadcast(
-        emb.filter(F.col("vec_id") % sample_mod == 0).select(
+        emb.filter(F.col("vec_id") % sample_mod == 0)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
             l2_norm("embedding").alias("qnrm"),
             F.col("label").alias("query_label"),
         )
+        .filter(F.col("qnrm") > 0)
     )
     corpus = spread(emb).select(
         "vec_id", "embedding", "label", l2_norm("embedding").alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     scored = (
         corpus.crossJoin(queries)
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -942,13 +948,18 @@ def n2_knn_label_agreement(
 
 
 KNN_LABEL_SQL = """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec, label AS query_label
-  FROM embeddings WHERE vec_id % 40 = 0
+WITH nz AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec, label
+  FROM embeddings
+  WHERE sqrt(list_aggregate(
+          list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) > 0
+), q AS (
+  SELECT vec_id AS query_id, vec AS qvec, label AS query_label
+  FROM nz WHERE vec_id % 40 = 0
 ), scored AS (
   SELECT q.query_id, q.query_label, e.label, e.vec_id,
-         round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS sim
-  FROM embeddings e CROSS JOIN q
+         round(list_cosine_similarity(q.qvec, e.vec), 6) AS sim
+  FROM nz e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ), topk AS (
   SELECT * FROM (
@@ -986,42 +997,18 @@ def n2_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are rounded to 6 dp at birth so both engines rank identical
     values; medians ride the portable exact-percentile pair; robust z is
     rounded to 6 dp before the 3.5 cut; zero-MAD labels (all-identical
-    norms) yield NULL / 0 outliers. Scale: norms fold map-side, the MAD
-    needs the same three label-broadcast passes as mad_outlier_orders."""
+    norms) yield NULL / 0 outliers. Scale: norms fold map-side; the MAD
+    machinery is the shared :func:`profile.mad_report` (same three
+    label-broadcast passes, constants, and NULL policy as
+    mad_outlier_orders)."""
+    from hadoop_stuff_spark.operators.profile import mad_report
+
     emb = load_table(spark, sf_dir, "embeddings")
     norms = spread(emb).select(
         "label", F.round(l2_norm("embedding"), 6).alias("nrm")
     )
-    med = norms.groupBy("label").agg(
-        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("med"),
-        F.count(F.lit(1)).alias("n_vectors"),
-    )
-    devs = norms.join(broadcast(med), "label").select(
-        "label", "med", "n_vectors", F.abs(F.col("nrm") - F.col("med")).alias("dev")
-    )
-    mad = devs.groupBy("label").agg(
-        F.first("med").alias("med"),
-        F.first("n_vectors").alias("n_vectors"),
-        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"),
-    )
-    rz = F.when(
-        F.col("mad") > 0,
-        F.round(
-            F.lit(0.6745) * F.abs(F.col("nrm") - F.col("med")) / F.col("mad"), 6
-        ),
-    )
-    return (
-        norms.join(broadcast(mad), "label")
-        .select("label", "med", "mad", "n_vectors", rz.alias("rz"))
-        .groupBy("label")
-        .agg(
-            F.first("n_vectors").alias("n_vectors"),
-            F.first("med").alias("median_norm"),
-            F.first("mad").alias("mad"),
-            F.sum(F.when(F.col("rz") > 3.5, 1).otherwise(0)).alias("n_outliers"),
-            F.round(F.max("rz"), 3).alias("max_robust_z"),
-        )
-        .orderBy("label")
+    return mad_report(
+        norms, "label", "nrm", median_name="median_norm", n_name="n_vectors"
     )
 
 

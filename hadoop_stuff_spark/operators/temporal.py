@@ -1537,7 +1537,10 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_ft.event_type"), F.lit("none")).alias(
                 "first_touch_type"
             ),
-            micros.alias("_m"),
+            # decimal sum: ~3.2e13 micros/purchase-year × 1e11 purchases
+            # overflows int64 (ANSI crash) while the oracle's HUGEINT
+            # silently succeeds — the engine-wide decimal-sums rule
+            micros.cast("decimal(19,0)").alias("_m"),
         )
         .groupBy("first_touch_type")
         .agg(

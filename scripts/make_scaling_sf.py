@@ -39,6 +39,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def build(factor: int = 5, force: bool = False) -> str:
+    # factor > 26 would run the per-replica suffix past 'z' into
+    # non-letter chars (which clean_text strips, re-colliding replica
+    # shingles), and factor >= the 64-dim embedding width would make
+    # the rotation wrap to identity (exact duplicate vectors) — both
+    # silently break the replica-independence invariant this script
+    # exists to guarantee.
+    if not 1 <= factor <= 26:
+        raise ValueError(f"factor must be in [1, 26], got {factor}")
     label = round(0.1 * factor, 4)
     out_dir = os.path.join(REPO, ".scaling", f"sf{label}")
     if os.path.isdir(out_dir):

@@ -595,3 +595,57 @@ def test_norm_outliers_flags_broken_embedding(spark, tmp_path):
     assert out[0]["median_norm"] == pytest.approx(1.0, abs=0.05)
     # label 1 is exactly unit-norm: MAD 0 -> NULL z, no crash, 0 outliers
     assert out[1]["n_outliers"] == 0
+
+
+def test_knn_zero_norm_vector_excluded_both_engines(spark, tmp_path):
+    """Review regression (live-repro'd): one all-zero embedding crashed
+    Spark with an ANSI DIVIDE_BY_ZERO while the DuckDB oracle silently
+    returned rows (list_cosine_similarity yields -1.0). Both engines now
+    exclude zero-norm vectors and agree."""
+    import duckdb
+    import numpy as np
+
+    from hadoop_stuff_spark.operators.similarity import (
+        KNN_LABEL_SQL,
+        n2_knn_label_agreement,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [list(map(float, rng.normal(0, 1, 8))) for _ in range(119)]
+    vecs.append([0.0] * 8)  # vec_id 119: the failed encode
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 2 for i in range(120)], pa.int32()),
+        }
+    )
+    sf = tmp_path / "sf_knn0"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "embeddings.parquet"))
+
+    got = sorted(
+        tuple(r) for r in n2_knn_label_agreement(spark, str(sf)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(KNN_LABEL_SQL).fetchall())
+    assert got == want
+    assert got  # queries survived the zero-norm cut
+
+
+def test_scaling_factor_bounds_rejected():
+    """Review regression: factor > 26 would push the replica suffix past
+    'z' into clean_text-stripped chars, re-colliding replica shingles."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from make_scaling_sf import build
+
+    with pytest.raises(ValueError, match="factor"):
+        build(0)
+    with pytest.raises(ValueError, match="factor"):
+        build(27)
