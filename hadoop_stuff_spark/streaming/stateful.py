@@ -398,3 +398,81 @@ def inactivity_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_FIRST_TOUCH_STATE = "first_ts_micros LONG, first_type STRING"
+_FIRST_TOUCH_OUT = (
+    "user_id LONG, purchase_ts TIMESTAMP, first_touch_type STRING, "
+    "hours_to_convert DOUBLE"
+)
+
+
+def _first_touch_fn_factory(touch_types: tuple, conversion_type: str):
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ft_micros, ft_type = state.get
+        else:
+            ft_micros, ft_type = None, None
+        out_ts, out_type, out_hours = [], [], []
+        frames = [pdf for pdf in pdf_iter if len(pdf) > 0]
+        if frames:
+            rows = pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                micros = ts.value // 1000  # pandas ns -> micros
+                if et in touch_types:
+                    if ft_micros is None:
+                        ft_micros, ft_type = micros, et
+                elif et == conversion_type:
+                    out_ts.append(ts)
+                    if ft_micros is None:
+                        out_type.append("none")
+                        out_hours.append(None)
+                    else:
+                        out_type.append(ft_type)
+                        out_hours.append(
+                            round((micros - ft_micros) / 3600000000.0, 4)
+                        )
+        if ft_micros is not None:
+            state.update((int(ft_micros), ft_type))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_ts),
+                    "purchase_ts": out_ts,
+                    "first_touch_type": out_type,
+                    "hours_to_convert": out_hours,
+                }
+            )
+
+    return fn
+
+
+def streaming_first_touch(
+    stream: DataFrame,
+    touch_types: tuple = ("click", "view"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Streaming first-touch attribution: every conversion is emitted the
+    micro-batch it arrives, credited to the user's EARLIEST touch seen so
+    far — the stream twin of ``temporal.first_touch_attribution``, run
+    on-arrival instead of in nightly batch (the state is exactly one
+    (timestamp, type) pair per user, set once and never updated, so it is
+    the cheapest possible keyed state).
+
+    Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    micro-batch, so same-batch out-of-order arrivals resolve correctly;
+    ACROSS batches the stream is assumed event-time ordered per user (an
+    earlier touch arriving after a later one was already recorded cannot
+    retro-apply — first-WRITER-wins, the inherent semantics of any
+    single-pass attribution). With in-order delivery the output equals
+    the batch operator row for row (pinned by the equivalence test)."""
+    projected = stream.select("user_id", "ts", "event_id", "event_type")
+    return projected.groupBy("user_id").applyInPandasWithState(
+        _first_touch_fn_factory(tuple(touch_types), conversion_type),
+        outputStructType=_FIRST_TOUCH_OUT,
+        stateStructType=_FIRST_TOUCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,157 @@
+"""Streaming DQ admission gate + streaming first-touch attribution:
+stream == batch equivalence on file streams fed in event order."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_orders_files(tmp_path, name="orders_in"):
+    """Three parquet files with planted rule violations in file 2."""
+    d = tmp_path / name
+    os.makedirs(d)
+
+    def w(fname, keys, prices, statuses):
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(keys, pa.int64()),
+                    "o_totalprice": pa.array(prices, pa.float64()),
+                    "o_orderstatus": pa.array(statuses),
+                }
+            ),
+            str(d / fname),
+        )
+
+    w("f0.parquet", [1, 2, 3], [10.0, 20.0, 30.0], ["O", "F", "O"])
+    w("f1.parquet", [4, 5], [-5.0, 40.0], ["O", "X"])  # two violations
+    w("f2.parquet", [6], [60.0], ["P"])
+    return str(d)
+
+
+def test_streaming_dq_gate_matches_batch_enforce(spark, tmp_path):
+    from hadoop_stuff_spark.operators.quality import enforce
+    from hadoop_stuff_spark.streaming.quality_gate import (
+        read_gate_side,
+        streaming_dq_gate,
+    )
+
+    src = _write_orders_files(tmp_path)
+    rules = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    schema = "o_orderkey long, o_totalprice double, o_orderstatus string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "gate_out")
+    q = streaming_dq_gate(stream, rules, out, str(tmp_path / "gate_ckpt"))
+    q.awaitTermination(300)
+
+    clean = read_gate_side(spark, out, "clean")
+    quarantine = read_gate_side(spark, out, "quarantine")
+    batch = spark.read.parquet(src)
+    b_clean, b_quar = enforce(batch, rules)
+
+    assert sorted(r["o_orderkey"] for r in clean.collect()) == sorted(
+        r["o_orderkey"] for r in b_clean.collect()
+    )
+    got_q = {r["o_orderkey"]: sorted(r["failed_rules"]) for r in quarantine.collect()}
+    want_q = {r["o_orderkey"]: sorted(r["failed_rules"]) for r in b_quar.collect()}
+    assert got_q == want_q
+    assert got_q == {4: ["positive_price"], 5: ["known_status"]}
+    # nothing dropped: every input row landed on exactly one side
+    assert clean.count() + quarantine.count() == batch.count()
+
+
+def _write_events_files(tmp_path, name="events_in"):
+    """Per-user journeys split across files IN EVENT ORDER (the ordering
+    contract): u1 view→click→purchase, u2 purchase with no touch,
+    u3 click then purchase in a LATER file (state must carry across).
+    The part files live under ``<sf>/events.parquet/`` so the SAME dir
+    serves both the file stream and the batch catalog loader."""
+    sf = tmp_path / name
+    d = sf / "events.parquet"
+    os.makedirs(d)
+    # MICROSECOND timestamps: a schema'd file stream cannot read the
+    # testdata's TIMESTAMP(NANOS) layout (only catalog.load_table's
+    # nanosAsLong rebuild can), and micros round-trip identically on
+    # both the stream and batch paths.
+    base = 1_700_000_000 * 1_000_000
+
+    def w(fname, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [base + int(r[3] * 1e6) for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows]),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(d / fname),
+        )
+
+    w("f0.parquet", [
+        (0, 1, "view", 0.0),
+        (1, 1, "click", 3600.0),
+        (2, 3, "click", 100.0),
+    ])
+    w("f1.parquet", [
+        (3, 1, "purchase", 7200.0),   # credits u1's view, 2 h
+        (4, 2, "purchase", 50.0),     # touchless -> 'none'
+    ])
+    w("f2.parquet", [
+        (5, 3, "purchase", 3700.0),   # credits u3's click from f0: 1 h
+    ])
+    return str(sf), str(d)
+
+
+def test_streaming_first_touch_matches_batch(spark, tmp_path):
+    from hadoop_stuff_spark.operators.temporal import first_touch_attribution
+    from hadoop_stuff_spark.streaming.stateful import streaming_first_touch
+
+    sf, src = _write_events_files(tmp_path)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_first_touch(stream)
+        .writeStream.format("memory")
+        .queryName("ft_stream")
+        .option("checkpointLocation", str(tmp_path / "ft_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["user_id"]: (r["first_touch_type"], r["hours_to_convert"])
+        for r in spark.sql("SELECT * FROM ft_stream").collect()
+    }
+    # per-purchase rows: u1 view@2h (cross-row within user), u2 none,
+    # u3 click@1h with the touch arriving TWO micro-batches earlier
+    assert got == {1: ("view", 2.0), 2: ("none", None), 3: ("click", 1.0)}
+
+    # aggregate equivalence vs the batch operator on the same files
+    batch = first_touch_attribution(spark, sf).collect()
+    want = {r["first_touch_type"]: r for r in batch}
+    assert want["view"]["n_purchases"] == 1
+    assert want["view"]["avg_hours_to_convert"] == 2.0
+    assert want["none"]["n_purchases"] == 1
+    assert want["click"]["avg_hours_to_convert"] == 1.0
