@@ -1035,3 +1035,62 @@ FROM deciled
 GROUP BY doc_decile
 ORDER BY doc_decile
 """
+
+
+def dup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group-size histogram in power-of-two bands: how
+    much of the corpus sits in singletons vs 2-4-copy clusters vs viral
+    blobs — the dedup-ROI report (sum of (size−1) over bands is exactly
+    the row count exact dedup deletes), same integer binary-length
+    banding as :func:`shingle_df_profile`.
+
+    Scale shape: the exact-dedup hash aggregate (fingerprint → size),
+    then a ~60-row band table with window shares."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    groups = (
+        docs.select(fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    band = (F.length(F.bin(F.col("group_size"))) - 1).alias("size_band")
+    per_band = groups.groupBy(band).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+        F.sum(F.col("group_size") - 1).alias("n_removable"),
+    )
+    w_all = Window.partitionBy()
+    return per_band.select(
+        "size_band",
+        F.pow(F.lit(2.0), F.col("size_band")).cast("long").alias("band_lo"),
+        "n_groups",
+        "n_docs",
+        "n_removable",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all), 6
+        ).alias("doc_share"),
+    ).orderBy("size_band")
+
+
+DUP_SIZE_HISTOGRAM_SQL = """
+WITH groups AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         count(*) AS group_size
+  FROM documents GROUP BY 1
+), bands AS (
+  SELECT length(printf('%b', group_size)) - 1 AS size_band,
+         count(*) AS n_groups,
+         sum(group_size) AS n_docs,
+         sum(group_size - 1) AS n_removable
+  FROM groups GROUP BY 1
+)
+SELECT size_band,
+       CAST(pow(2.0, size_band) AS BIGINT) AS band_lo,
+       n_groups,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_removable AS BIGINT) AS n_removable,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share
+FROM bands
+ORDER BY size_band
+"""

@@ -27,7 +27,7 @@ driver collect anywhere; the per-doc reduce is a map-side-combined sum.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.catalog import load_table, spread
@@ -116,4 +116,82 @@ SELECT doc_id, n_bigrams,
        round(s / n_bigrams, 6) AS avg_nll,
        round(exp(s / n_bigrams), 2) AS ppl
 FROM scored
+"""
+
+
+def n3_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram conditional entropy H(w₂|w₁) in bits — the
+    language-model-free fluency signal (natural prose sits in a narrow
+    band; keyword-stuffed or template text collapses toward 0, random
+    token soup inflates toward the unigram entropy). The empirical
+    counts version of what the bigram LM (``n3_bigram_lm_scores``)
+    scores per document, aggregated to a per-source corpus statistic.
+
+    Exactness: every probability is a ratio of integer counts (bigram
+    count / prefix count, both window/aggregate sums); each term
+    p(w₁w₂)·log2 p(w₂|w₁) is rounded to 9 dp and fixed-point-summed, so
+    the cross-bigram sum is order-independent on both engines (the
+    unigram-KL convention).
+
+    Scale shape: one explode → (source, bigram) hash aggregate; prefix
+    totals are a window over the BIGRAM count table (vocabulary², still
+    tiny vs facts); output is one row per source."""
+    from hadoop_stuff_spark.operators.dedup import word_ngrams
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bi = docs.select(
+        "source", F.explode(word_ngrams("text", 2)).alias("bigram")
+    ).select(
+        "source",
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.col("bigram"),
+    )
+    counts = bi.groupBy("source", "w1", "bigram").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    w_prefix = Window.partitionBy("source", "w1")
+    w_src = Window.partitionBy("source")
+    c1 = F.sum("c12").over(w_prefix)
+    total = F.sum("c12").over(w_src)
+    p12 = F.col("c12").cast("double") / total.cast("double")
+    cond = F.col("c12").cast("double") / c1.cast("double")
+    term_fp = F.round(-p12 * F.log2(cond) * 1000000000, 0).cast("long")
+    return (
+        counts.select("source", F.col("c12").alias("n"), term_fp.alias("_t"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.round(F.sum("_t") / 1000000000.0, 6).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+BIGRAM_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+), bi AS (
+  SELECT source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> array_to_string(t[i:i+1], ' ')
+         )) AS bigram
+  FROM toks
+), counts AS (
+  SELECT source, string_split(bigram, ' ')[1] AS w1, bigram,
+         count(*) AS c12
+  FROM bi GROUP BY 1, 2, 3
+), terms AS (
+  SELECT source, c12,
+         CAST(round(
+           -(CAST(c12 AS DOUBLE) / CAST(sum(c12) OVER (PARTITION BY source) AS DOUBLE))
+           * log2(CAST(c12 AS DOUBLE)
+                  / CAST(sum(c12) OVER (PARTITION BY source, w1) AS DOUBLE))
+           * 1000000000, 0) AS BIGINT) AS t
+  FROM counts
+)
+SELECT source, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+       round(sum(t) / 1000000000.0, 6) AS entropy_bits
+FROM terms GROUP BY source
+ORDER BY source
 """

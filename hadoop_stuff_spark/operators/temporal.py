@@ -1638,3 +1638,159 @@ SELECT day, dau, n_events,
 FROM daily
 ORDER BY day
 """
+
+
+def session_path_topk(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, top: int = 20
+) -> DataFrame:
+    """Most-travelled session paths: each session's event types joined in
+    (ts, event_id) order into a '>' path string, counted across the
+    corpus — the path-mining readout behind every "where do users go
+    after signup" question, built on THE shared gaps-and-islands
+    sessionizer (:func:`sessionize`).
+
+    Deterministic: the in-session order is total (event_id breaks ts
+    ties) via array_sort over (ts, event_id, type) structs; top-k is a
+    TakeOrderedAndProject (count desc, path asc), never a global sort.
+
+    Scale shape: the sessionizer's one shuffle on user_id, a per-session
+    collect bounded by session length (the gap bound every sessionizer
+    carries — a session cannot outgrow its silence threshold), then a
+    path-cardinality hash aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(ev, gap_minutes=gap_minutes)
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    paths = s.groupBy("user_id", "session_id").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .withColumn("path_len", F.size(F.split(F.col("path"), ">")))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top)
+        .select("path", "path_len", "n_sessions")
+    )
+
+
+SESSION_PATH_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM t
+), paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+  FROM s GROUP BY user_id, session_id
+)
+SELECT path,
+       CAST(len(string_split(path, '>')) AS INTEGER) AS path_len,
+       count(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+def weekly_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users grouped by first-activity week, each
+    cohort's purchase revenue accumulated per week-since-signup — the
+    retention economics table (cohort_retention_weekly's money twin).
+
+    Exactness: revenue is micro-unit fixed-point (the events ``value``
+    column's 6 dp contract), cohort week is date_trunc('week') (ISO
+    Monday on both engines), week index is exact integer day-diff / 7,
+    and the running cumulative rides an integer window sum — the only
+    divisions are two exact-integer ratios rounded at the end.
+
+    Scale shape: one fact scan for first-activity (per-user min — hash
+    agg), one for purchases, one join on user_id, then windows over the
+    cohort×week cell table."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("buy_week"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("_micros"),
+    )
+    cells = (
+        buys.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("buy_week", "cohort_week") / 7).cast("int").alias(
+                "week_index"
+            ),
+        )
+        .agg(F.sum("_micros").alias("_rev"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_index",
+            "n_users",
+            F.round(F.col("_rev") / 1000000.0, 2).alias("revenue"),
+            F.round(
+                F.sum("_rev").over(w_cum).cast("double") / 1000000.0
+                / F.col("n_users"),
+                4,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_index")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), sizes AS (
+  SELECT cohort_week, count(*) AS n_users FROM first GROUP BY 1
+), buys AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS buy_week,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS micros
+  FROM events WHERE event_type = 'purchase'
+), cells AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, b.buy_week) / 7 AS INTEGER)
+           AS week_index,
+         sum(b.micros) AS rev
+  FROM buys b JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_index, s.n_users,
+       round(c.rev / 1000000.0, 2) AS revenue,
+       round(CAST(sum(c.rev) OVER (
+               PARTITION BY c.cohort_week ORDER BY c.week_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) / 1000000.0 / s.n_users, 4) AS cum_ltv_per_user
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY c.cohort_week, c.week_index
+"""

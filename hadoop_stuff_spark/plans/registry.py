@@ -671,6 +671,20 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n2_norm_outliers": QuerySpec(
         similarity.n2_norm_outliers, similarity.NORM_OUTLIERS_SQL
     ),
+    # round-7 wave F: path mining, cohort economics, fluency signal,
+    # dedup ROI
+    "session_path_topk": QuerySpec(
+        temporal.session_path_topk, temporal.SESSION_PATH_SQL
+    ),
+    "weekly_cohort_ltv": QuerySpec(
+        temporal.weekly_cohort_ltv, temporal.COHORT_LTV_SQL
+    ),
+    "n3_bigram_entropy_rate": QuerySpec(
+        lm.n3_bigram_entropy_rate, lm.BIGRAM_ENTROPY_SQL
+    ),
+    "n1_dup_group_size_histogram": QuerySpec(
+        dedup.dup_group_size_histogram, dedup.DUP_SIZE_HISTOGRAM_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -649,3 +649,86 @@ def test_scaling_factor_bounds_rejected():
         build(0)
     with pytest.raises(ValueError, match="factor"):
         build(27)
+
+
+def test_session_path_topk_splits_on_gap_and_orders_in_session(spark, tmp_path):
+    """One user, two sessions split by a >30-min gap; paths are built in
+    (ts, event_id) order; counts aggregate across users."""
+    from hadoop_stuff_spark.operators.temporal import session_path_topk
+
+    rows = [
+        (1, "view", 0.0), (1, "click", 60.0), (1, "purchase", 120.0),
+        (1, "view", 10000.0),  # 2nd session: gap >> 30 min
+        (2, "view", 0.0), (2, "click", 60.0), (2, "purchase", 120.0),
+    ]
+    sf = _events_typed_fixture(tmp_path, rows, "sf_paths")
+    out = {r["path"]: r for r in session_path_topk(spark, sf).collect()}
+    assert out["view>click>purchase"]["n_sessions"] == 2
+    assert out["view>click>purchase"]["path_len"] == 3
+    assert out["view"]["n_sessions"] == 1
+
+
+def test_weekly_cohort_ltv_hand_computed(spark, tmp_path):
+    """Two users in one Monday-anchored cohort week; purchases of 10 and
+    30 in week 0 and 20 in week 1 → cum LTV per user 20.0 then 30.0."""
+    from hadoop_stuff_spark.operators.temporal import weekly_cohort_ltv
+
+    # base epoch 1_700_000_000 = Tue 2023-11-14; week starts Mon 11-13
+    rows = [
+        (1, "signup", 0.0),
+        (2, "signup", 3600.0),
+        (1, "purchase", 7200.0),       # week 0
+        (2, "purchase", 86400.0),      # week 0
+        (1, "purchase", 8 * 86400.0),  # week 1
+    ]
+    sf = _events_typed_fixture(tmp_path, rows, "sf_ltv")
+    # the typed fixture writes value=1.0 for all rows; rewrite values
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(f"{sf}/events.parquet")
+    vals = [1.0, 1.0, 10.0, 30.0, 20.0]
+    t = t.set_column(
+        t.schema.get_field_index("value"), "value", pa.array(vals, pa.float64())
+    )
+    pq2.write_table(t, f"{sf}/events.parquet")
+
+    out = weekly_cohort_ltv(spark, sf).collect()
+    assert len(out) == 2
+    w0, w1 = out
+    assert (w0["week_index"], w1["week_index"]) == (0, 1)
+    assert w0["n_users"] == 2
+    assert w0["revenue"] == 40.0
+    assert w0["cum_ltv_per_user"] == 20.0
+    assert w1["revenue"] == 20.0
+    assert w1["cum_ltv_per_user"] == 30.0
+
+
+def test_bigram_entropy_deterministic_vs_branching(spark, tmp_path):
+    """'a b a b ...' has fully deterministic transitions → 0 bits;
+    'a b a c a b a c' branches 50/50 after 'a' → 4/7 bits exactly."""
+    from hadoop_stuff_spark.operators.lm import n3_bigram_entropy_rate
+
+    rows = [("det", "a b a b a b a b"), ("branch", "a b a c a b a c")]
+    sf = _docs_fixture(tmp_path, rows, "sf_ent")
+    out = {r["source"]: r for r in n3_bigram_entropy_rate(spark, sf).collect()}
+    assert out["det"]["entropy_bits"] == 0.0
+    # branch: 7 bigrams, prefix 'a' occurs 4x with H=1 bit, b/c prefixes
+    # deterministic -> total = 4/7
+    assert out["branch"]["n_bigrams"] == 7
+    assert out["branch"]["entropy_bits"] == pytest.approx(4 / 7, abs=1e-6)
+
+
+def test_dup_group_size_histogram_planted_bands(spark, tmp_path):
+    """Group sizes 1, 2, and 4 land in bands 0, 1, 2; n_removable is
+    exactly the dedup deletion count."""
+    from hadoop_stuff_spark.operators.dedup import dup_group_size_histogram
+
+    rows = (
+        [("s", "unique one")] + [("s", "pair text")] * 2 + [("s", "viral text")] * 4
+    )
+    sf = _docs_fixture(tmp_path, rows, "sf_dupsz")
+    out = {r["size_band"]: r for r in dup_group_size_histogram(spark, sf).collect()}
+    assert out[0]["n_groups"] == 1 and out[0]["n_removable"] == 0
+    assert out[1]["n_groups"] == 1 and out[1]["n_removable"] == 1
+    assert out[2]["n_groups"] == 1 and out[2]["n_removable"] == 3
+    assert sum(r["doc_share"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
