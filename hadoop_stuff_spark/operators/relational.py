@@ -1331,3 +1331,114 @@ WITH counts AS (
 SELECT user_id, event_type AS top_event_type, n_events
 FROM ranked WHERE rk = 1 ORDER BY user_id
 """
+
+
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag distribution per priority class: days between
+    order placement and each lineitem's ship date — p50/p90/max plus the
+    share shipped within 30 days, the operational SLA readout an order
+    pipeline alerts on.
+
+    Exactness: lags are exact integer day diffs (datediff — both engines
+    count calendar days); percentiles ride the portable exact pair
+    (percentile == quantile_cont) rounded to 4 dp; the SLA share is one
+    integer division rounded to 6 dp. Scale shape: one join
+    orders⋈lineitem on the order key (the schema's native co-partition —
+    bucket both on orderkey and this is shuffle-free), then one
+    map-side-combinable aggregate per priority."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.expr("percentile(lag_days, 0.5)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(lag_days, 0.9)"), 4).alias("p90_days"),
+            F.max("lag_days").alias("max_days"),
+            F.round(
+                F.sum(F.when(F.col("lag_days") <= 30, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("within_30d_share"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FULFILLMENT_LAG_SQL = """
+WITH lags AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_lineitems,
+       round(quantile_cont(lag_days, 0.5), 4) AS p50_days,
+       round(quantile_cont(lag_days, 0.9), 4) AS p90_days,
+       CAST(max(lag_days) AS INTEGER) AS max_days,
+       round(CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS within_30d_share
+FROM lags
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size histogram: orders bucketed by lineitem count, each
+    bucket reporting order share and exact total basket value — the
+    first-order shape of purchasing behavior (and the fan-out factor
+    every orders⋈lineitem join plan should be sized against).
+
+    Exactness: counts are integers, value is exact integer cents,
+    shares are single divisions of window-summed integers (6 dp).
+    Scale shape: one lineitem aggregate to order grain (map-side cents
+    partials), then a ~7-row bucket table with window shares."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("_cents"),
+    )
+    per_bucket = per_order.groupBy(F.col("n_items").alias("basket_size")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_cents").alias("_bucket_cents"),
+    )
+    w_all = Window.partitionBy()
+    return per_bucket.select(
+        "basket_size",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(w_all), 6
+        ).alias("order_share"),
+        F.round(F.col("_bucket_cents") / 100.0, 2).alias("total_value"),
+    ).orderBy("basket_size")
+
+
+BASKET_SIZE_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS basket_size,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1
+), per_bucket AS (
+  SELECT basket_size, count(*) AS n_orders, sum(cents) AS bucket_cents
+  FROM per_order GROUP BY 1
+)
+SELECT basket_size, n_orders,
+       round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6)
+         AS order_share,
+       round(bucket_cents / 100.0, 2) AS total_value
+FROM per_bucket
+ORDER BY basket_size
+"""

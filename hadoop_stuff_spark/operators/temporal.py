@@ -1794,3 +1794,69 @@ SELECT c.cohort_week, c.week_index, s.n_users,
 FROM cells c JOIN sizes s USING (cohort_week)
 ORDER BY c.cohort_week, c.week_index
 """
+
+
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of per-user gaps between
+    consecutive purchases, summarized per purchase-ordinal (1st→2nd,
+    2nd→3rd, ...) — the retention-curve companion that answers "do repeat
+    buyers speed up or churn out".
+
+    Exactness: gaps are exact integer MICROSECONDS (timestampdiff — the
+    NTZ-safe rule) converted to fractional days only inside the rounded
+    outputs; percentiles ride the portable exact pair. Scale shape: one
+    purchase filter, one lag window within user (hash shuffle on
+    user_id), one small aggregate per ordinal — output rows = max
+    purchases per user."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("ordinal"),
+        F.lag("ts").over(w).alias("_prev"),
+    ).filter(F.col("_prev").isNotNull())
+    gap_days = (
+        F.expr("timestampdiff(MICROSECOND, _prev, ts)").cast("double")
+        / 86400000000.0
+    )
+    return (
+        seq.select((F.col("ordinal") - 1).alias("repeat_number"),
+                   gap_days.alias("gap_days"))
+        .groupBy("repeat_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias(
+                "median_gap_days"
+            ),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 4).alias(
+                "p90_gap_days"
+            ),
+        )
+        .orderBy("repeat_number")
+    )
+
+
+REPEAT_PURCHASE_SQL = """
+WITH p AS (
+  SELECT user_id, ts,
+         row_number() OVER w AS ordinal,
+         lag(ts) OVER w AS prev
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), gaps AS (
+  SELECT ordinal - 1 AS repeat_number,
+         CAST(date_diff('microsecond', prev, ts) AS DOUBLE)
+           / 86400000000.0 AS gap_days
+  FROM p WHERE prev IS NOT NULL
+)
+SELECT repeat_number,
+       count(*) AS n_users,
+       round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+       round(quantile_cont(gap_days, 0.9), 4) AS p90_gap_days
+FROM gaps
+GROUP BY repeat_number
+ORDER BY repeat_number
+"""

@@ -685,6 +685,16 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n1_dup_group_size_histogram": QuerySpec(
         dedup.dup_group_size_histogram, dedup.DUP_SIZE_HISTOGRAM_SQL
     ),
+    # round-7 wave G: order-operations metrics
+    "order_fulfillment_lag": QuerySpec(
+        relational.order_fulfillment_lag, relational.FULFILLMENT_LAG_SQL
+    ),
+    "basket_size_distribution": QuerySpec(
+        relational.basket_size_distribution, relational.BASKET_SIZE_SQL
+    ),
+    "repeat_purchase_interval": QuerySpec(
+        temporal.repeat_purchase_interval, temporal.REPEAT_PURCHASE_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -732,3 +732,80 @@ def test_dup_group_size_histogram_planted_bands(spark, tmp_path):
     assert out[1]["n_groups"] == 1 and out[1]["n_removable"] == 1
     assert out[2]["n_groups"] == 1 and out[2]["n_removable"] == 3
     assert sum(r["doc_share"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_fulfillment_lag_hand_computed(spark, tmp_path):
+    """Three lineitems at 10/20/40 day lags: p50 = 20, max = 40, and the
+    within-30d share counts exactly two of three."""
+    import datetime as dt
+
+    sf = tmp_path / "sf_lag"
+    os.makedirs(sf)
+
+    def day_ns(d):
+        return (
+            int(
+                dt.datetime.strptime(d, "%Y-%m-%d")
+                .replace(tzinfo=dt.timezone.utc)
+                .timestamp()
+            )
+            * 1_000_000_000
+        )
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_orderpriority": pa.array(["P"]),
+                "o_orderdate": pa.array([day_ns("2026-01-01")], pa.timestamp("ns")),
+            }
+        ),
+        str(sf / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 1], pa.int64()),
+                "l_shipdate": pa.array(
+                    [day_ns("2026-01-11"), day_ns("2026-01-21"), day_ns("2026-02-10")],
+                    pa.timestamp("ns"),
+                ),
+            }
+        ),
+        str(sf / "lineitem.parquet"),
+    )
+    from hadoop_stuff_spark.operators.relational import order_fulfillment_lag
+
+    (r,) = order_fulfillment_lag(spark, str(sf)).collect()
+    assert r["p50_days"] == 20.0
+    assert r["max_days"] == 40
+    assert r["within_30d_share"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_basket_size_shares_sum_to_one(spark, sf_dir):
+    from hadoop_stuff_spark.operators.relational import basket_size_distribution
+
+    rows = basket_size_distribution(spark, sf_dir).collect()
+    assert sum(r["order_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert all(r["basket_size"] >= 1 for r in rows)
+    assert all(r["total_value"] > 0 for r in rows)
+
+
+def test_repeat_purchase_interval_ordinals(spark, tmp_path):
+    """User with purchases at days 0, 10, 40: repeat 1 gap = 10 d,
+    repeat 2 gap = 30 d; single-purchase users contribute nothing."""
+    from hadoop_stuff_spark.operators.temporal import repeat_purchase_interval
+
+    rows = [
+        (1, "purchase", 0.0),
+        (1, "purchase", 10 * 86400.0),
+        (1, "purchase", 40 * 86400.0),
+        (2, "purchase", 5.0),  # lone purchase: no gap rows
+        (3, "view", 0.0),      # non-purchase: ignored
+    ]
+    sf = _events_typed_fixture(tmp_path, rows, "sf_repeat")
+    out = {r["repeat_number"]: r for r in repeat_purchase_interval(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["median_gap_days"] == 10.0
+    assert out[2]["median_gap_days"] == 30.0
+    assert out[1]["n_users"] == 1
