@@ -70,6 +70,11 @@ HEADLINE = [
     "n1_containment_pairs",
     "n3_skipgram_cooccurrence",
     "gini_doc_length_by_source",
+    # round-7 wave: schema-wide integrity (7 FK joins), lexical drift
+    # (explode + 3 window totals), revenue concentration (global ntile)
+    "referential_integrity_report",
+    "n3_unigram_kl_by_source",
+    "order_value_decile_lift",
 ]
 
 
