@@ -171,6 +171,27 @@ class Engine:
 
         return enforce(df, rules)
 
+    def audit(self, sf_dir: str) -> dict[str, DataFrame]:
+        """One-call schema-wide integrity audit over a catalog directory:
+        referential integrity across every FK edge, primary-key
+        uniqueness across every table, and the per-column profile of the
+        fact tables — the publish gate a warehouse load runs before
+        flipping a snapshot pointer. Returns the three certified report
+        frames unmaterialized (the caller decides what to collect/land),
+        so composing them costs nothing until an action runs."""
+        from hadoop_stuff_spark.catalog import load_table
+        from hadoop_stuff_spark.operators.profile import profile_table
+        from hadoop_stuff_spark.operators.quality import (
+            duplicate_key_report,
+            referential_integrity_report,
+        )
+
+        return {
+            "referential": referential_integrity_report(self.spark, sf_dir),
+            "duplicate_keys": duplicate_key_report(self.spark, sf_dir),
+            "orders_profile": profile_table(load_table(self.spark, sf_dir, "orders")),
+        }
+
     def distinct_sketches(self, df: DataFrame, lg_k: int = 12) -> DataFrame:
         """Mergeable per-(day,type) HLL sketch table over an events-shaped
         frame (operators/sketches.build_user_sketches)."""

@@ -1075,3 +1075,148 @@ SELECT source, count(*) AS n_tokens,
 FROM tok GROUP BY source
 ORDER BY source
 """
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier against
+    the corpus's labeled ``lang`` column — the eval that turns
+    ``language_id`` from a heuristic into a measured one (and shows
+    exactly where it fails: labels outside its marker set, like zh,
+    can only land in 'und' or a false positive).
+
+    One row per observed (actual, predicted) cell with the count and
+    the share of the actual language's documents (exact integer
+    division, 6 dp — the per-class recall diagonal). Scale: one scan,
+    marker scoring is pure Catalyst array intersection, one
+    cells-sized aggregate + window."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cells = (
+        docs.select(F.col("lang").alias("actual_lang"), T.lang_id("text").alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_actual = Window.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_actual), 6
+        ).alias("actual_share"),
+    ).orderBy("actual_lang", "pred_lang")
+
+
+LANGID_CONFUSION_SQL = """
+WITH t AS (
+  SELECT doc_id, lang AS actual_lang,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, actual_lang,
+    CAST(len(list_intersect(toks, ['der','die','und','von','ist'])) AS INTEGER) AS score_de,
+    CAST(len(list_intersect(toks, ['the','a','of','and','is'])) AS INTEGER) AS score_en,
+    CAST(len(list_intersect(toks, ['el','la','y','de','es'])) AS INTEGER) AS score_es,
+    CAST(len(list_intersect(toks, ['le','la','et','de','est'])) AS INTEGER) AS score_fr
+  FROM t
+), ranked AS (
+  SELECT doc_id, actual_lang, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM (
+    SELECT doc_id, actual_lang, 'de' AS lang, score_de AS score FROM s
+    UNION ALL SELECT doc_id, actual_lang, 'en', score_en FROM s
+    UNION ALL SELECT doc_id, actual_lang, 'es', score_es FROM s
+    UNION ALL SELECT doc_id, actual_lang, 'fr', score_fr FROM s
+  )
+), pred AS (
+  SELECT actual_lang,
+         CASE WHEN score <= 0 THEN 'und' ELSE lang END AS pred_lang
+  FROM ranked WHERE rn = 1
+), cells AS (
+  SELECT actual_lang, pred_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT actual_lang, pred_lang, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / sum(n_docs) OVER (PARTITION BY actual_lang), 6) AS actual_share
+FROM cells
+ORDER BY actual_lang, pred_lang
+"""
+
+
+def dedup_vocab_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup does to the token stream, per source: token and
+    vocabulary counts before vs after keeping one copy (min doc_id) per
+    normalized fingerprint, plus the removed-token share — the
+    measurement behind "dedup deleted X% of the tokens but only Y% of
+    the vocabulary" (duplicates repeat tokens, they rarely carry unique
+    ones).
+
+    Exactness: pure integer counts; one share division, 6 dp. Scale:
+    the dedup hash aggregate (fingerprint → keeper), one semi-join of
+    docs to keepers, two explode → count passes — all map-side
+    combinable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keep = (
+        docs.select("doc_id", T.fingerprint_md5("text").alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    tok_all = docs.select("source", F.explode(T.tokens("text")).alias("word"))
+    kept = docs.join(keep, "doc_id", "left_semi")
+    tok_kept = kept.select("source", F.explode(T.tokens("text")).alias("word"))
+    before = tok_all.groupBy("source").agg(
+        F.count(F.lit(1)).alias("tokens_before"),
+        F.countDistinct("word").alias("vocab_before"),
+    )
+    after = tok_kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("tokens_after"),
+        F.countDistinct("word").alias("vocab_after"),
+    )
+    return (
+        before.join(after, "source")
+        .select(
+            "source",
+            "tokens_before",
+            "tokens_after",
+            "vocab_before",
+            "vocab_after",
+            F.round(
+                (F.col("tokens_before") - F.col("tokens_after")).cast("double")
+                / F.col("tokens_before"),
+                6,
+            ).alias("token_removal_share"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_VOCAB_IMPACT_SQL = """
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents)
+  GROUP BY fp
+), tok_all AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), tok_kept AS (
+  SELECT d.source, unnest(string_split(d.text, ' ')) AS word
+  FROM documents d SEMI JOIN keep k ON d.doc_id = k.doc_id
+), before AS (
+  SELECT source, count(*) AS tokens_before,
+         count(DISTINCT word) AS vocab_before
+  FROM tok_all GROUP BY 1
+), after AS (
+  SELECT source, count(*) AS tokens_after,
+         count(DISTINCT word) AS vocab_after
+  FROM tok_kept GROUP BY 1
+)
+SELECT source, tokens_before, tokens_after, vocab_before, vocab_after,
+       round(CAST(tokens_before - tokens_after AS DOUBLE) / tokens_before, 6)
+         AS token_removal_share
+FROM before JOIN after USING (source)
+ORDER BY source
+"""

@@ -695,6 +695,13 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "repeat_purchase_interval": QuerySpec(
         temporal.repeat_purchase_interval, temporal.REPEAT_PURCHASE_SQL
     ),
+    # round-7 wave H: classifier eval + dedup impact measurement
+    "langid_confusion_matrix": QuerySpec(
+        textstats.langid_confusion_matrix, textstats.LANGID_CONFUSION_SQL
+    ),
+    "n1_dedup_vocab_impact": QuerySpec(
+        textstats.dedup_vocab_impact, textstats.DEDUP_VOCAB_IMPACT_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -809,3 +809,65 @@ def test_repeat_purchase_interval_ordinals(spark, tmp_path):
     assert out[1]["median_gap_days"] == 10.0
     assert out[2]["median_gap_days"] == 30.0
     assert out[1]["n_users"] == 1
+
+
+def test_langid_confusion_known_languages(spark, tmp_path):
+    """Constructed docs in the classifier's marker languages land on the
+    diagonal; a language outside its marker set (zh-labeled doc with no
+    markers) can only predict 'und' — the honest failure mode."""
+    from hadoop_stuff_spark.operators.textstats import langid_confusion_matrix
+
+    rows = [
+        ("en", "the cat is of the house and a dog"),
+        ("en", "a list of the items and the rest is here"),
+        ("de", "der hund ist von der frau und die katze"),
+        ("zh", "zhongwen wenben meiyou biaoji cihui"),
+    ]
+    # _docs_fixture signature is (source, text); build a lang-typed table
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[0] for r in rows]),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf_conf"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "documents.parquet"))
+    out = {
+        (r["actual_lang"], r["pred_lang"]): r
+        for r in langid_confusion_matrix(spark, str(sf)).collect()
+    }
+    assert out[("en", "en")]["n_docs"] == 2
+    assert out[("en", "en")]["actual_share"] == 1.0
+    assert out[("de", "de")]["n_docs"] == 1
+    assert ("zh", "und") in out  # outside the marker set: honest 'und'
+
+
+def test_dedup_vocab_impact_duplicates_remove_tokens_not_vocab(spark, tmp_path):
+    """Three copies of one doc + one unique doc: dedup removes 2/3 of the
+    duplicated tokens but zero vocabulary (the operator's whole point)."""
+    from hadoop_stuff_spark.operators.textstats import dedup_vocab_impact
+
+    rows = [("s", "alpha beta gamma")] * 3 + [("s", "delta eps")]
+    sf = _docs_fixture(tmp_path, rows, "sf_vocimp")
+    (r,) = dedup_vocab_impact(spark, sf).collect()
+    assert r["tokens_before"] == 11 and r["tokens_after"] == 5
+    assert r["vocab_before"] == r["vocab_after"] == 5
+    assert r["token_removal_share"] == pytest.approx(6 / 11, abs=1e-6)
+
+
+def test_engine_audit_composes_certified_reports(spark, sf_dir):
+    """The one-call publish gate returns the three certified frames with
+    their certified schemas; clean testdata shows zero orphans/dups."""
+    from hadoop_stuff_spark.engine import Engine
+
+    rep = Engine(spark).audit(sf_dir)
+    assert set(rep) == {"referential", "duplicate_keys", "orders_profile"}
+    ri = rep["referential"].collect()
+    assert len(ri) == 7 and all(r["n_orphans"] == 0 for r in ri)
+    dk = rep["duplicate_keys"].collect()
+    assert len(dk) == 7 and all(r["n_dup_keys"] == 0 for r in dk)
+    assert rep["orders_profile"].count() == 6  # one row per orders column
