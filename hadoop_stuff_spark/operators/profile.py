@@ -1031,3 +1031,124 @@ SELECT decile, n_customers,
 FROM per_dec
 ORDER BY decile
 """
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataFrame:
+    """Population-stability index (PSI) of the event ``value``
+    distribution between the corpus's early and late time halves, per
+    event type — the monitoring-standard drift score (<0.1 stable,
+    0.1–0.25 moderate shift, >0.25 investigate) computed over the data's
+    own timeline, so a silent upstream change shows up without needing a
+    second snapshot to diff against.
+
+    Deterministic end to end: the time split is the integer-microsecond
+    midpoint of (min ts, max ts); bins are equi-width over the global
+    value min/max with the histogram operator's degenerate and last-bin
+    clamps; empty-bin shares are floored at 1e-6 on BOTH engines (the
+    standard PSI smoothing — an unguarded empty bin is ±∞); per-bin
+    terms are 9 dp fixed-point-summed. Both stats frames are 1-row
+    broadcasts (the allowlisted scalar shape).
+
+    Scale shape: two scans (bounds+midpoint, then the binned count
+    aggregate) and window arithmetic over |types|×bins cells."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stats = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        ((F.min(F.expr("timestampdiff(MICROSECOND, timestamp'1970-01-01', ts)"))
+          + F.max(F.expr("timestampdiff(MICROSECOND, timestamp'1970-01-01', ts)")))
+         / 2).cast("long").alias("mid_micros"),
+    )
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    bin_id = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width), F.lit(n_bins - 1)
+            )
+        )
+        .cast("int")
+    )
+    is_late = (
+        F.expr("timestampdiff(MICROSECOND, timestamp'1970-01-01', ts)")
+        > F.col("mid_micros")
+    )
+    cells = (
+        ev.join(F.broadcast(stats))
+        .select("event_type", bin_id.alias("bin"), is_late.alias("late"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("late"), 0).otherwise(1)).alias("n_early"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+        )
+    )
+    w_t = Window.partitionBy("event_type")
+    pe = F.greatest(
+        F.col("n_early").cast("double") / F.sum("n_early").over(w_t),
+        F.lit(1e-6),
+    )
+    pl = F.greatest(
+        F.col("n_late").cast("double") / F.sum("n_late").over(w_t),
+        F.lit(1e-6),
+    )
+    term_fp = F.round((pl - pe) * F.log(pl / pe) * 1000000000, 0).cast("long")
+    return (
+        cells.select(
+            "event_type",
+            F.col("n_early").alias("n"),
+            F.col("n_late").alias("m"),
+            term_fp.alias("_t"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_early"),
+            F.sum("m").alias("n_late"),
+            F.round(F.sum("_t") / 1000000000.0, 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_DRIFT_PSI_SQL = """
+WITH stats AS (
+  SELECT min(value) AS lo, max(value) AS hi,
+         CAST((min(date_diff('microsecond', TIMESTAMP '1970-01-01', ts))
+               + max(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)))
+              / 2 AS BIGINT) AS mid_micros
+  FROM events
+), binned AS (
+  SELECT event_type,
+         CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(floor((value - lo) / ((hi - lo) / 20)), 19)
+              END AS INTEGER) AS bin,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', ts) > mid_micros
+           AS late
+  FROM events CROSS JOIN stats
+), cells AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN late THEN 0 ELSE 1 END) AS n_early,
+         sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late
+  FROM binned GROUP BY 1, 2
+), terms AS (
+  SELECT event_type, n_early, n_late,
+         CAST(round(
+           (greatest(CAST(n_late AS DOUBLE)
+                     / sum(n_late) OVER (PARTITION BY event_type), 1e-6)
+            - greatest(CAST(n_early AS DOUBLE)
+                       / sum(n_early) OVER (PARTITION BY event_type), 1e-6))
+           * ln(greatest(CAST(n_late AS DOUBLE)
+                         / sum(n_late) OVER (PARTITION BY event_type), 1e-6)
+                / greatest(CAST(n_early AS DOUBLE)
+                           / sum(n_early) OVER (PARTITION BY event_type), 1e-6))
+           * 1000000000, 0) AS BIGINT) AS t
+  FROM cells
+)
+SELECT event_type,
+       CAST(sum(n_early) AS BIGINT) AS n_early,
+       CAST(sum(n_late) AS BIGINT) AS n_late,
+       round(sum(t) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY event_type
+ORDER BY event_type
+"""

@@ -702,6 +702,7 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n1_dedup_vocab_impact": QuerySpec(
         textstats.dedup_vocab_impact, textstats.DEDUP_VOCAB_IMPACT_SQL
     ),
+    "value_drift_psi": QuerySpec(profile.value_drift_psi, profile.VALUE_DRIFT_PSI_SQL),
 }
 
 # --------------------------------------------------------------------------

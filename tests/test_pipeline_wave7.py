@@ -871,3 +871,32 @@ def test_engine_audit_composes_certified_reports(spark, sf_dir):
     dk = rep["duplicate_keys"].collect()
     assert len(dk) == 7 and all(r["n_dup_keys"] == 0 for r in dk)
     assert rep["orders_profile"].count() == 6  # one row per orders column
+
+
+def test_value_drift_psi_stable_vs_shifted(spark, tmp_path):
+    """Identical early/late value distributions → PSI ≈ 0; a hard mean
+    shift in the late half → PSI well past the 0.25 investigate line."""
+    from hadoop_stuff_spark.operators.profile import value_drift_psi
+
+    stable, shifted = [], []
+    for i in range(200):
+        half = 0.0 if i < 100 else 100000.0  # seconds: early / late halves
+        v = float(i % 10)
+        stable.append((1, "stable", half + i * 0.001, v))
+        shifted.append((1, "shifted", half + i * 0.001, v + (50.0 if i >= 100 else 0.0)))
+    # events fixture shape: (user_id, event_type, t_seconds) + custom value
+    rows = [(u, t, s) for u, t, s, _ in stable + shifted]
+    sf = _events_typed_fixture(tmp_path, rows, "sf_psi")
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(f"{sf}/events.parquet")
+    vals = [v for _, _, _, v in stable + shifted]
+    t = t.set_column(
+        t.schema.get_field_index("value"), "value", pa.array(vals, pa.float64())
+    )
+    pq2.write_table(t, f"{sf}/events.parquet")
+
+    out = {r["event_type"]: r for r in value_drift_psi(spark, sf).collect()}
+    assert out["stable"]["psi"] < 0.01
+    assert out["shifted"]["psi"] > 0.25
+    assert out["shifted"]["n_early"] == 100 and out["shifted"]["n_late"] == 100

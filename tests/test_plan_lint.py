@@ -112,6 +112,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "n3_quantile_normalized_scores",  # 1-row global quantile grid broadcast
         "chi2_event_type_dow",         # |types| x 7 marginal-grid crossJoin (two tiny aggregates)
         "n2_knn_label_agreement",      # broadcast modular query sample (exact eval baseline)
+        "value_drift_psi",             # 1-row bounds+midpoint stats frame broadcast
     }
     sf = "/root/testdata/sf0.001"
     bad = []
