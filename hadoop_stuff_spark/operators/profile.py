@@ -960,34 +960,61 @@ ORDER BY o_orderpriority
 """
 
 
-def order_value_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_value_decile_lift(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Customer revenue decile table (the Lorenz-curve companion to the
     Gini operator): customers ranked by exact total spend, cut into
     ntile deciles, each reporting its revenue share and the cumulative
     share — the "top 10% of customers carry X% of revenue" report every
     growth review opens with.
 
-    Exactness: spend is exact integer cents; shares and the cumulative
-    share are single divisions of exact integer window sums, rounded to
-    6 dp; the decile cut is ntile over a TOTAL order (spend desc,
-    custkey asc), identical on both engines including the
-    remainder-to-front bucket-size rule.
+    Exactness (``exact=True``, the oracle-certified default): spend is
+    exact integer cents; shares and the cumulative share are single
+    divisions of exact integer window sums, rounded to 6 dp; the decile
+    cut is ntile over a TOTAL order (spend desc, custkey asc),
+    identical on both engines including the remainder-to-front
+    bucket-size rule.
 
     Scale shape: facts fold to one row per customer (map-side partial
-    cent sums); the ntile window totally orders the CUSTOMER table —
-    key-cardinality, not fact-cardinality (at 100 TB that is still a
-    single-partition sort of |customers| rows; shard it by ranking
-    within hash buckets if customers outgrow one task)."""
+    cent sums). The exact ntile window totally orders the CUSTOMER
+    table — key-cardinality, but still a single-partition sort of
+    |customers| rows. ``exact=False`` is the 100 TB path: decile
+    BOUNDARIES come from one approx_percentile sketch row (broadcast —
+    no sort anywhere), and each customer maps to its decile by
+    comparing spend against the 9 boundaries in-row. Bucket sizes then
+    wobble by sketch rank error and boundary ties instead of being
+    exactly-n/10 (shares move by the boundary-straddling customers'
+    revenue — the wave-7 test bounds the cum-share gap at sf0.01
+    under 0.02); the SQL oracle covers the exact default only (the
+    edit-distance convention)."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("_cents")
     )
-    w = Window.orderBy(F.desc("_cents"), F.asc("o_custkey"))
-    deciled = per_cust.select(
-        "_cents", F.ntile(10).over(w).alias("decile")
-    )
+    if exact:
+        w = Window.orderBy(F.desc("_cents"), F.asc("o_custkey"))
+        deciled = per_cust.select(
+            "_cents", F.ntile(10).over(w).alias("decile")
+        )
+    else:
+        probs = F.array(*[F.lit(i / 10.0) for i in range(9, 0, -1)])
+        bounds = per_cust.agg(
+            F.approx_percentile(F.col("_cents"), probs, F.lit(10_000)).alias("_b")
+        )
+        # decile = 1 + number of boundaries the spend fails to reach:
+        # spend >= b[0] (the p90 cut) -> decile 1 ... below all 9 -> 10
+        decile = (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col("_b"), lambda b: F.col("_cents") < b)
+            )
+        ).cast("int")
+        deciled = per_cust.join(F.broadcast(bounds)).select(
+            "_cents", decile.alias("decile")
+        )
     per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("_cents").alias("_dec_cents"),

@@ -900,3 +900,34 @@ def test_value_drift_psi_stable_vs_shifted(spark, tmp_path):
     assert out["stable"]["psi"] < 0.01
     assert out["shifted"]["psi"] > 0.25
     assert out["shifted"]["n_early"] == 100 and out["shifted"]["n_late"] == 100
+
+
+def test_decile_lift_approx_path_tracks_exact(spark, sf_dir):
+    """The sketch-boundary decile path (no global sort — the 100 TB
+    shape) must track the exact ntile table: same 10 deciles, full
+    probability mass, cumulative shares within the boundary-tie wobble."""
+    from hadoop_stuff_spark.operators.profile import order_value_decile_lift
+
+    exact = {r["decile"]: r for r in order_value_decile_lift(spark, sf_dir).collect()}
+    approx = {
+        r["decile"]: r
+        for r in order_value_decile_lift(spark, sf_dir, exact=False).collect()
+    }
+    assert set(approx) == set(range(1, 11))
+    assert sum(r["revenue_share"] for r in approx.values()) == pytest.approx(
+        1.0, abs=1e-4
+    )
+    assert sum(r["n_customers"] for r in approx.values()) == sum(
+        r["n_customers"] for r in exact.values()
+    )  # every customer lands in exactly one decile
+    for d in range(1, 11):
+        assert approx[d]["cum_share"] == pytest.approx(
+            exact[d]["cum_share"], abs=0.02
+        )
+    # the plan really avoids the global sort: no ntile Window in approx
+    plan = (
+        order_value_decile_lift(spark, sf_dir, exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # ('ntile' alone would also match approx_PERCENTILE's name)
+    assert "ntile(10)" not in plan, plan
