@@ -1860,3 +1860,43 @@ FROM gaps
 GROUP BY repeat_number
 ORDER BY repeat_number
 """
+
+
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type: counts and the share
+    of the type's daily cycle in each hour — the load-shape readout
+    capacity planning and anomaly baselines start from (and the
+    finer-grained companion to the day-of-week chi² scan).
+
+    Exactness: integer counts, one window-sum share division per cell
+    (6 dp). Scale: one scan to |types|×24 cells, window over the cell
+    table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_t = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w_t), 6
+        ).alias("type_share"),
+    ).orderBy("event_type", "hour_of_day")
+
+
+HOURLY_PROFILE_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n_events,
+       round(CAST(n_events AS DOUBLE)
+             / sum(n_events) OVER (PARTITION BY event_type), 6) AS type_share
+FROM cells
+ORDER BY event_type, hour_of_day
+"""

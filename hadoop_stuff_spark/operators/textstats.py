@@ -1220,3 +1220,81 @@ SELECT source, tokens_before, tokens_after, vocab_before, vocab_after,
 FROM before JOIN after USING (source)
 ORDER BY source
 """
+
+
+def n3_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: shares of uppercase,
+    digit, whitespace, and other-symbol characters — the cheap cleaning
+    diagnostic (shouting/boilerplate skews uppercase, tables and IDs
+    skew digits, markup residue skews symbols) computed without any
+    tokenization at all.
+
+    Exactness: each class count is an exact integer
+    (length − length(class stripped)); shares are single integer
+    divisions (6 dp). Empty-text sources are excluded from shares by
+    the > 0 guard (ANSI rule). Scale: one scan, pure Catalyst
+    regexp_replace lengths folded into one aggregate per source."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def n_of(pattern: str):
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), pattern, ""))
+        ).cast("long")
+
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        n_of("[A-Z]").alias("n_upper"),
+        n_of("[0-9]").alias("n_digit"),
+        n_of("\\s").alias("n_space"),
+        n_of("[^A-Za-z0-9\\s]").alias("n_symbol"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_upper").alias("_u"),
+        F.sum("n_digit").alias("_d"),
+        F.sum("n_space").alias("_s"),
+        F.sum("n_symbol").alias("_y"),
+    )
+    total = F.col("n_chars").cast("double")
+    share = lambda c: F.when(  # noqa: E731
+        F.col("n_chars") > 0, F.round(F.col(c).cast("double") / total, 6)
+    )
+    return agg.select(
+        "source",
+        "n_chars",
+        share("_u").alias("upper_share"),
+        share("_d").alias("digit_share"),
+        share("_s").alias("space_share"),
+        share("_y").alias("symbol_share"),
+    ).orderBy("source")
+
+
+CHARCLASS_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+           AS n_symbol
+  FROM documents
+), agg AS (
+  SELECT source, sum(n_chars) AS n_chars, sum(n_upper) AS u,
+         sum(n_digit) AS d, sum(n_space) AS s, sum(n_symbol) AS y
+  FROM per_doc GROUP BY 1
+)
+SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN n_chars > 0 THEN round(CAST(u AS DOUBLE) / n_chars, 6) END
+         AS upper_share,
+       CASE WHEN n_chars > 0 THEN round(CAST(d AS DOUBLE) / n_chars, 6) END
+         AS digit_share,
+       CASE WHEN n_chars > 0 THEN round(CAST(s AS DOUBLE) / n_chars, 6) END
+         AS space_share,
+       CASE WHEN n_chars > 0 THEN round(CAST(y AS DOUBLE) / n_chars, 6) END
+         AS symbol_share
+FROM agg
+ORDER BY source
+"""

@@ -703,6 +703,12 @@ _CATALOG_B: dict[str, QuerySpec] = {
         textstats.dedup_vocab_impact, textstats.DEDUP_VOCAB_IMPACT_SQL
     ),
     "value_drift_psi": QuerySpec(profile.value_drift_psi, profile.VALUE_DRIFT_PSI_SQL),
+    "events_hourly_profile": QuerySpec(
+        temporal.events_hourly_profile, temporal.HOURLY_PROFILE_SQL
+    ),
+    "n3_charclass_profile": QuerySpec(
+        textstats.n3_charclass_profile, textstats.CHARCLASS_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

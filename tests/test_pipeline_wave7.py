@@ -931,3 +931,35 @@ def test_decile_lift_approx_path_tracks_exact(spark, sf_dir):
     )
     # ('ntile' alone would also match approx_PERCENTILE's name)
     assert "ntile(10)" not in plan, plan
+
+
+def test_hourly_profile_shares_and_hours(spark, sf_dir):
+    """Structural invariants: hours in [0, 24), per-type shares sum to 1."""
+    from collections import defaultdict
+
+    from hadoop_stuff_spark.operators.temporal import events_hourly_profile
+
+    rows = events_hourly_profile(spark, sf_dir).collect()
+    assert all(0 <= r["hour_of_day"] < 24 for r in rows)
+    by_type = defaultdict(float)
+    for r in rows:
+        by_type[r["event_type"]] += r["type_share"]
+    assert all(abs(v - 1.0) < 1e-4 for v in by_type.values())
+
+
+def test_charclass_profile_hand_computed(spark, tmp_path):
+    """'Ab1 c!' → 6 chars: 1 upper, 1 digit, 1 space, 1 symbol — each
+    share exactly 1/6; an empty-text source yields NULL shares, not an
+    ANSI crash."""
+    from hadoop_stuff_spark.operators.textstats import n3_charclass_profile
+
+    rows = [("s", "Ab1 c!"), ("empty", "")]
+    sf = _docs_fixture(tmp_path, rows, "sf_cc")
+    out = {r["source"]: r for r in n3_charclass_profile(spark, sf).collect()}
+    s = out["s"]
+    assert s["n_chars"] == 6
+    for col in ["upper_share", "digit_share", "space_share", "symbol_share"]:
+        assert s[col] == pytest.approx(1 / 6, abs=1e-6)
+    e = out["empty"]
+    assert e["n_chars"] == 0
+    assert e["upper_share"] is None
