@@ -113,6 +113,15 @@ def _write_events_files(tmp_path, name="events_in"):
     w("f2.parquet", [
         (5, 3, "purchase", 3700.0),   # credits u3's click from f0: 1 h
     ])
+    # the file stream orders by MODIFICATION TIME: files written in quick
+    # succession can tie (and then order arbitrarily), which under load
+    # delivered u3's purchase before its click — the documented
+    # cross-batch ordering contract, but not what this fixture means to
+    # exercise. Pin strictly increasing mtimes so delivery order is the
+    # event order the test premises (flake caught by the full-suite run).
+    base_s = 1_700_000_000
+    for i, fname in enumerate(["f0.parquet", "f1.parquet", "f2.parquet"]):
+        os.utime(str(d / fname), (base_s + i * 10, base_s + i * 10))
     return str(sf), str(d)
 
 
