@@ -465,7 +465,7 @@ WITH ranked AS (
          count(*) OVER (PARTITION BY source) AS n_src
   FROM documents
 ), agg AS (
-  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          sum(i * n_chars) AS iwx,
          sum(CASE WHEN i > floor(0.9 * n_src) THEN n_chars ELSE 0 END)
            AS top_chars
@@ -565,10 +565,10 @@ WITH t AS (
   FROM t
 ), agg AS (
   SELECT event_type,
-         sum(CASE WHEN in_a AND value IS NOT NULL THEN 1 ELSE 0 END) AS n_a,
+         CAST(sum(CASE WHEN in_a AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
          sum(CASE WHEN in_a AND value IS NOT NULL THEN v_fp ELSE 0 END) AS s_a,
          sum(CASE WHEN in_a AND value IS NOT NULL THEN v_fp * v_fp ELSE 0 END) AS ss_a,
-         sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN 1 ELSE 0 END) AS n_b,
+         CAST(sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
          sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN v_fp ELSE 0 END) AS s_b,
          sum(CASE WHEN NOT in_a AND value IS NOT NULL THEN v_fp * v_fp ELSE 0 END) AS ss_b
   FROM fp GROUP BY event_type
@@ -1084,9 +1084,17 @@ def value_drift_psi(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataF
     stats = ev.agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
-        ((F.min(F.expr("timestampdiff(MICROSECOND, timestamp'1970-01-01', ts)"))
-          + F.max(F.expr("timestampdiff(MICROSECOND, timestamp'1970-01-01', ts)")))
-         / 2).cast("long").alias("mid_micros"),
+        # ADVICE r7: integer floor division on BOTH engines — `/ 2` here
+        # is a double divide whose cast('long') TRUNCATES while the
+        # oracle's CAST(... AS BIGINT) ROUNDS, so an odd min+max put the
+        # engines' midpoints 1 us apart and a boundary event flipped
+        # early/late.  `div` stays in int64 (no 2^53 double precision
+        # cliff either); the oracle mirrors with `// 2`.
+        F.expr(
+            "(min(timestampdiff(MICROSECOND, timestamp'1970-01-01', ts))"
+            " + max(timestampdiff(MICROSECOND, timestamp'1970-01-01', ts)))"
+            " div 2"
+        ).alias("mid_micros"),
     )
     width = (F.col("hi") - F.col("lo")) / n_bins
     bin_id = (
@@ -1141,9 +1149,9 @@ def value_drift_psi(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataF
 VALUE_DRIFT_PSI_SQL = """
 WITH stats AS (
   SELECT min(value) AS lo, max(value) AS hi,
-         CAST((min(date_diff('microsecond', TIMESTAMP '1970-01-01', ts))
-               + max(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)))
-              / 2 AS BIGINT) AS mid_micros
+         (min(date_diff('microsecond', TIMESTAMP '1970-01-01', ts))
+          + max(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)))
+         // 2 AS mid_micros
   FROM events
 ), binned AS (
   SELECT event_type,

@@ -132,7 +132,7 @@ WITH src AS (
   SELECT source, row_number() OVER (ORDER BY source) - 1 AS rnk
   FROM (SELECT DISTINCT source FROM documents)
 ), thr(rnk, t) AS (VALUES {thresholds})
-SELECT d.source, count(*) AS n_kept, sum(doc_id) AS id_sum
+SELECT d.source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents d
 JOIN src ON d.source = src.source
 JOIN thr ON thr.rnk = src.rnk % {len(_MIX_LADDER)}
@@ -215,7 +215,7 @@ WITH h AS (
 SELECT CASE WHEN hx < '{t1}' THEN 'test'
             WHEN hx < '{t2}' THEN 'train'
             ELSE 'val' END AS split,
-       count(*) AS n_docs, sum(doc_id) AS id_sum
+       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM h GROUP BY 1
 """
 
@@ -326,7 +326,7 @@ WITH filt AS (
   SELECT source, least(1.0, scale * w / n_avail) AS keep_frac
   FROM counts CROSS JOIN scale
 )
-SELECT f.source, count(*) AS n_docs, sum(f.doc_id) AS id_sum
+SELECT f.source, count(*) AS n_docs, CAST(sum(f.doc_id) AS BIGINT) AS id_sum
 FROM filt f JOIN fracs USING (source)
 WHERE CAST({hexv} AS DOUBLE) < keep_frac * {float(16**_MIX_DIGITS)}
 GROUP BY f.source

@@ -1641,7 +1641,11 @@ ORDER BY day
 
 
 def session_path_topk(
-    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, top: int = 20
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    top: int = 20,
+    max_events: int = 64,
 ) -> DataFrame:
     """Most-travelled session paths: each session's event types joined in
     (ts, event_id) order into a '>' path string, counted across the
@@ -1650,32 +1654,57 @@ def session_path_topk(
     sessionizer (:func:`sessionize`).
 
     Deterministic: the in-session order is total (event_id breaks ts
-    ties) via array_sort over (ts, event_id, type) structs; top-k is a
+    ties) via a row_number over (ts, event_id); top-k is a
     TakeOrderedAndProject (count desc, path asc), never a global sort.
 
-    Scale shape: the sessionizer's one shuffle on user_id, a per-session
-    collect bounded by session length (the gap bound every sessionizer
-    carries — a session cannot outgrow its silence threshold), then a
-    path-cardinality hash aggregate."""
+    Scale shape (VERDICT r7 #2): the inactivity gap bounds session
+    DURATION, not row count — an always-on bot (events every minute,
+    never a 30-min silence, for months) is ONE session, and a naive
+    collect_list would carry its unbounded event array through the
+    groupBy as a single un-spillable row.  So events are ranked
+    in-session with a (sort-based, spillable) window row_number and
+    only ranks ≤ ``max_events`` are collected — collect_list skips the
+    NULLs the when() leaves for later ranks, so the aggregation buffer
+    is bounded at ``max_events`` structs per session no matter how long
+    the whale is.  Truncation is reported, not hidden: ``n_truncated``
+    counts the sessions whose path was cut; the oracle SQL mirrors the
+    same rank cutoff so parity holds even when truncation fires.  The
+    row_number window partitions on (user_id, session_id), which the
+    following groupBy reuses — no extra exchange vs the uncapped plan."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
     s = sessionize(ev, gap_minutes=gap_minutes)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ranked = s.withColumn("rn", F.row_number().over(w))
     path = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= max_events,
+                        F.struct("ts", "event_id", "event_type"),
+                    )
+                )
+            ),
             lambda x: x["event_type"],
         ),
         ">",
     )
-    paths = s.groupBy("user_id", "session_id").agg(path.alias("path"))
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        path.alias("path"),
+        (F.max("rn") > max_events).alias("truncated"),
+    )
     return (
         paths.groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+        )
         .withColumn("path_len", F.size(F.split(F.col("path"), ">")))
         .orderBy(F.desc("n_sessions"), "path")
         .limit(top)
-        .select("path", "path_len", "n_sessions")
+        .select("path", "path_len", "n_sessions", "n_truncated")
     )
 
 
@@ -1694,14 +1723,24 @@ WITH t AS (
            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
          ) AS session_id
   FROM t
+), r AS (
+  SELECT user_id, session_id, ts, event_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, session_id ORDER BY ts, event_id
+         ) AS rn
+  FROM s
 ), paths AS (
   SELECT user_id, session_id,
-         array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
-  FROM s GROUP BY user_id, session_id
+         array_to_string(
+           list(event_type ORDER BY ts, event_id) FILTER (WHERE rn <= 64),
+           '>') AS path,
+         max(rn) > 64 AS truncated
+  FROM r GROUP BY user_id, session_id
 )
 SELECT path,
        CAST(len(string_split(path, '>')) AS INTEGER) AS path_len,
-       count(*) AS n_sessions
+       count(*) AS n_sessions,
+       count(*) FILTER (WHERE truncated) AS n_truncated
 FROM paths
 GROUP BY path
 ORDER BY n_sessions DESC, path

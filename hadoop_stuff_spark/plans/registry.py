@@ -749,8 +749,8 @@ _ANCHORS = [
     "u3_expression_predicate",
 ]
 
-# r7 window = cohort A: the first 35 _CATALOG_B entries in declaration order.
-_WINDOW_ROTATION = list(_CATALOG_B)[:35]
+# r8 window = cohort B: _CATALOG_B entries 35..70 in declaration order.
+_WINDOW_ROTATION = list(_CATALOG_B)[35:70]
 
 _ORACLE_CATALOG: dict[str, QuerySpec] = {
     **{n: s for n, s in _CATALOG_A.items() if s.oracle},

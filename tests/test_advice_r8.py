@@ -1,0 +1,72 @@
+"""Regression tests for the round-8 ADVICE items."""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest  # noqa: F401
+
+
+def _events_us_fixture(tmp_path, rows, name):
+    """(user_id, event_type, value, micros-offset) rows at exact
+    microsecond timestamps — the PSI midpoint boundary needs us-level
+    control that second-resolution fixtures can't give."""
+    base_us = 1_700_000_000 * 1_000_000
+    n = len(rows)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base_us + int(r[3]) for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+    return str(sf)
+
+
+def test_psi_midpoint_floor_division_on_both_engines(spark, tmp_path):
+    """ADVICE r8 #1: with min+max micros ODD, Spark's old `/2
+    cast('long')` TRUNCATED while the oracle's CAST(... AS BIGINT)
+    ROUNDED — mid_micros differed by 1 us and the event planted exactly
+    on the boundary flipped early/late between engines.  Both sides now
+    floor-divide; the boundary event must land in the same half on
+    both, cell for cell."""
+    from hadoop_stuff_spark.operators.profile import (
+        VALUE_DRIFT_PSI_SQL,
+        value_drift_psi,
+    )
+
+    # span = [0, 1_000_003] us → sum odd → floor mid = 500_001 (an ODD
+    # floor, so round-half-to-even AND round-half-up both give 500_002 —
+    # the old trunc-vs-round divergence is exposed whichever rounding
+    # mode the oracle uses)
+    rows = [
+        (1, "a", 0.0, 0),
+        (1, "a", 1.0, 500_001),    # == mid → early (not strictly late)
+        (1, "a", 2.0, 500_002),    # mid + 1 → late under floor on BOTH
+        (1, "a", 3.0, 1_000_003),
+        (2, "b", 5.0, 10),
+        (2, "b", 6.0, 999_999),
+    ]
+    sf = _events_us_fixture(tmp_path, rows, "sf_psi_mid")
+    got = sorted(tuple(r) for r in value_drift_psi(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(VALUE_DRIFT_PSI_SQL).fetchall()
+    )
+    con.close()
+    assert got == want
+    # the split itself: type 'a' must be 2 early / 2 late on the engine
+    early = {r[0]: (r[1], r[2]) for r in got}
+    assert early["a"] == (2, 2)

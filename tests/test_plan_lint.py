@@ -172,3 +172,52 @@ def test_no_nondeterministic_row_ids_in_engine():
             if re.search(r"monotonically_increasing_id\s*\(", line):
                 hits.append(f"{rel}:{i}: {line.strip()}")
     assert hits == [], hits
+
+
+def test_no_hugeint_decimal_oracle_output_columns(sf_dir):
+    """Registry-wide oracle TYPE lint (VERDICT r7 #1b): DESCRIBE every
+    catalog oracle in DuckDB and fail on HUGEINT / UHUGEINT / DECIMAL
+    output columns.  DuckDB types `sum(BIGINT)` as HUGEINT (int128);
+    the driver hashes at the Arrow boundary, where int128 arrives as
+    decimal128 and mismatches Spark's int64 even when every value is
+    identical — the exact r7 red on the three sampling oracles.  The
+    fix convention: `CAST(sum(x) AS BIGINT)` at the source (all such
+    sums here are provably < 2^63 at any SF)."""
+    from hadoop_stuff_spark.plans.registry import _ORACLE_CATALOG
+    from tests.oracle_harness import banned_oracle_columns
+
+    bad = {}
+    for name, spec in _ORACLE_CATALOG.items():
+        hits = banned_oracle_columns(sf_dir, spec.oracle)
+        if hits:
+            bad[name] = hits
+    assert bad == {}, (
+        "oracles with driver-red output types (CAST ... AS BIGINT/DOUBLE "
+        f"at the source): {bad}"
+    )
+
+
+def test_harness_reproduces_the_hugeint_driver_red(spark, sf_dir):
+    """The Arrow-faithful harness must see what the driver sees: a
+    value-identical result whose oracle types sum(BIGINT) as HUGEINT
+    is a RED (type-family mismatch), and the CAST fix makes it green.
+    This pins the r7 failure mode so the laundering fetchall() path
+    can never silently come back."""
+    from tests.oracle_harness import compare_query
+
+    def fn(s, d):
+        import pyspark.sql.functions as F
+
+        from hadoop_stuff_spark.catalog import load_table
+
+        return load_table(s, d, "documents").agg(
+            F.sum("doc_id").alias("id_sum")
+        )
+
+    uncast = "SELECT sum(doc_id) AS id_sum FROM documents"
+    ok, msg = compare_query(spark, sf_dir, fn, uncast)
+    assert not ok and "type-family" in msg, msg
+
+    cast = "SELECT CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents"
+    ok, msg = compare_query(spark, sf_dir, fn, cast)
+    assert ok, msg
