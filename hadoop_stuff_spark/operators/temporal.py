@@ -751,9 +751,10 @@ def ema_event_values(
     materialized: the previous ``collect_list`` fold held one user's
     ENTIRE history as a single in-row array, which — unlike window state —
     cannot spill, so one whale key (bot account, 100M events) was an
-    executor OOM / 2 GiB array failure at scale. Now per-task memory is
-    O(distinct users in the partition) × 3 scalars, and the whale's
-    events stream through in bounded Arrow batches.
+    executor OOM / 2 GiB array failure at scale. Now per-task carried
+    state is ONE open user (4 scalars — completed users emit at each
+    Arrow batch boundary), and the whale's events stream through in
+    bounded Arrow batches.
 
     Determinism: the sort order is total (event_id breaks ts ties) and
     the fold applies x·α + acc·(1−α) in that order, term by term — the
@@ -764,6 +765,7 @@ def ema_event_values(
     list_reduce's shared propagation rule)."""
     import math
 
+    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -772,36 +774,71 @@ def ema_event_values(
     one_minus = 1.0 - alpha
 
     def fold(batches):
-        # user_id -> [n_events, acc (NaN = NULL-poisoned), last, null_seen]
-        state: dict = {}
-        order: list = []
+        # ADVICE r8 #5: the sorted input makes each user a CONTIGUOUS run,
+        # so (a) run boundaries come from one vectorized uid-diff per batch
+        # — no per-row dict lookup — and (b) every run except the last in a
+        # batch is COMPLETE and emits at that batch boundary, so output
+        # buffering is bounded by the Arrow batch size and the carried
+        # state is exactly ONE open user (4 scalars), not O(users in
+        # partition).  The fold itself stays a scalar loop on purpose: the
+        # recurrence acc ← x·α + acc·(1−α) is a chain of DEPENDENT IEEE
+        # rounds, and bit-equality with DuckDB's list_reduce requires the
+        # identical op sequence — a closed-form vectorization would round
+        # differently.
+        carry = None  # [uid, n_events, acc, last, null_seen] — the open run
+
+        def emit_row(out, st):
+            out[0].append(int(st[0]))
+            out[1].append(st[1])
+            out[2].append(
+                None if st[4] or math.isnan(st[2]) else float(st[2])
+            )
+            out[3].append(None if math.isnan(st[3]) else float(st[3]))
+
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             uids = pdf["user_id"].to_numpy()
-            vals = pdf["value"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
             nulls = pdf["value"].isna().to_numpy()
-            for uid, x, is_null in zip(uids, vals, nulls):
-                st = state.get(uid)
-                if st is None:
-                    state[uid] = [1, x, x, bool(is_null)]
-                    order.append(uid)
+            starts = np.flatnonzero(np.r_[True, uids[1:] != uids[:-1]])
+            ends = np.r_[starts[1:], len(uids)]
+            out = ([], [], [], [])
+            for s, e in zip(starts, ends):
+                uid = uids[s]
+                xs = vals[s:e]
+                if carry is not None and carry[0] == uid:
+                    n, acc = carry[1] + (e - s), carry[2]
+                    null_seen = carry[4] or bool(nulls[s:e].any())
+                    i = 0
                 else:
-                    st[0] += 1
-                    st[1] = x * alpha + st[1] * one_minus
-                    st[2] = x
-                    st[3] = st[3] or bool(is_null)
-        if order:
+                    if carry is not None:
+                        emit_row(out, carry)
+                    n = e - s
+                    acc = xs[0]
+                    null_seen = bool(nulls[s:e].any())
+                    i = 1
+                for x in xs[i:]:
+                    acc = x * alpha + acc * one_minus
+                carry = [uid, n, acc, xs[-1], null_seen]
+            if out[0]:
+                yield pd.DataFrame(
+                    {
+                        "user_id": out[0],
+                        "n_events": out[1],
+                        "ema_value": out[2],
+                        "last_value": out[3],
+                    }
+                )
+        if carry is not None:
+            out = ([], [], [], [])
+            emit_row(out, carry)
             yield pd.DataFrame(
                 {
-                    "user_id": [int(u) for u in order],
-                    "n_events": [state[u][0] for u in order],
-                    "ema_value": [
-                        None if state[u][3] or math.isnan(state[u][1]) else state[u][1]
-                        for u in order
-                    ],
-                    "last_value": [
-                        None if math.isnan(state[u][2]) else state[u][2]
-                        for u in order
-                    ],
+                    "user_id": out[0],
+                    "n_events": out[1],
+                    "ema_value": out[2],
+                    "last_value": out[3],
                 }
             )
 

@@ -418,7 +418,16 @@ def _first_touch_fn_factory(touch_types: tuple, conversion_type: str):
         out_ts, out_type, out_hours = [], [], []
         frames = [pdf for pdf in pdf_iter if len(pdf) > 0]
         if frames:
-            rows = pd.concat(frames).sort_values(["ts", "event_id"])
+            # ADVICE r8: mirror the batch operator's tie order exactly —
+            # touches sort BEFORE conversions at equal ts (the asof ≤
+            # convention, batch `_side` 0/1), event_id last. Without the
+            # side key, a same-ts touch+purchase where the purchase holds
+            # the lower event_id attributed to 'none' in streaming while
+            # batch credited the touch.
+            rows = pd.concat(frames)
+            rows = rows.assign(
+                _side=[0 if t in touch_types else 1 for t in rows["event_type"]]
+            ).sort_values(["ts", "_side", "event_id"])
             for ts, et in zip(rows["ts"], rows["event_type"]):
                 micros = ts.value // 1000  # pandas ns -> micros
                 if et in touch_types:
@@ -461,8 +470,10 @@ def streaming_first_touch(
     (timestamp, type) pair per user, set once and never updated, so it is
     the cheapest possible keyed state).
 
-    Ordering contract: rows are sorted by (ts, event_id) WITHIN each
-    micro-batch, so same-batch out-of-order arrivals resolve correctly;
+    Ordering contract: rows are sorted by (ts, touch-before-conversion,
+    event_id) WITHIN each micro-batch — the same tie order as the batch
+    operator's ``_side`` column — so same-batch out-of-order arrivals
+    and same-timestamp touch/conversion ties resolve correctly;
     ACROSS batches the stream is assumed event-time ordered per user (an
     earlier touch arriving after a later one was already recorded cannot
     retro-apply — first-WRITER-wins, the inherent semantics of any

@@ -70,3 +70,47 @@ def test_psi_midpoint_floor_division_on_both_engines(spark, tmp_path):
     # the split itself: type 'a' must be 2 early / 2 late on the engine
     early = {r[0]: (r[1], r[2]) for r in got}
     assert early["a"] == (2, 2)
+
+
+def test_streaming_first_touch_same_ts_tie_credits_touch(spark, tmp_path):
+    """ADVICE r8 #2: a same-timestamp touch+purchase where the purchase
+    holds the LOWER event_id must still credit the touch (the batch
+    operator's _side convention: touches order before conversions at
+    equal ts).  The old (ts, event_id) sort replayed the purchase first
+    and attributed 'none'."""
+    d = tmp_path / "ft_tie" / "events.parquet"
+    os.makedirs(d)
+    base = 1_700_000_000 * 1_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([5, 9], pa.int64()),
+                "ts": pa.array([base + 100, base + 100], pa.timestamp("us")),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["purchase", "view"]),
+                "value": pa.array([1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        ),
+        str(d / "f0.parquet"),
+    )
+    from hadoop_stuff_spark.streaming.stateful import streaming_first_touch
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (
+        streaming_first_touch(stream)
+        .writeStream.format("memory")
+        .queryName("ft_tie")
+        .option("checkpointLocation", str(tmp_path / "ft_tie_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM ft_tie").collect()
+    assert len(rows) == 1
+    assert rows[0]["first_touch_type"] == "view"
+    assert rows[0]["hours_to_convert"] == 0.0

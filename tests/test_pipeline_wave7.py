@@ -489,9 +489,9 @@ def test_referential_integrity_finds_planted_orphans(spark, tmp_path):
     w("orders", {"o_orderkey": pa.array([10, 11], pa.int64()),
                  "o_custkey": pa.array([1, 99], pa.int64())})  # 99: orphan
     w("lineitem", {
-        "l_orderkey": pa.array([10, 10, 77], pa.int64()),  # 77: orphan
-        "l_partkey": pa.array([1, 88, 1], pa.int64()),     # 88: orphan
-        "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+        "l_orderkey": pa.array([10, 10, 77, 10], pa.int64()),  # 77: orphan
+        "l_partkey": pa.array([1, 88, 1, None], pa.int64()),   # 88: orphan; NULL: missing-data class
+        "l_suppkey": pa.array([1, 1, 1, 1], pa.int64()),
     })
 
     from hadoop_stuff_spark.operators.quality import referential_integrity_report
@@ -505,6 +505,11 @@ def test_referential_integrity_finds_planted_orphans(spark, tmp_path):
     assert out[("lineitem", "l_suppkey")]["n_orphans"] == 0
     assert out[("orders", "o_custkey")]["n_orphans"] == 1
     assert out[("nation", "n_regionkey")]["n_orphans"] == 0
+    # ADVICE r8: the planted NULL l_partkey is reported as missing data,
+    # NOT as an orphan (the never-matching NULL join key used to conflate
+    # the two defect classes)
+    assert out[("lineitem", "l_partkey")]["n_null_fks"] == 1
+    assert sum(r["n_null_fks"] for r in out.values()) == 1
     assert all(r["n_child_rows"] > 0 for r in out.values())
 
 
