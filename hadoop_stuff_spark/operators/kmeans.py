@@ -394,3 +394,67 @@ FROM soft a JOIN soft b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4
 ORDER BY vec_a, vec_b
 """
+
+
+def n2_ivf_cell_balance(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, n_iter: int = 1
+) -> DataFrame:
+    """IVF coarse-quantizer cell-balance report: per cell, how many
+    vectors landed there, its share of the corpus, and its load factor
+    (observed size ÷ uniform size) — the probe-cost profile an IVF
+    deployment reads before choosing n_probe. A load factor of 4 means
+    probing that cell scans 4× the uniform estimate; empty cells
+    (n_vectors = 0, reported — the zero-cell groupBy trap is
+    materialized away with an explicit cell grid) waste list slots and
+    signal k too high or a collapsed centroid.
+
+    The quantizer here is the same exact fixed-point Lloyd train the
+    certified k-means uses (first-k init, ``n_iter`` rounds), so the
+    whole report is DuckDB-mirrorable cell for cell; the xxhash64-sampled
+    production quantizer (similarity._centroids) yields the same report
+    shape, only the assignment differs.
+
+    Scale shape: the Lloyd train's one-scan-per-round, then ONE hash
+    aggregate to (cell, count) and window arithmetic over the k-row
+    result — the report never shuffles vectors."""
+    assigned = _kmeans_assigned(spark, sf_dir, k=n_cells, n_iter=n_iter)
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    grid = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    full = grid.join(counts, "cell", "left").select(
+        "cell", F.coalesce("n_vectors", F.lit(0)).alias("n_vectors")
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("n_vectors").over(w_all)
+    return full.select(
+        "cell",
+        "n_vectors",
+        F.round(
+            (F.col("n_vectors") * 100).cast("double") / total.cast("double"), 6
+        ).alias("share_pct"),
+        F.round(
+            (F.col("n_vectors") * n_cells).cast("double") / total.cast("double"),
+            6,
+        ).alias("load_factor"),
+    ).orderBy("cell")
+
+
+_IVF_CTE, _IVF_FINAL = _kmeans_cte(k=16, n_iter=1)
+
+IVF_CELL_BALANCE_SQL = f"""
+WITH {_IVF_CTE},
+counts AS (
+  SELECT cell, count(*) AS n FROM {_IVF_FINAL} GROUP BY cell
+), grid AS (
+  SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER) AS cell
+), full_grid AS (
+  SELECT g.cell, CAST(coalesce(c.n, 0) AS BIGINT) AS n_vectors
+  FROM grid g LEFT JOIN counts c ON g.cell = c.cell
+)
+SELECT cell, n_vectors,
+       round(CAST(n_vectors * 100 AS DOUBLE)
+             / CAST(sum(n_vectors) OVER () AS DOUBLE), 6) AS share_pct,
+       round(CAST(n_vectors * 16 AS DOUBLE)
+             / CAST(sum(n_vectors) OVER () AS DOUBLE), 6) AS load_factor
+FROM full_grid
+ORDER BY cell
+"""

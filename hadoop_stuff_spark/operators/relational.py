@@ -1442,3 +1442,109 @@ SELECT basket_size, n_orders,
 FROM per_bucket
 ORDER BY basket_size
 """
+
+
+def basket_affinity_lift(
+    spark: SparkSession, sf_dir: str, min_support: int = 12, top: int = 25
+) -> DataFrame:
+    """Association-rule readout over co-purchased parts: for each frequent
+    pair, the LIFT (observed co-occurrence ÷ the independence expectation
+    n_a·n_b/N) and both directed confidences — :func:`copurchase_pairs`
+    ranks by raw count, which favours merely-popular pairs; lift surfaces
+    the pairs that co-occur MORE than their popularity explains, the
+    actual recommendation signal.
+
+    Exactness: lift/confidence are single double divisions of exact
+    integer counts with the operand order mirrored in the oracle
+    (counts cast to double FIRST, then one multiply each side, then one
+    divide — n_ab·N overflows int64 at warehouse scale, doubles don't);
+    rounded 6 dp before the deterministic top-k order
+    (lift desc, part_a, part_b — a TakeOrderedAndProject, never a
+    global sort).
+
+    Plan shape: identical A-priori pruning to copurchase_pairs (frequent
+    parts broadcast-semi-joined BEFORE any pair forms), one pair hash
+    aggregate, the part-frequency relation joined back twice (broadcast —
+    it is frequent-parts-sized), and the basket total N is a 1-row
+    broadcast (the allowlisted scalar shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    freq = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+        .filter(F.col("n_part") >= min_support)
+    )
+    pruned = baskets.join(broadcast(freq.select("l_partkey")), "l_partkey")
+    a = pruned.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = pruned.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    lift = F.round(
+        (F.col("n_ab").cast("double") * F.col("n_baskets").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(broadcast(fa), "part_a")
+        .join(broadcast(fb), "part_b")
+        .join(broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            lift.alias("lift"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_b").cast("double"), 6).alias(
+                "conf_b_to_a"
+            ),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(top)
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_baskets FROM baskets
+), freq AS (
+  SELECT l_partkey, count(*) AS n_part FROM baskets
+  GROUP BY 1 HAVING count(*) >= 12
+), pruned AS (
+  SELECT b.l_orderkey, b.l_partkey FROM baskets b JOIN freq USING (l_partkey)
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM pruned a JOIN pruned b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT part_a, part_b, n_ab, fa.n_part AS n_a, fb.n_part AS n_b,
+       round((CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+             / (CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE)), 6)
+         AS lift,
+       round(CAST(n_ab AS DOUBLE) / CAST(fa.n_part AS DOUBLE), 6)
+         AS conf_a_to_b,
+       round(CAST(n_ab AS DOUBLE) / CAST(fb.n_part AS DOUBLE), 6)
+         AS conf_b_to_a
+FROM pairs
+JOIN freq fa ON fa.l_partkey = part_a
+JOIN freq fb ON fb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 25
+"""

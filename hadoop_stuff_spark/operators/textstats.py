@@ -1298,3 +1298,128 @@ SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
 FROM agg
 ORDER BY source
 """
+
+
+def source_js_divergence_matrix(
+    spark: SparkSession, sf_dir: str, max_sources: int = 64
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every two sources'
+    unigram distributions — the symmetric, bounded (≤ ln 2) companion to
+    :func:`n3_unigram_kl_by_source`: KL-vs-corpus says "how far from the
+    mix", this matrix says which sources are NEAR-DUPLICATE distributions
+    of each other (merge candidates) and which are the genuine diversity
+    in a pretraining mixture.
+
+    Exactness: p/q are ratios of integer counts; each word's JS term
+    0.5·(p·ln(p/m) + q·ln(q/m)) with m=(p+q)/2 is rounded to 9 dp and
+    fixed-point-summed (order-independent cross-engine, the KL
+    convention). Zero-side words contribute only their present side
+    (0·ln0 := 0 — JS is total, unlike raw KL).
+
+    Scale shape: ONE pass builds (source, word) counts; per-word
+    per-source probabilities collapse into a word → map(source→p) row
+    (map width = |sources|, bounded), and the pair terms come from
+    exploding a LITERAL pair array over that vocabulary-sized relation —
+    no self-join of the counts, no cartesian operator, and the fact
+    table is never touched again. The source list is control-plane-sized
+    (collected once, loudly guarded at ``max_sources`` — 64 sources is
+    already 2016 matrix rows; past that the report itself is unreadable
+    and the vocab × pairs grid deserves a redesign)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("word"))
+    counts = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    w_src = Window.partitionBy("source")
+    probs = counts.select(
+        "word",
+        "source",
+        (F.col("n").cast("double") / F.sum("n").over(w_src).cast("double")).alias(
+            "p"
+        ),
+    )
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    if len(sources) > max_sources:
+        raise ValueError(
+            f"{len(sources)} sources > max_sources={max_sources}: the "
+            "pairwise matrix has O(sources^2) rows — raise max_sources "
+            "only if you mean it, or aggregate sources first"
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(sources) for b in sources[i + 1 :]
+    ]
+    wmap = probs.groupBy("word").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("source", "p")))
+        ).alias("ps")
+    )
+    pair_lits = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in pairs
+        ]
+    )
+    g = wmap.select("ps", F.explode(pair_lits).alias("pr"))
+    pa = F.coalesce(F.element_at("ps", F.col("pr.a")), F.lit(0.0))
+    pb = F.coalesce(F.element_at("ps", F.col("pr.b")), F.lit(0.0))
+    m = (pa + pb) / 2
+    term = F.lit(0.5) * (
+        F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+        + F.when(pb > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        g.select(
+            F.col("pr.a").alias("source_a"),
+            F.col("pr.b").alias("source_b"),
+            F.round(term * 1000000000, 0).cast("long").alias("_t"),
+            F.when((pa > 0) | (pb > 0), 1).otherwise(0).alias("_w"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("_w").cast("long").alias("n_words_union"),
+            F.round(F.sum("_t") / 1000000000.0, 6).alias("js_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_JS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT source, word, count(*) AS n FROM tok GROUP BY 1, 2
+), p AS (
+  SELECT source, word,
+         CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+           AS p
+  FROM counts
+), srcs AS (
+  SELECT DISTINCT source FROM counts
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), vocab AS (
+  SELECT DISTINCT word FROM counts
+), grid AS (
+  SELECT source_a, source_b, word FROM pairs CROSS JOIN vocab
+), terms AS (
+  SELECT g.source_a, g.source_b,
+         coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+  FROM grid g
+  LEFT JOIN p pa ON pa.source = g.source_a AND pa.word = g.word
+  LEFT JOIN p pb ON pb.source = g.source_b AND pb.word = g.word
+), fp AS (
+  SELECT source_a, source_b,
+         CAST(round(0.5 * (
+             CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+           + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END
+         ) * 1000000000, 0) AS BIGINT) AS t,
+         CASE WHEN pa > 0 OR pb > 0 THEN 1 ELSE 0 END AS w
+  FROM terms
+)
+SELECT source_a, source_b,
+       CAST(sum(w) AS BIGINT) AS n_words_union,
+       round(sum(t) / 1000000000.0, 6) AS js_nats
+FROM fp GROUP BY 1, 2
+ORDER BY 1, 2
+"""

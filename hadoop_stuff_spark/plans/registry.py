@@ -409,6 +409,10 @@ _CATALOG_A: dict[str, QuerySpec] = {
     "theta_overlap_users": QuerySpec(sketches.theta_overlap_report, None),
     "kll_value_quantiles": QuerySpec(sketches.kll_value_quantiles, None),
     "n1_curate_pipeline": QuerySpec(_curate_pipeline, None),
+    # MinHash estimate-vs-exact calibration: the estimate rides murmur3
+    # signatures (no SQL oracle); wave-8 property tests pin the bands
+    # against the exact ngram-Jaccard baseline
+    "n1_minhash_calibration": QuerySpec(dedup.minhash_calibration, None),
 }
 
 # Catalog half B: every oracle-backed query added after the r1 window froze
@@ -708,6 +712,16 @@ _CATALOG_B: dict[str, QuerySpec] = {
     ),
     "n3_charclass_profile": QuerySpec(
         textstats.n3_charclass_profile, textstats.CHARCLASS_SQL
+    ),
+    # --- round-8 wave: audit/quality trio (VERDICT r7 #6) ---
+    "source_js_divergence_matrix": QuerySpec(
+        textstats.source_js_divergence_matrix, textstats.SOURCE_JS_SQL
+    ),
+    "n2_ivf_cell_balance": QuerySpec(
+        kmeans.n2_ivf_cell_balance, kmeans.IVF_CELL_BALANCE_SQL
+    ),
+    "basket_affinity_lift": QuerySpec(
+        relational.basket_affinity_lift, relational.BASKET_LIFT_SQL
     ),
 }
 

@@ -487,3 +487,111 @@ def streaming_first_touch(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESSIONIZE_STATE = "start_ms LONG, last_ms LONG, n_events LONG"
+_SESSIONIZE_OUT = (
+    "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events LONG"
+)
+
+
+def _sessionize_fn_factory(gap_s: int):
+    def _out(uid, closed):
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(closed),
+                "session_start": pd.to_datetime(
+                    [c[0] for c in closed], unit="ms"
+                ),
+                "session_end": pd.to_datetime(
+                    [c[1] for c in closed], unit="ms"
+                ),
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield _out(key[0], [(start_ms, last_ms, n)])
+            return
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = None, None, 0
+        batch_ms: list[int] = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                batch_ms.extend(
+                    (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                )
+        closed = []
+        # batch-independence (the stateful-timer rule): a gap wholly
+        # inside one micro-batch (backfill) never times out — the DATA
+        # path walks the batch's own timestamps and closes every elapsed
+        # session itself; the watermark timer covers only the final,
+        # still-open session.
+        for ms in sorted(batch_ms):
+            if start_ms is None:
+                start_ms, last_ms, n = ms, ms, 1
+            elif (ms // 1000) - (last_ms // 1000) > gap_s:
+                closed.append((start_ms, last_ms, n))
+                start_ms, last_ms, n = ms, ms, 1
+            else:
+                last_ms, n = ms, n + 1
+        if last_ms is None:  # no prior state and an empty batch
+            return
+        state.update((int(start_ms), int(last_ms), int(n)))
+        # +1000 ms slack: the gap contract is WHOLE-SECOND truncation
+        # (sec(ts) − sec(last) > gap_s, the batch sessionizer's
+        # unix_timestamp semantics), so an event continuing the session
+        # can carry a raw timestamp up to last_ms + gap_s·1000 + 999 —
+        # the timer must not close the session before that instant.
+        state.setTimeoutTimestamp(last_ms + gap_s * 1000 + 1000)
+        if closed:
+            yield _out(key[0], closed)
+
+    return fn
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gaps-and-islands sessionizer: emits one summary row
+    (user, session_start, session_end, n_events) per CLOSED session — a
+    session closes when the user's event-time gap exceeds
+    ``gap_minutes`` (whole-second truncation, the exact contract of the
+    batch :func:`operators.temporal.sessionize`, so the emitted sessions
+    equal the batch sessionizer's group boundaries row for row under
+    in-order delivery — pinned by the equivalence test).
+
+    Sessions close through BOTH paths of the stateful-timer rule: gaps
+    revealed by data (a backfill batch spanning months closes every
+    interior session as it walks the batch) and gaps revealed by the
+    watermark (the final open session times out once other keys push
+    event time past last_seen + gap). State per user is three longs —
+    O(active users), the same class as the watchdog.
+
+    100 TB posture: state is keyed and sharded by the state store; the
+    per-batch walk is O(events in batch) after one in-batch sort; no
+    per-session array is ever held (the summary carries counts and
+    bounds only — the batch operator's whale-session cap concern does
+    not arise)."""
+    renamed = stream.selectExpr(
+        f"{user_col} AS user_id", f"{ts_col} AS ts"
+    ).withWatermark("ts", watermark_delay)
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn_factory(gap_minutes * 60),
+        outputStructType=_SESSIONIZE_OUT,
+        stateStructType=_SESSIONIZE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

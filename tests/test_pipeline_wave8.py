@@ -90,3 +90,141 @@ def test_session_path_default_cap_matches_oracle_with_truncation(spark, tmp_path
     # and the whale row really did truncate at 64
     trunc = [r for r in got if r[1] == 64]
     assert trunc and trunc[0][3] == 1
+
+
+def _docs_fixture(tmp_path, rows, name):
+    """(doc_id, source, text) documents table."""
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def test_js_matrix_hand_computed_identical_and_disjoint(spark, tmp_path):
+    """Three sources: A and C share the identical unigram distribution
+    (JS = 0), A and B mirror each other (hand-computable JS), and D is
+    vocabulary-disjoint from A (JS = ln 2, the upper bound)."""
+    import math
+
+    from hadoop_stuff_spark.operators.textstats import (
+        source_js_divergence_matrix,
+    )
+
+    rows = [
+        (0, "srcA", "a a b"),
+        (1, "srcB", "a b b"),
+        (2, "srcC", "a a b"),
+        (3, "srcD", "x y z"),
+    ]
+    sf = _docs_fixture(tmp_path, rows, "sf_js")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_js_divergence_matrix(spark, sf).collect()
+    }
+    assert len(out) == 6
+    assert out[("srcA", "srcC")]["js_nats"] == 0.0
+    # JS(A,B): p=(2/3,1/3) vs q=(1/3,2/3) → symmetric:
+    # 2*(0.5*(2/3·ln(4/3) + 1/3·ln(2/3)))
+    want_ab = (2 / 3) * math.log(4 / 3) + (1 / 3) * math.log(2 / 3)
+    assert abs(out[("srcA", "srcB")]["js_nats"] - round(want_ab, 6)) < 2e-6
+    assert abs(out[("srcA", "srcD")]["js_nats"] - round(math.log(2), 6)) < 2e-6
+    assert out[("srcA", "srcD")]["n_words_union"] == 5  # a,b + x,y,z
+
+
+def test_js_matrix_guards_source_blowup(spark, tmp_path):
+    from hadoop_stuff_spark.operators.textstats import (
+        source_js_divergence_matrix,
+    )
+
+    rows = [(i, f"s{i}", "w") for i in range(5)]
+    sf = _docs_fixture(tmp_path, rows, "sf_js_guard")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_sources"):
+        source_js_divergence_matrix(spark, sf, max_sources=4)
+
+
+def test_ivf_cell_balance_accounts_for_every_vector_and_cell(spark, sf_dir):
+    """The report's invariants: exactly n_cells rows (empty cells
+    materialized, never dropped by the groupBy), counts sum to the
+    corpus, shares to 100, load factors to n_cells."""
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.kmeans import n2_ivf_cell_balance
+
+    rows = n2_ivf_cell_balance(spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == 16
+    assert [r["cell"] for r in rows] == list(range(16))
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    assert abs(sum(r["share_pct"] for r in rows) - 100.0) < 1e-3
+    assert abs(sum(r["load_factor"] for r in rows) - 16.0) < 1e-3
+
+
+def test_minhash_calibration_bands_are_tight_and_in_range(spark, sf_dir):
+    """Per estimated-decile band: the mean estimate lies inside the
+    band, the estimator tracks the exact Jaccard within 0.1 (64 perms →
+    std ≈ 0.06 at j=0.5), and bias is small — the signature is
+    trustworthy on this corpus."""
+    from hadoop_stuff_spark.operators.dedup import minhash_calibration
+
+    rows = minhash_calibration(spark, sf_dir).collect()
+    assert rows, "LSH candidates exist in documents by construction"
+    for r in rows:
+        lo, hi = r["est_band"] / 10.0, (r["est_band"] + 1) / 10.0
+        assert lo <= r["mean_est"] <= hi + 1e-9
+        assert r["n_pairs"] >= 1
+        assert r["mean_abs_err"] < 0.1
+        assert abs(r["bias"]) < 0.1
+        assert 0.0 <= r["mean_exact"] <= 1.0
+
+
+def test_basket_lift_hand_computed(spark, tmp_path):
+    """4 baskets: parts 1+2 always together (lift = N/n_1 = 2), part 3
+    popular but independent of 1 — lift highlights the real association
+    that raw co-occurrence counts bury under popularity."""
+    from hadoop_stuff_spark.operators.relational import basket_affinity_lift
+
+    baskets = {
+        10: [1, 2, 3],
+        11: [1, 2, 3],
+        12: [3, 4],
+        13: [3, 4],
+    }
+    rows = [(o, p) for o, parts in baskets.items() for p in parts]
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+            "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+            "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(rows)),
+            "l_shipdate": pa.array(
+                [1_700_000_000_000_000] * len(rows), pa.timestamp("us")
+            ),
+        }
+    )
+    sf = tmp_path / "sf_lift"
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "lineitem.parquet"))
+
+    out = {
+        (r["part_a"], r["part_b"]): r
+        for r in basket_affinity_lift(spark, str(sf), min_support=2).collect()
+    }
+    # pair (1,2): n_ab=2, n_1=2, n_2=2, N=4 → lift = 2*4/(2*2) = 2.0
+    assert out[(1, 2)]["lift"] == 2.0
+    assert out[(1, 2)]["conf_a_to_b"] == 1.0
+    # pair (1,3): n_ab=2, n_1=2, n_3=4 → lift = 2*4/(2*4) = 1.0 (independent)
+    assert out[(1, 3)]["lift"] == 1.0
+    # pair (3,4): n_ab=2, n_3=4, n_4=2 → lift 1.0, conf_b_to_a = 1.0
+    assert out[(3, 4)]["conf_b_to_a"] == 1.0

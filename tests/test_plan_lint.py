@@ -113,6 +113,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "chi2_event_type_dow",         # |types| x 7 marginal-grid crossJoin (two tiny aggregates)
         "n2_knn_label_agreement",      # broadcast modular query sample (exact eval baseline)
         "value_drift_psi",             # 1-row bounds+midpoint stats frame broadcast
+        "basket_affinity_lift",        # 1-row basket-total frame broadcast
     }
     sf = "/root/testdata/sf0.001"
     bad = []
