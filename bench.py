@@ -442,8 +442,15 @@ def _full_decade_point(
         if sf05_times.get(name):
             ratios[name] = round(times[name] / sf05_times[name], 2)
     flagged = sorted(n for n, r in ratios.items() if r > 4)
+    # three-way: <=2.2 scales at-or-under the data growth (0.2 noise
+    # grace), <=4 grows faster than data but within the grid's 2x grace
+    # (watch next round), >4 flags
     verdict = {
-        n: ("super_linear_onset" if r > 4 else "sub_linear")
+        n: (
+            "super_linear_onset"
+            if r > 4
+            else ("watch" if r > 2.2 else "sub_linear")
+        )
         for n, r in ratios.items()
     }
     print(f"# full decade sf1.0 (vs sf0.5): {ratios} {verdict}", file=sys.stderr)

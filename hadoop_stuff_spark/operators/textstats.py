@@ -1336,12 +1336,16 @@ def source_js_divergence_matrix(
             "p"
         ),
     )
+    # limit BEFORE collect: the guard must protect the driver too — a
+    # pathological corpus with millions of sources must not ship them
+    # all here just to be told no
     sources = sorted(
-        r["source"] for r in docs.select("source").distinct().collect()
+        r["source"]
+        for r in docs.select("source").distinct().limit(max_sources + 1).collect()
     )
     if len(sources) > max_sources:
         raise ValueError(
-            f"{len(sources)} sources > max_sources={max_sources}: the "
+            f"more than max_sources={max_sources} sources: the "
             "pairwise matrix has O(sources^2) rows — raise max_sources "
             "only if you mean it, or aggregate sources first"
         )
