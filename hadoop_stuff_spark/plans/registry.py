@@ -736,12 +736,14 @@ _CATALOG_B: dict[str, QuerySpec] = {
 # order, so every oracle-backed query eventually earns an independent driver
 # CORRECTNESS row.
 #
-# Schedule (cohorts are declaration-order slices):
+# Schedule (cohorts are declaration-order slices; _CATALOG_B grew to 120
+# with the round-8 wave, so cohort C fills a whole window now):
 #   r1-r6 : the original _CATALOG_A window        → CORRECTNESS_r01..r06
 #   r7    : anchors + cohort A = _CATALOG_B[0:35] → first driver rows for 35
 #   r8    : anchors + cohort B = _CATALOG_B[35:70]
-#   r9    : anchors + cohort C = _CATALOG_B[70:] + displaced _CATALOG_A
-#           queries (oldest driver row first), then round-robin.
+#   r9    : anchors + cohort C = _CATALOG_B[70:105]
+#   r10   : anchors + cohort D = _CATALOG_B[105:] (15) + displaced
+#           _CATALOG_A queries (oldest driver row first), then round-robin.
 # Rotating = replacing _WINDOW_ROTATION with the next cohort's names; the
 # asserts below keep the 50-slot / oracle-first contract intact.
 
