@@ -463,3 +463,34 @@ ORDER BY cluster_id
 
 
 CANONICALIZE_SQL = _canonicalize_sql()
+
+
+def n1_near_dup_clusters(
+    spark, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """The production near-dup clustering path end to end: MinHash-LSH
+    candidate pairs (est Jaccard ≥ threshold) → connected components →
+    score-argmax canonicalization — what a 100 TB corpus actually runs
+    (the certified :func:`n1_dedup_clusters` twin clusters EXACT Jaccard
+    pairs, which is the oracle baseline, not the scale path).
+
+    Rows-only (the pairs ride murmur3 signatures — no SQL oracle);
+    certified by the wave-8 tests: the clusters must be a coarsening
+    consistent with the exact-pair clusters (every exact pair above the
+    threshold lands in ONE minhash cluster unless LSH missed it — recall
+    is pinned by the existing minhash recall tests), and canonical picks
+    are deterministic score-argmax.
+
+    Scale shape: composition of three certified stages — banded LSH
+    (ids-only explode, no text in the shuffle), pointer-jumping
+    components (O(log diameter) rounds, driver sees one convergence
+    scalar per round), and a cluster-members-only score join."""
+    from hadoop_stuff_spark.catalog import load_table, spread
+    from hadoop_stuff_spark.operators.dedup import minhash_near_dups
+    from hadoop_stuff_spark.operators.scoring import score_quality
+
+    pairs = minhash_near_dups(spark, sf_dir, threshold=threshold)
+    members = dedup_clusters(pairs)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scores = score_quality(docs).select("doc_id", "model_score")
+    return canonicalize_clusters(members, scores)

@@ -1548,3 +1548,116 @@ CROSS JOIN n
 ORDER BY lift DESC, part_a, part_b
 LIMIT 25
 """
+
+
+def rfm_customer_segments(
+    spark: SparkSession, sf_dir: str, n_tiles: int = 5
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM quintile score: each customer scored 1–5 on how recently
+    they ordered, how often, and how much (5 = best), then rolled up to
+    the named segments a retention team actually acts on.
+
+    Determinism: every ntile orders with c_custkey as the final
+    tie-break (equal-height tiles with the remainder to the leading
+    tiles — identical semantics in Spark and DuckDB); monetary is exact
+    integer cents; recency is whole-day date arithmetic against the
+    corpus max order date (a 1-row broadcast, the allowlisted scalar
+    shape).
+
+    Scale shape: one orders scan → per-customer aggregate (hash agg on
+    o_custkey); the three ntile windows sort the CUSTOMER relation, not
+    facts — at warehouse scale swap ntile for approx_percentile cut
+    points if even that sort hurts (the quantnorm exact=False
+    convention); final rollup is a tiny (≤ n_tiles³) hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("cents"),
+    )
+    max_date = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_date"))
+    base = per_cust.join(F.broadcast(max_date)).withColumn(
+        "recency_days", F.datediff(F.col("max_date"), F.col("last_date"))
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    scored = base.select(
+        "o_custkey",
+        "cents",
+        (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_r)).alias("r_score"),
+        (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_f)).alias("f_score"),
+        (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_m)).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champions",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spenders")
+        .otherwise("other")
+    )
+    return (
+        scored.select("r_score", "f_score", "m_score", seg.alias("segment"), "cents")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("r_score"), 4).alias("avg_r"),
+            F.round(F.avg("f_score"), 4).alias("avg_f"),
+            F.round(F.avg("m_score"), 4).alias("avg_m"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_date,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS max_date FROM orders
+), base AS (
+  SELECT p.*, date_diff('day', last_date, max_date) AS recency_days
+  FROM per_cust p CROSS JOIN mx
+), scored AS (
+  SELECT o_custkey, cents,
+         6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+           AS r_score,
+         6 - ntile(5) OVER (ORDER BY n_orders DESC, o_custkey ASC)
+           AS f_score,
+         6 - ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC)
+           AS m_score
+  FROM base
+), seg AS (
+  SELECT *,
+         CASE
+           WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+             THEN 'champions'
+           WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+           WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+           WHEN f_score >= 4 THEN 'loyal'
+           WHEN m_score >= 4 THEN 'big_spenders'
+           ELSE 'other'
+         END AS segment
+  FROM scored
+)
+SELECT segment,
+       count(*) AS n_customers,
+       round(avg(r_score), 4) AS avg_r,
+       round(avg(f_score), 4) AS avg_f,
+       round(avg(m_score), 4) AS avg_m,
+       round(sum(cents) / 100.0, 2) AS total_revenue
+FROM seg
+GROUP BY segment
+ORDER BY segment
+"""

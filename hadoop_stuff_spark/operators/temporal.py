@@ -1976,3 +1976,107 @@ SELECT event_type, hour_of_day, n_events,
 FROM cells
 ORDER BY event_type, hour_of_day
 """
+
+
+def ks_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov test of whether each event type's inter-arrival
+    gaps are exponential (= the arrivals are Poisson): the load-model
+    sanity check behind every capacity plan — bot traffic, batch replays,
+    and thundering herds all show up as a fat KS distance from the
+    memoryless fit.
+
+    Statistic: the two-sided sup over the step ECDF,
+    D = max_i max(i/n − F(g_(i)), F(g_(i)) − (i−1)/n) with
+    F(g) = 1 − exp(−g/mean); mean is the exact integer-microsecond gap
+    sum divided once (identical operands both engines). Each step term
+    is rounded to 6 dp before the max (the engine-wide libm-ulp
+    convention — exp may differ by an ulp between engines, the round
+    erases it). `reject_exponential` applies the n-scaled 5% critical
+    value 1.36/√n.
+
+    Scale shape: two ordered windows per event type (the ts order for
+    gaps, the gap order for the ECDF rank) — partition-local sorts,
+    spillable; no self-join, no collect. At 100 TB a single dominant
+    type makes those sorts big: sample gaps per type (deterministic
+    md5-keep) or bucket the ECDF before sup-ing, the KLL-sketch
+    convention; the exact form here is the oracle baseline."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    w_ts = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_ts))
+        .withColumn(
+            "gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+        )
+        .filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .select("event_type", "event_id", "gap_us")
+    )
+    w_t = Window.partitionBy("event_type")
+    w_rk = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    n = F.count(F.lit(1)).over(w_t)
+    mean_us = F.sum("gap_us").over(w_t).cast("double") / n
+    i = F.row_number().over(w_rk)
+    f_exp = F.lit(1.0) - F.exp(-F.col("gap_us").cast("double") / mean_us)
+    d_i = F.round(
+        F.greatest(
+            i.cast("double") / n - f_exp,
+            f_exp - (i - 1).cast("double") / n,
+        ),
+        6,
+    )
+    per_gap = gaps.select(
+        "event_type",
+        n.alias("n_gaps"),
+        F.round(mean_us / 1000000.0, 4).alias("mean_gap_s"),
+        d_i.alias("_d"),
+    )
+    return (
+        per_gap.groupBy("event_type")
+        .agg(
+            F.first("n_gaps").alias("n_gaps"),
+            F.first("mean_gap_s").alias("mean_gap_s"),
+            F.max("_d").alias("ks_stat"),
+        )
+        .withColumn(
+            "reject_exponential",
+            F.col("ks_stat") > F.lit(1.36) / F.sqrt(F.col("n_gaps").cast("double")),
+        )
+        .orderBy("event_type")
+    )
+
+
+KS_EXPFIT_SQL = """
+WITH g AS (
+  SELECT event_type, event_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+), gaps AS (
+  SELECT event_type, event_id, gap_us FROM g
+  WHERE gap_us IS NOT NULL AND gap_us > 0
+), stats AS (
+  SELECT event_type, event_id, gap_us,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(gap_us) OVER (PARTITION BY event_type) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS mean_us,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gap_us, event_id) AS i
+  FROM gaps
+), steps AS (
+  SELECT event_type, n, mean_us,
+         round(greatest(
+           CAST(i AS DOUBLE) / n - (1.0 - exp(-CAST(gap_us AS DOUBLE) / mean_us)),
+           (1.0 - exp(-CAST(gap_us AS DOUBLE) / mean_us)) - CAST(i - 1 AS DOUBLE) / n
+         ), 6) AS d
+  FROM stats
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       round(max(mean_us) / 1000000.0, 4) AS mean_gap_s,
+       max(d) AS ks_stat,
+       max(d) > 1.36 / sqrt(CAST(max(n) AS DOUBLE)) AS reject_exponential
+FROM steps
+GROUP BY event_type
+ORDER BY event_type
+"""

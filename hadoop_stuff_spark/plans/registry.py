@@ -413,6 +413,10 @@ _CATALOG_A: dict[str, QuerySpec] = {
     # signatures (no SQL oracle); wave-8 property tests pin the bands
     # against the exact ngram-Jaccard baseline
     "n1_minhash_calibration": QuerySpec(dedup.minhash_calibration, None),
+    # production near-dup path end to end (LSH pairs -> components ->
+    # canonical): murmur3-backed, rows-only; coarsening-consistency and
+    # determinism pinned by the wave-8 tests
+    "n1_near_dup_clusters": QuerySpec(clusters.n1_near_dup_clusters, None),
 }
 
 # Catalog half B: every oracle-backed query added after the r1 window froze
@@ -722,6 +726,12 @@ _CATALOG_B: dict[str, QuerySpec] = {
     ),
     "basket_affinity_lift": QuerySpec(
         relational.basket_affinity_lift, relational.BASKET_LIFT_SQL
+    ),
+    "rfm_customer_segments": QuerySpec(
+        relational.rfm_customer_segments, relational.RFM_SQL
+    ),
+    "ks_interarrival_expfit": QuerySpec(
+        temporal.ks_interarrival_expfit, temporal.KS_EXPFIT_SQL
     ),
 }
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -594,4 +595,114 @@ def streaming_sessionize(
         stateStructType=_SESSIONIZE_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+_DHH_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("item", StringType()),
+        StructField("decayed_weight", DoubleType()),
+    ]
+)
+_DHH_STATE = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("weights", ArrayType(DoubleType())),
+        StructField("anchor_ms", LongType()),
+    ]
+)
+
+
+def _decayed_hh_fn_factory(half_life_ms: int, capacity: int):
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items_s, weights_s, anchor_ms = state.get
+            sketch = dict(zip(items_s or [], map(float, weights_s or [])))
+        else:
+            sketch, anchor_ms = {}, None
+        rows: list[tuple[int, str]] = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                rows.extend(zip(ms, pdf["item"].tolist()))
+        if not rows:
+            return
+        # the decay anchor is the max EVENT time seen so far — data-derived
+        # and monotone, so replays and restarts decay identically (wall
+        # clock would not); a late batch can never inflate old weights
+        # (anchor only moves forward).
+        t_batch = max(ms for ms, _ in rows)
+        new_anchor = t_batch if anchor_ms is None else max(anchor_ms, t_batch)
+        if anchor_ms is not None and new_anchor > anchor_ms:
+            f = 0.5 ** ((new_anchor - anchor_ms) / half_life_ms)
+            sketch = {i: w * f for i, w in sketch.items()}
+        batch_w: dict[str, float] = {}
+        for ms, item in sorted(rows):
+            batch_w[item] = batch_w.get(item, 0.0) + 0.5 ** (
+                (new_anchor - ms) / half_life_ms
+            )
+        # Misra-Gries-style admission on the decayed weights: admit under
+        # capacity, else subtract the evicted remainder from everyone —
+        # the same survival guarantee class as the undecayed sketch,
+        # applied to weight mass instead of counts.
+        for item, w in sorted(batch_w.items()):
+            if item in sketch:
+                sketch[item] += w
+            elif len(sketch) < capacity:
+                sketch[item] = w
+            else:
+                dec = min(w, min(sketch.values()))
+                sketch = {i: v - dec for i, v in sketch.items() if v - dec > 1e-12}
+                rem = w - dec
+                if rem > 1e-12:
+                    sketch[item] = rem
+        items = sorted(sketch)
+        state.update(
+            (items, [float(sketch[i]) for i in items], int(new_anchor))
+        )
+        if sketch:
+            ordered = sorted(sketch.items(), key=lambda kv: (-kv[1], kv[0]))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(ordered),
+                    "item": [i for i, _ in ordered],
+                    "decayed_weight": [round(w, 6) for _, w in ordered],
+                }
+            )
+
+    return fn
+
+
+def decayed_heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    item_col: str,
+    ts_col: str = "ts",
+    half_life_seconds: int = 3600,
+    capacity: int = 16,
+) -> DataFrame:
+    """Recency-weighted streaming heavy hitters: like :func:`heavy_hitters`
+    but every tracked weight decays exponentially in EVENT time
+    (half-life ``half_life_seconds``), so yesterday's viral item ranks
+    below today's moderately-hot one — the trending-now readout, where
+    the undecayed sketch answers all-time-top.
+
+    Every event contributes 0.5^(Δt/half_life) relative to the key's
+    decay anchor (the max event time seen — data-derived, monotone, so
+    replay/restart decay identically; wall clock would not). State is
+    O(capacity) doubles + one anchor long per key. Eviction is
+    Misra-Gries on weight mass — items whose decayed mass stays above
+    total_mass/capacity survive."""
+    renamed = stream.selectExpr(
+        f"{key_col} AS key", f"{item_col} AS item", f"{ts_col} AS ts"
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _decayed_hh_fn_factory(half_life_seconds * 1000, capacity),
+        outputStructType=_DHH_OUT,
+        stateStructType=_DHH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

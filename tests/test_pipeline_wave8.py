@@ -228,3 +228,96 @@ def test_basket_lift_hand_computed(spark, tmp_path):
     assert out[(1, 3)]["lift"] == 1.0
     # pair (3,4): n_ab=2, n_3=4, n_4=2 → lift 1.0, conf_b_to_a = 1.0
     assert out[(3, 4)]["conf_b_to_a"] == 1.0
+
+
+def test_near_dup_clusters_coarsen_exact_pairs_and_pick_canonicals(spark, sf_dir):
+    """The production near-dup path: every exact-Jaccard pair above the
+    threshold whose BOTH endpoints were LSH-recalled lands in one
+    cluster; canonical picks are deterministic score-argmax with
+    n_dropped = size-1."""
+    from hadoop_stuff_spark.operators.clusters import n1_near_dup_clusters
+    from hadoop_stuff_spark.operators.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+
+    out = n1_near_dup_clusters(spark, sf_dir, threshold=0.5).collect()
+    assert out, "near-dup clusters exist in documents by construction"
+    assert all(r["n_dropped"] == r["cluster_size"] - 1 for r in out)
+    # determinism: a second run picks identical canonicals
+    again = n1_near_dup_clusters(spark, sf_dir, threshold=0.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # coarsening consistency: doc -> cluster map from the LSH pairs must
+    # put every recalled exact pair in the same component
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(spark, sf_dir, threshold=0.5).collect()
+    }
+    from hadoop_stuff_spark.operators.clusters import dedup_clusters
+    from hadoop_stuff_spark.operators.dedup import minhash_near_dups as _m
+
+    members = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            _m(spark, sf_dir, threshold=0.5)
+        ).collect()
+    }
+    exact = [
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.5
+    ]
+    for a, b in exact:
+        if (a, b) in lsh_pairs:  # recalled by LSH → must co-cluster
+            assert members[a] == members[b]
+
+
+def test_rfm_segments_partition_customers_exactly_once(spark, sf_dir):
+    """Segment rollup invariants: every customer lands in exactly one
+    segment (Σ n_customers = |customers with orders|), scores stay in
+    [1,5], and the named segments obey their defining predicates."""
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.relational import rfm_customer_segments
+
+    rows = {r["segment"]: r for r in rfm_customer_segments(spark, sf_dir).collect()}
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    for r in rows.values():
+        assert 1.0 <= r["avg_r"] <= 5.0
+        assert 1.0 <= r["avg_f"] <= 5.0
+        assert 1.0 <= r["avg_m"] <= 5.0
+        assert r["total_revenue"] > 0
+    if "champions" in rows:
+        assert rows["champions"]["avg_r"] >= 4.0
+        assert rows["champions"]["avg_f"] >= 4.0
+    if "hibernating" in rows:
+        assert rows["hibernating"]["avg_r"] <= 2.0
+
+
+def test_ks_expfit_rejects_metronome_accepts_exponential(spark, tmp_path):
+    """A metronome (constant gaps) is maximally non-exponential: its ECDF
+    is a single step at the mean, so D ≈ 1 − e⁻¹ ≈ 0.632 and the test
+    rejects. A genuine exponential sample (inverse-CDF over a fixed
+    uniform grid) stays under the 5% critical value."""
+    import math
+
+    from hadoop_stuff_spark.operators.temporal import ks_interarrival_expfit
+
+    rows = [(1, "tick", i * 60.0) for i in range(101)]  # 100 equal gaps
+    # exponential gaps via inverse CDF on a deterministic uniform grid
+    # (mean 60 s): g_k = -60 ln(1 - u_k), u_k = (k+0.5)/100
+    t = 0.0
+    exp_rows = [(2, "poisson", 0.0)]
+    for k in range(100):
+        u = (k + 0.5) / 100
+        t += -60.0 * math.log(1 - u)
+        exp_rows.append((2, "poisson", t))
+    sf = _events_typed_fixture(tmp_path, rows + exp_rows, "sf_ks")
+    out = {r["event_type"]: r for r in ks_interarrival_expfit(spark, sf).collect()}
+    assert out["tick"]["reject_exponential"]
+    assert abs(out["tick"]["ks_stat"] - (1 - math.exp(-1))) < 0.01
+    assert not out["poisson"]["reject_exponential"]
+    assert out["poisson"]["n_gaps"] == 100

@@ -114,6 +114,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "n2_knn_label_agreement",      # broadcast modular query sample (exact eval baseline)
         "value_drift_psi",             # 1-row bounds+midpoint stats frame broadcast
         "basket_affinity_lift",        # 1-row basket-total frame broadcast
+        "rfm_customer_segments",       # 1-row corpus-max-date frame broadcast
     }
     sf = "/root/testdata/sf0.001"
     bad = []

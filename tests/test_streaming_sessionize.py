@@ -136,3 +136,72 @@ def test_streaming_sessions_match_batch_sessionizer(spark, tmp_path):
         .collect()
     )
     assert b_sessions == want  # batch groups == streamed closed sessions
+
+
+def test_decayed_heavy_hitters_fresh_overtakes_stale(spark, tmp_path):
+    """Item A: 8 hits long ago; item B: 3 hits now (half-life 1 h, Δt =
+    3 h → A's mass decays to 1.0). The decayed ranking must put B first
+    while the undecayed count ranking would keep A; the decayed weights
+    themselves are exact powers of two of the event-time deltas."""
+    from hadoop_stuff_spark.streaming.stateful import (
+        decayed_heavy_hitters,
+        exactly_once_parquet_sink,
+    )
+    from hadoop_stuff_spark.streaming.tail import tail_stream
+
+    logdir = str(tmp_path / "dhh_logs")
+    ckpt = str(tmp_path / "dhh_ckpt")
+    outdir = str(tmp_path / "dhh_out")
+    os.makedirs(logdir)
+
+    def run():
+        parts_fn = F.split(F.col("value"), " ")
+        timed = tail_stream(spark, logdir).select(
+            parts_fn[0].alias("k"),
+            parts_fn[1].alias("it"),
+            F.to_timestamp(parts_fn[2].cast("long")).alias("ts"),
+        )
+        q = (
+            decayed_heavy_hitters(
+                timed, "k", "it", "ts", half_life_seconds=3600, capacity=4
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(exactly_once_parquet_sink(outdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _write_log(logdir, "b0.txt", [f"u A {BASE}" for _ in range(8)])
+    run()
+    _write_log(
+        logdir, "b1.txt", [f"u B {BASE + 3 * 3600}" for _ in range(3)]
+    )
+    run()
+
+    import pyspark.sql.functions as _F
+
+    last = (
+        spark.read.parquet(outdir)
+        .withColumn(
+            "bid",
+            _F.regexp_extract(_F.input_file_name(), r"batch_id=(\d+)", 1).cast(
+                "int"
+            ),
+        )
+    )
+    max_bid = last.agg(_F.max("bid")).collect()[0][0]
+    rows = {
+        r["item"]: r["decayed_weight"]
+        for r in last.filter(_F.col("bid") == max_bid).collect()
+    }
+    # A: 8 · 0.5^3 = 1.0 after three half-lives; B: 3 · 0.5^0 = 3.0
+    assert rows["A"] == 1.0
+    assert rows["B"] == 3.0
+    # and the first batch recorded A undecayed
+    first = {
+        r["item"]: r["decayed_weight"]
+        for r in last.filter(_F.col("bid") == 0).collect()
+    }
+    assert first["A"] == 8.0
