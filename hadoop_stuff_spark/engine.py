@@ -186,10 +186,22 @@ class Engine:
             referential_integrity_report,
         )
 
+        from hadoop_stuff_spark.operators.profile import (
+            benford_first_digit_audit,
+        )
+        from hadoop_stuff_spark.operators.textstats import (
+            source_js_divergence_matrix,
+        )
+
         return {
             "referential": referential_integrity_report(self.spark, sf_dir),
             "duplicate_keys": duplicate_key_report(self.spark, sf_dir),
             "orders_profile": profile_table(load_table(self.spark, sf_dir, "orders")),
+            # round-8 additions: fabricated-money tripwire + the corpus
+            # mixture's source-similarity matrix (both certified EXTRA
+            # oracles; still unmaterialized here)
+            "benford": benford_first_digit_audit(self.spark, sf_dir),
+            "source_similarity": source_js_divergence_matrix(self.spark, sf_dir),
         }
 
     def distinct_sketches(self, df: DataFrame, lg_k: int = 12) -> DataFrame:

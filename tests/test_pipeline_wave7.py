@@ -870,12 +870,21 @@ def test_engine_audit_composes_certified_reports(spark, sf_dir):
     from hadoop_stuff_spark.engine import Engine
 
     rep = Engine(spark).audit(sf_dir)
-    assert set(rep) == {"referential", "duplicate_keys", "orders_profile"}
+    assert set(rep) == {
+        "referential",
+        "duplicate_keys",
+        "orders_profile",
+        "benford",
+        "source_similarity",
+    }
     ri = rep["referential"].collect()
     assert len(ri) == 7 and all(r["n_orphans"] == 0 for r in ri)
+    assert all(r["n_null_fks"] == 0 for r in ri)  # clean testdata
     dk = rep["duplicate_keys"].collect()
     assert len(dk) == 7 and all(r["n_dup_keys"] == 0 for r in dk)
     assert rep["orders_profile"].count() == 6  # one row per orders column
+    assert rep["benford"].count() == 9  # all nine digits materialized
+    assert rep["source_similarity"].count() == 190  # C(20,2) source pairs
 
 
 def test_value_drift_psi_stable_vs_shifted(spark, tmp_path):
