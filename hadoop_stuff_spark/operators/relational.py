@@ -1551,7 +1551,7 @@ LIMIT 25
 
 
 def rfm_customer_segments(
-    spark: SparkSession, sf_dir: str, n_tiles: int = 5
+    spark: SparkSession, sf_dir: str, n_tiles: int = 5, exact: bool = True
 ) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation — the
     classic CRM quintile score: each customer scored 1–5 on how recently
@@ -1566,10 +1566,15 @@ def rfm_customer_segments(
     shape).
 
     Scale shape: one orders scan → per-customer aggregate (hash agg on
-    o_custkey); the three ntile windows sort the CUSTOMER relation, not
-    facts — at warehouse scale swap ntile for approx_percentile cut
-    points if even that sort hurts (the quantnorm exact=False
-    convention); final rollup is a tiny (≤ n_tiles³) hash aggregate."""
+    o_custkey); with ``exact=True`` the three ntile windows sort the
+    CUSTOMER relation (not facts). ``exact=False`` is the warehouse
+    path (the quantnorm convention): quantile CUT POINTS come from one
+    approx_percentile aggregate (mergeable sketch, no sort at all) and
+    scores are comparisons against the broadcast 1-row cuts — tile
+    membership then differs from ntile only at cut-value ties (ntile
+    splits equal values across tiles by the custkey tie-break; the cut
+    form puts them in one tile, which is the semantically honest
+    grouping). Final rollup is a tiny (≤ n_tiles³) hash aggregate."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     per_cust = o.groupBy("o_custkey").agg(
@@ -1581,16 +1586,47 @@ def rfm_customer_segments(
     base = per_cust.join(F.broadcast(max_date)).withColumn(
         "recency_days", F.datediff(F.col("max_date"), F.col("last_date"))
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    scored = base.select(
-        "o_custkey",
-        "cents",
-        (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_r)).alias("r_score"),
-        (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_f)).alias("f_score"),
-        (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_m)).alias("m_score"),
-    )
+    if exact:
+        w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+        w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        w_m = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        scored = base.select(
+            "o_custkey",
+            "cents",
+            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_r)).alias("r_score"),
+            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_f)).alias("f_score"),
+            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_m)).alias("m_score"),
+        )
+    else:
+        qs = [i / n_tiles for i in range(1, n_tiles)]
+        cuts = base.agg(
+            F.percentile_approx("recency_days", qs).alias("rc"),
+            F.percentile_approx("n_orders", qs).alias("fc"),
+            F.percentile_approx("cents", qs).alias("mc"),
+        )
+
+        def _score(col, cut_col, ascending):
+            # tiles below a cut: number of cut points the value exceeds
+            # (or is exceeded by, for ascending-is-better recency);
+            # +1 → 1..n_tiles, then flip so 5 = best
+            above = F.aggregate(
+                F.col(cut_col),
+                F.lit(0),
+                lambda acc, c: acc + (F.col(col) > c).cast("int"),
+            )
+            tile = above + 1
+            return (
+                (F.lit(n_tiles + 1) - tile) if ascending else tile
+            )
+
+        scored = base.join(F.broadcast(cuts)).select(
+            "o_custkey",
+            "cents",
+            # recency: smaller = better → tile 5 when below every cut
+            _score("recency_days", "rc", ascending=True).alias("r_score"),
+            _score("n_orders", "fc", ascending=False).alias("f_score"),
+            _score("cents", "mc", ascending=False).alias("m_score"),
+        )
     seg = (
         F.when(
             (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),

@@ -321,3 +321,26 @@ def test_ks_expfit_rejects_metronome_accepts_exponential(spark, tmp_path):
     assert abs(out["tick"]["ks_stat"] - (1 - math.exp(-1))) < 0.01
     assert not out["poisson"]["reject_exponential"]
     assert out["poisson"]["n_gaps"] == 100
+
+
+def test_rfm_approx_path_is_sortless_and_partitions_everyone(spark, sf_dir):
+    """exact=False replaces the three single-partition ntile sorts with
+    one approx_percentile aggregate + broadcast cut comparisons: the
+    physical plan carries NO window operator, every customer still lands
+    in exactly one segment, and scores stay in [1, n_tiles]. Tile
+    membership may differ from ntile only at cut-value ties (documented)."""
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.relational import rfm_customer_segments
+
+    df = rfm_customer_segments(spark, sf_dir, exact=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no ntile, no single-partition sort
+    rows = df.collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1.0 <= r["avg_r"] <= 5.0
+        assert 1.0 <= r["avg_f"] <= 5.0
+        assert 1.0 <= r["avg_m"] <= 5.0
