@@ -1468,7 +1468,15 @@ def basket_affinity_lift(
     it is frequent-parts-sized), and the basket total N is a 1-row
     broadcast (the allowlisted scalar shape)."""
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket relation feeds FIVE consumers (N, freq, both
+    # pair sides, and the two frequency joins derive from freq) — without
+    # materialization each consumer re-scans lineitem and re-runs the
+    # distinct shuffle (7 FileScans in the compiled plan). One eager
+    # localCheckpoint makes it a single scan+shuffle; the relation is the
+    # 2-column key projection, the cheapest thing in the query to land.
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
     n_baskets = baskets.agg(
         F.countDistinct("l_orderkey").alias("n_baskets")
     )
@@ -1476,6 +1484,7 @@ def basket_affinity_lift(
         baskets.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_part"))
         .filter(F.col("n_part") >= min_support)
+        .localCheckpoint(eager=True)
     )
     pruned = baskets.join(broadcast(freq.select("l_partkey")), "l_partkey")
     a = pruned.select("l_orderkey", F.col("l_partkey").alias("part_a"))
