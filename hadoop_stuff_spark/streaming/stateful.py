@@ -614,6 +614,29 @@ _DHH_STATE = StructType(
 )
 
 
+def _decayed_mg_merge(
+    sketch: dict[str, float], batch_w: dict[str, float], cap: int
+) -> dict[str, float]:
+    """Misra-Gries admission on decayed weight MASS: admit under capacity,
+    else subtract the evicted remainder from every counter — the classic
+    guarantee transfers from counts to mass: any item whose decayed mass
+    exceeds total_mass/cap survives, and each surviving estimate
+    undercounts its true decayed mass by at most total_mass/cap (property
+    test: test_streaming_sessionize)."""
+    for item, w in sorted(batch_w.items()):
+        if item in sketch:
+            sketch[item] += w
+        elif len(sketch) < cap:
+            sketch[item] = w
+        else:
+            dec = min(w, min(sketch.values()))
+            sketch = {i: v - dec for i, v in sketch.items() if v - dec > 1e-12}
+            rem = w - dec
+            if rem > 1e-12:
+                sketch[item] = rem
+    return sketch
+
+
 def _decayed_hh_fn_factory(half_life_ms: int, capacity: int):
     def fn(
         key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
@@ -644,21 +667,7 @@ def _decayed_hh_fn_factory(half_life_ms: int, capacity: int):
             batch_w[item] = batch_w.get(item, 0.0) + 0.5 ** (
                 (new_anchor - ms) / half_life_ms
             )
-        # Misra-Gries-style admission on the decayed weights: admit under
-        # capacity, else subtract the evicted remainder from everyone —
-        # the same survival guarantee class as the undecayed sketch,
-        # applied to weight mass instead of counts.
-        for item, w in sorted(batch_w.items()):
-            if item in sketch:
-                sketch[item] += w
-            elif len(sketch) < capacity:
-                sketch[item] = w
-            else:
-                dec = min(w, min(sketch.values()))
-                sketch = {i: v - dec for i, v in sketch.items() if v - dec > 1e-12}
-                rem = w - dec
-                if rem > 1e-12:
-                    sketch[item] = rem
+        sketch = _decayed_mg_merge(sketch, batch_w, capacity)
         items = sorted(sketch)
         state.update(
             (items, [float(sketch[i]) for i in items], int(new_anchor))

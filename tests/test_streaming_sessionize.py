@@ -205,3 +205,47 @@ def test_decayed_heavy_hitters_fresh_overtakes_stale(spark, tmp_path):
         for r in last.filter(_F.col("bid") == 0).collect()
     }
     assert first["A"] == 8.0
+
+
+def test_decayed_mg_merge_mass_guarantee_property():
+    """The Misra-Gries guarantee transfers from counts to decayed MASS:
+    for random weighted batches folded at capacity c, (1) any item whose
+    total mass exceeds total/c is tracked, (2) every estimate
+    undercounts its true mass by at most total/c (+ float slack), and
+    (3) estimates never overcount."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_stuff_spark.streaming.stateful import _decayed_mg_merge
+
+    batch_st = st.lists(
+        st.tuples(
+            st.sampled_from([f"i{k}" for k in range(12)]),
+            st.floats(min_value=0.01, max_value=8.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(batch_st, min_size=1, max_size=6), st.integers(3, 8))
+    def run(batches, cap):
+        truth: dict[str, float] = {}
+        sketch: dict[str, float] = {}
+        for batch in batches:
+            w: dict[str, float] = {}
+            for item, x in batch:
+                w[item] = w.get(item, 0.0) + x
+                truth[item] = truth.get(item, 0.0) + x
+            sketch = _decayed_mg_merge(sketch, w, cap)
+        assert len(sketch) <= cap
+        total = sum(truth.values())
+        slack = total / cap + 1e-6
+        for item, true_mass in truth.items():
+            est = sketch.get(item, 0.0)
+            assert est <= true_mass + 1e-6  # never overcount
+            assert est >= true_mass - slack  # bounded undercount
+            if true_mass > total / cap + 1e-6:
+                assert item in sketch  # heavy mass always survives
+
+    run()
