@@ -414,3 +414,73 @@ FROM h ORDER BY es_key DESC, doc_id LIMIT 100
 
 
 WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
+def n3_mixture_temperature_table(
+    spark: SparkSession, sf_dir: str, taus: tuple = (1.0, 2.0, 4.0)
+) -> DataFrame:
+    """Temperature-scaled corpus mixture table: each source's natural
+    token share p_i and its resampling share under temperature τ,
+    q_i(τ) = p_i^(1/τ) / Σ_j p_j^(1/τ) — the standard knob multilingual
+    and multi-source pretraining uses to up-sample small sources without
+    letting any single source dominate (τ=1 is the natural mix, τ→∞ is
+    uniform). The per-τ boost column (q/p) is the effective epoch
+    multiplier the source would see at a fixed token budget.
+
+    Exactness: p is a ratio of exact integer token counts; the pow/sum
+    chain is identical on both engines and every output rounds to 6 dp
+    (the libm-ulp convention). Columns are fixed (one per default τ) so
+    the oracle mirrors the DEFAULT taus only — the house
+    oracle-for-default-only convention.
+
+    Scale shape: one explode-free token count per document
+    (size(split()) — no token materialization), a |sources|-row hash
+    aggregate, then window sums over that tiny relation."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    per_src = docs.groupBy("source").agg(
+        F.sum(n_tok).cast("long").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all).cast(
+        "double"
+    )
+    out = per_src.withColumn("p_natural", p)
+    cols = ["source", "n_tokens", F.round("p_natural", 6).alias("natural_share")]
+    for t in taus:
+        powed = F.pow(F.col("p_natural"), 1.0 / t)
+        q = powed / F.sum(powed).over(w_all)
+        label = str(t).rstrip("0").rstrip(".").replace(".", "_")
+        cols.append(F.round(q, 6).alias(f"share_tau{label}"))
+        cols.append(F.round(q / F.col("p_natural"), 6).alias(f"boost_tau{label}"))
+    return out.select(*cols).orderBy("source")
+
+
+MIXTURE_TEMPERATURE_SQL = """
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+           AS p_natural
+  FROM per_src
+)
+SELECT source, n_tokens,
+       round(p_natural, 6) AS natural_share,
+       round(pow(p_natural, 1.0 / 1.0) / sum(pow(p_natural, 1.0 / 1.0)) OVER (), 6)
+         AS share_tau1,
+       round((pow(p_natural, 1.0 / 1.0) / sum(pow(p_natural, 1.0 / 1.0)) OVER ())
+             / p_natural, 6) AS boost_tau1,
+       round(pow(p_natural, 1.0 / 2.0) / sum(pow(p_natural, 1.0 / 2.0)) OVER (), 6)
+         AS share_tau2,
+       round((pow(p_natural, 1.0 / 2.0) / sum(pow(p_natural, 1.0 / 2.0)) OVER ())
+             / p_natural, 6) AS boost_tau2,
+       round(pow(p_natural, 1.0 / 4.0) / sum(pow(p_natural, 1.0 / 4.0)) OVER (), 6)
+         AS share_tau4,
+       round((pow(p_natural, 1.0 / 4.0) / sum(pow(p_natural, 1.0 / 4.0)) OVER ())
+             / p_natural, 6) AS boost_tau4
+FROM p
+ORDER BY source
+"""

@@ -733,6 +733,9 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "ks_interarrival_expfit": QuerySpec(
         temporal.ks_interarrival_expfit, temporal.KS_EXPFIT_SQL
     ),
+    "n3_mixture_temperature_table": QuerySpec(
+        sampling.n3_mixture_temperature_table, sampling.MIXTURE_TEMPERATURE_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

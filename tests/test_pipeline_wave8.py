@@ -344,3 +344,27 @@ def test_rfm_approx_path_is_sortless_and_partitions_everyone(spark, sf_dir):
         assert 1.0 <= r["avg_r"] <= 5.0
         assert 1.0 <= r["avg_f"] <= 5.0
         assert 1.0 <= r["avg_m"] <= 5.0
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark, tmp_path):
+    """τ=1 reproduces the natural share exactly (boost 1); higher τ
+    moves every share toward uniform — small sources boost above 1,
+    large ones shrink below — and each τ's shares still sum to 1."""
+    rows = (
+        [(i, "big", "w " * 99 + "w") for i in range(9)]          # 900 tokens
+        + [(100, "small", "w " * 99 + "w")]                       # 100 tokens
+    )
+    sf = _docs_fixture(tmp_path, rows, "sf_tau")
+    from hadoop_stuff_spark.operators.sampling import (
+        n3_mixture_temperature_table,
+    )
+
+    out = {r["source"]: r for r in n3_mixture_temperature_table(spark, sf).collect()}
+    big, small = out["big"], out["small"]
+    assert big["natural_share"] == 0.9 and small["natural_share"] == 0.1
+    assert big["share_tau1"] == 0.9 and big["boost_tau1"] == 1.0
+    for tau in ("tau2", "tau4"):
+        assert abs(big[f"share_{tau}"] + small[f"share_{tau}"] - 1.0) < 2e-6
+        assert small[f"boost_{tau}"] > 1.0 > big[f"boost_{tau}"]
+    # τ=4 is flatter than τ=2
+    assert small["share_tau4"] > small["share_tau2"] > small["share_tau1"]
