@@ -484,3 +484,104 @@ SELECT source, n_tokens,
 FROM p
 ORDER BY source
 """
+
+
+def n3_split_leakage_report(
+    spark: SparkSession, sf_dir: str, n: int = 3, max_doc_freq: int = 1000
+) -> DataFrame:
+    """Train/val/test LEAKAGE audit: after the deterministic 90/5/5 split,
+    how many val/test documents share at least one word n-gram shingle
+    with the training split — the eval-integrity check every benchmark
+    pipeline runs before trusting a held-out number (a val doc whose
+    shingles all appear in train is memorization bait, not evaluation).
+
+    Composition of two certified stages: the md5 split (split_corpus —
+    a doc never migrates between splits) and the guarded shingle index
+    (dedup._shingle_index — the same df-cut as the Jaccard dedup, so
+    stop-shingles shared by everything don't declare the whole eval set
+    leaked). A doc too short to carry any surviving shingle cannot leak.
+
+    Scale shape: one shingle explode, the hot-shingle broadcast
+    anti-join, a distinct on train shingles (shuffle on shingle), one
+    semi-join of eval shingles against it, one distinct on leaked doc
+    ids — nothing pairwise, nothing quadratic; the report is ≤ 2 rows."""
+    from hadoop_stuff_spark.operators.dedup import _shingle_index
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    split = split_corpus(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    idx = _shingle_index(docs, n, max_doc_freq).join(split, "doc_id")
+    train_sh = (
+        idx.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    eval_sh = idx.filter(F.col("split") != "train")
+    leaked = (
+        eval_sh.join(train_sh, "shingle", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_leak", F.lit(1))
+    )
+    return (
+        split.filter(F.col("split") != "train")
+        .join(leaked, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("_leak", F.lit(0))).cast("long").alias("n_leaked"),
+        )
+        .withColumn(
+            "leak_share",
+            F.round(F.col("n_leaked").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_leakage_sql() -> str:
+    t1 = _hex_threshold(0.05)
+    t2 = _hex_threshold(0.95)
+    return f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS sh_list
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+), sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all
+                    GROUP BY shingle HAVING count(*) <= 1000)
+), split AS (
+  SELECT doc_id,
+         CASE WHEN hx < '{t1}' THEN 'test'
+              WHEN hx < '{t2}' THEN 'train'
+              ELSE 'val' END AS split
+  FROM (SELECT doc_id,
+               substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 6) AS hx
+        FROM documents)
+), train_sh AS (
+  SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id)
+  WHERE split = 'train'
+), leaked AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN split sp USING (doc_id)
+  WHERE sp.split <> 'train'
+    AND s.shingle IN (SELECT shingle FROM train_sh)
+)
+SELECT sp.split,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked,
+       round(CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS leak_share
+FROM split sp LEFT JOIN leaked l ON sp.doc_id = l.doc_id
+WHERE sp.split <> 'train'
+GROUP BY sp.split
+ORDER BY sp.split
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()

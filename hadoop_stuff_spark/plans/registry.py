@@ -736,6 +736,9 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n3_mixture_temperature_table": QuerySpec(
         sampling.n3_mixture_temperature_table, sampling.MIXTURE_TEMPERATURE_SQL
     ),
+    "n3_split_leakage_report": QuerySpec(
+        sampling.n3_split_leakage_report, sampling.SPLIT_LEAKAGE_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

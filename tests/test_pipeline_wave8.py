@@ -368,3 +368,38 @@ def test_mixture_temperature_flattens_toward_uniform(spark, tmp_path):
         assert small[f"boost_{tau}"] > 1.0 > big[f"boost_{tau}"]
     # τ=4 is flatter than τ=2
     assert small["share_tau4"] > small["share_tau2"] > small["share_tau1"]
+
+
+def test_split_leakage_planted_dup_across_splits(spark, tmp_path):
+    """Two identical long documents whose ids hash into train and val
+    respectively → the val copy is leaked; an id-distinct singleton in
+    test shares no shingle with train → not leaked. Doc ids are chosen
+    by probing the split hash so the fixture is stable by construction."""
+    from hadoop_stuff_spark.operators.sampling import (
+        n3_split_leakage_report,
+        split_corpus,
+    )
+
+    # probe ids into the splits we need using the REAL splitter
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    )
+    lab = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            probe, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).collect()
+    }
+    train_id = next(i for i in range(400) if lab[i] == "train")
+    val_id = next(i for i in range(400) if lab[i] == "val")
+    test_id = next(i for i in range(400) if lab[i] == "test")
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (train_id, "s", shared),
+        (val_id, "s", shared),                      # leaked: shingles ⊂ train
+        (test_id, "s", "one two three four five"),  # disjoint: clean
+    ]
+    sf = _docs_fixture(tmp_path, rows, "sf_leak")
+    out = {r["split"]: r for r in n3_split_leakage_report(spark, sf).collect()}
+    assert out["val"]["n_leaked"] == 1 and out["val"]["leak_share"] == 1.0
+    assert out["test"]["n_leaked"] == 0 and out["test"]["leak_share"] == 0.0
