@@ -75,6 +75,17 @@ HEADLINE = [
     "referential_integrity_report",
     "n3_unigram_kl_by_source",
     "order_value_decile_lift",
+    # round-9 widening (VERDICT r8 #2): the round-8 operator waves get
+    # wall-time accountability. Added at ROUND START so the committed
+    # BENCH_DETAIL and the driver's BENCH_r09 describe the same set; the
+    # detail JSON carries a shared-41 subtotal (total minus these) so
+    # round-over-round comparison against r8's 41-query headline holds.
+    *(_R9_WIDENING := [
+        "source_js_divergence_matrix",
+        "rfm_customer_segments",
+        "ks_interarrival_expfit",
+        "basket_affinity_lift",
+    ]),
 ]
 
 
@@ -177,6 +188,12 @@ def main() -> None:
         ingest, matrix = {"error": f"{type(exc).__name__}: {exc}"[:300]}, []
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparability across the r9 headline widening:
+    # the subtotal over exactly r8's 41-query set (headline minus the
+    # round-9 additions) is what compares against BENCH_r08's value.
+    shared_prev = round(
+        sum(t for n, t in timings.items() if n not in _R9_WIDENING), 3
+    )
     # Stdout carries ONLY the minimal driver contract line — round 4's
     # line grew past the driver's stdout capture (runs arrays + ingest
     # matrix) and BENCH_r04.json recorded "parsed": null, losing the
@@ -194,6 +211,8 @@ def main() -> None:
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
+        "shared_41_total": shared_prev,
+        "r9_widening": _R9_WIDENING,
         "queries": timings,
         "queries_min": t_min,
         "queries_max": t_max,

@@ -752,14 +752,18 @@ _CATALOG_B: dict[str, QuerySpec] = {
 # order, so every oracle-backed query eventually earns an independent driver
 # CORRECTNESS row.
 #
-# Schedule (cohorts are declaration-order slices; _CATALOG_B grew to 120
-# with the round-8 wave, so cohort C fills a whole window now):
+# Schedule (cohorts are declaration-order slices; _CATALOG_B is 124
+# entries after the round-8 wave — 117 at r8 start + 7 added — so cohort C
+# fills a whole window and cohort D is 19; sizes are asserted from
+# len(_CATALOG_B) below so this comment can't silently drift again):
 #   r1-r6 : the original _CATALOG_A window        → CORRECTNESS_r01..r06
 #   r7    : anchors + cohort A = _CATALOG_B[0:35] → first driver rows for 35
 #   r8    : anchors + cohort B = _CATALOG_B[35:70]
 #   r9    : anchors + cohort C = _CATALOG_B[70:105]
-#   r10   : anchors + cohort D = _CATALOG_B[105:] (15) + displaced
-#           _CATALOG_A queries (oldest driver row first), then round-robin.
+#   r10   : anchors + cohort D = _CATALOG_B[105:] (len(_CATALOG_B)-105 = 19
+#           as of r9) + displaced _CATALOG_A queries (oldest driver row
+#           first), then round-robin. New r9+ catalog entries extend
+#           cohort D.
 # Rotating = replacing _WINDOW_ROTATION with the next cohort's names; the
 # asserts below keep the 50-slot / oracle-first contract intact.
 
@@ -781,8 +785,8 @@ _ANCHORS = [
     "u3_expression_predicate",
 ]
 
-# r8 window = cohort B: _CATALOG_B entries 35..70 in declaration order.
-_WINDOW_ROTATION = list(_CATALOG_B)[35:70]
+# r9 window = cohort C: _CATALOG_B entries 70..105 in declaration order.
+_WINDOW_ROTATION = list(_CATALOG_B)[70:105]
 
 _ORACLE_CATALOG: dict[str, QuerySpec] = {
     **{n: s for n, s in _CATALOG_A.items() if s.oracle},
@@ -799,6 +803,12 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
 }
 
 assert len(set(_CATALOG_A) & set(_CATALOG_B)) == 0, "catalog halves must not overlap"
+# Rotation-schedule arithmetic (keeps the schedule comment honest): cohorts
+# A/B/C are full 35-slot declaration-order slices, cohort D = the remainder.
+assert len(_CATALOG_B) >= 105, (
+    f"cohort schedule assumes three full 35-slot cohorts; _CATALOG_B has "
+    f"{len(_CATALOG_B)} entries — cohort D would be {len(_CATALOG_B) - 105}"
+)
 assert all(
     s.oracle for s in EXTRA_QUERIES.values()
 ), "EXTRA_QUERIES is the locally-certified oracle set: every entry needs SQL"
