@@ -433,7 +433,11 @@ def _extra_decade(spark, sf01_medians: dict[str, float], errors: dict[str, str])
     # factor-2 point at sf1.0 — growth vs their own sf0.5 time tells
     # "fixed overhead amortizing" (ratio well under 2) apart from
     # "super-linear onset" (ratio past 4 = 2x the 2x data growth).
-    out["sf1.0"] = _full_decade_point(spark, times, errors)
+    # VERDICT r8 #5: plus THIS round's worst sf0.5 ratio, whichever
+    # query that is — the grid stays honest as the steepest query
+    # changes round to round.
+    worst = max(ratios, key=ratios.get) if ratios else None
+    out["sf1.0"] = _full_decade_point(spark, times, errors, extra=worst)
     return out
 
 
@@ -441,15 +445,21 @@ STEEPENING = ["copurchase_pairs", "n1_containment_pairs"]
 
 
 def _full_decade_point(
-    spark, sf05_times: dict[str, float], errors: dict[str, str]
+    spark,
+    sf05_times: dict[str, float],
+    errors: dict[str, str],
+    extra: str | None = None,
 ):
     repo = os.path.dirname(os.path.abspath(__file__))
     d = os.path.join(repo, ".scaling", "sf1.0")
     if not os.path.isdir(d):
         return {"skipped": f"{d} missing (scripts/make_scaling_sf.py --factor 10)"}
+    names = list(STEEPENING)
+    if extra and extra not in names and extra in sf05_times:
+        names.append(extra)
     times: dict[str, float] = {}
     ratios: dict[str, float] = {}
-    for name in STEEPENING:
+    for name in names:
         fn = ALL_QUERIES[name].fn
         t0 = time.perf_counter()
         try:

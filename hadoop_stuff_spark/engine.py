@@ -178,7 +178,12 @@ class Engine:
         fact tables — the publish gate a warehouse load runs before
         flipping a snapshot pointer. Returns the three certified report
         frames unmaterialized (the caller decides what to collect/land),
-        so composing them costs nothing until an action runs."""
+        so composing them costs nothing until an action runs — with one
+        exception: the source-similarity matrix runs an eager distinct-
+        source probe at BUILD time (its pair grid and driver collect are
+        sized by the source count, so the guard must fire before the
+        plan exists); past its max_sources cap that entry is omitted
+        with a warning rather than failing the whole audit."""
         from hadoop_stuff_spark.catalog import load_table
         from hadoop_stuff_spark.operators.profile import profile_table
         from hadoop_stuff_spark.operators.quality import (
@@ -193,16 +198,26 @@ class Engine:
             source_js_divergence_matrix,
         )
 
-        return {
+        out = {
             "referential": referential_integrity_report(self.spark, sf_dir),
             "duplicate_keys": duplicate_key_report(self.spark, sf_dir),
             "orders_profile": profile_table(load_table(self.spark, sf_dir, "orders")),
-            # round-8 additions: fabricated-money tripwire + the corpus
-            # mixture's source-similarity matrix (both certified EXTRA
-            # oracles; still unmaterialized here)
+            # round-8 addition: fabricated-money tripwire (certified
+            # EXTRA oracle; unmaterialized like the three above)
             "benford": benford_first_digit_audit(self.spark, sf_dir),
-            "source_similarity": source_js_divergence_matrix(self.spark, sf_dir),
         }
+        try:
+            # eager source-count probe inside (see docstring)
+            out["source_similarity"] = source_js_divergence_matrix(
+                self.spark, sf_dir
+            )
+        except ValueError as exc:
+            import warnings
+
+            warnings.warn(
+                f"audit: source_similarity skipped — {exc}", stacklevel=2
+            )
+        return out
 
     def distinct_sketches(self, df: DataFrame, lg_k: int = 12) -> DataFrame:
         """Mergeable per-(day,type) HLL sketch table over an events-shaped

@@ -1137,16 +1137,32 @@ def minhash_calibration(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # size joins are LEFT with a 0 coalesce: a doc shorter than n words
+    # has NO shingles and would otherwise vanish from the report, biasing
+    # per-band stats vs the candidate set LSH actually produced — such a
+    # pair keeps exact_jaccard 0 against any non-empty partner, and a
+    # both-empty pair (n_union = 0, Jaccard undefined) stays excluded by
+    # the guard below (ADVICE r8).
     j = (
         cands.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b")), "doc_b")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b")),
+            "doc_b",
+            "left",
+        )
         .select(
             "est_jaccard",
             F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
-            (F.col("sz_a") + F.col("sz_b") - F.coalesce("n_inter", F.lit(0))).alias(
-                "n_union"
-            ),
+            (
+                F.coalesce("sz_a", F.lit(0))
+                + F.coalesce("sz_b", F.lit(0))
+                - F.coalesce("n_inter", F.lit(0))
+            ).alias("n_union"),
         )
         .filter(F.col("n_union") > 0)
         .select(

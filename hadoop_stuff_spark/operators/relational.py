@@ -1445,7 +1445,11 @@ ORDER BY basket_size
 
 
 def basket_affinity_lift(
-    spark: SparkSession, sf_dir: str, min_support: int = 12, top: int = 25
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = 12,
+    top: int = 25,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Association-rule readout over co-purchased parts: for each frequent
     pair, the LIFT (observed co-occurrence ÷ the independence expectation
@@ -1468,23 +1472,41 @@ def basket_affinity_lift(
     it is frequent-parts-sized), and the basket total N is a 1-row
     broadcast (the allowlisted scalar shape)."""
     li = _t(spark, sf_dir, "lineitem")
+
     # the distinct basket relation feeds FIVE consumers (N, freq, both
     # pair sides, and the two frequency joins derive from freq) — without
     # materialization each consumer re-scans lineitem and re-runs the
-    # distinct shuffle (7 FileScans in the compiled plan). One eager
-    # localCheckpoint makes it a single scan+shuffle; the relation is the
-    # 2-column key projection, the cheapest thing in the query to land.
-    baskets = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
-    )
+    # distinct shuffle (7 FileScans in the compiled plan). `materialize`
+    # picks how the single scan+shuffle is pinned (VERDICT r8 #4):
+    #   "checkpoint" (default) — eager localCheckpoint: fastest on a
+    #     single node / bench, but TRUNCATES LINEAGE into executor-local
+    #     non-replicated blocks, so on a real cluster a lost executor
+    #     fails the query instead of recomputing;
+    #   "persist" — spill-safe MEMORY_AND_DISK persist: keeps lineage, a
+    #     lost block recomputes from the parquet scan — the cluster call.
+    #     (Blocks stay cached after the query, like the checkpoint RDDs;
+    #     both are reclaimed by Spark's context cleaner on GC.)
+    #   "none" — no pinning (the 7-rescan plan); for plan-shape tests.
+    if materialize not in ("checkpoint", "persist", "none"):
+        raise ValueError(f"materialize must be checkpoint|persist|none, got {materialize!r}")
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if materialize == "checkpoint":
+            return df.localCheckpoint(eager=True)
+        if materialize == "persist":
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df
+
+    baskets = _pin(li.select("l_orderkey", "l_partkey").distinct())
     n_baskets = baskets.agg(
         F.countDistinct("l_orderkey").alias("n_baskets")
     )
-    freq = (
+    freq = _pin(
         baskets.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_part"))
         .filter(F.col("n_part") >= min_support)
-        .localCheckpoint(eager=True)
     )
     pruned = baskets.join(broadcast(freq.select("l_partkey")), "l_partkey")
     a = pruned.select("l_orderkey", F.col("l_partkey").alias("part_a"))
@@ -1559,8 +1581,81 @@ LIMIT 25
 """
 
 
+def _rfm_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tiles: int,
+    exact: bool | None,
+    exact_max_customers: int,
+) -> DataFrame:
+    """Per-customer RFM scores — the shared scoring stage behind
+    `rfm_customer_segments` (which rolls it up to segments) and the
+    bounded-deviation tests (which compare the exact-ntile and
+    sketch-cut forms customer-by-customer). Returns
+    [o_custkey, recency_days, n_orders, cents, r_score, f_score,
+    m_score]; semantics and auto-switch documented on the public
+    operator."""
+    o = load_table(spark, sf_dir, "orders")
+    if exact is None:
+        n_est = o.agg(
+            F.approx_count_distinct("o_custkey").alias("n")
+        ).first()["n"]
+        exact = n_est <= exact_max_customers
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("cents"),
+    )
+    max_date = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_date"))
+    base = per_cust.join(F.broadcast(max_date)).withColumn(
+        "recency_days", F.datediff(F.col("max_date"), F.col("last_date"))
+    )
+    keep = ["o_custkey", "recency_days", "n_orders", "cents"]
+    if exact:
+        w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+        w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        w_m = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        return base.select(
+            *keep,
+            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_r)).alias("r_score"),
+            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_f)).alias("f_score"),
+            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_m)).alias("m_score"),
+        )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    cuts = base.agg(
+        F.percentile_approx("recency_days", qs).alias("rc"),
+        F.percentile_approx("n_orders", qs).alias("fc"),
+        F.percentile_approx("cents", qs).alias("mc"),
+    )
+
+    def _score(col, cut_col, ascending):
+        # tiles below a cut: number of cut points the value exceeds
+        # (or is exceeded by, for ascending-is-better recency);
+        # +1 → 1..n_tiles, then flip so 5 = best
+        above = F.aggregate(
+            F.col(cut_col),
+            F.lit(0),
+            lambda acc, c: acc + (F.col(col) > c).cast("int"),
+        )
+        tile = above + 1
+        return (F.lit(n_tiles + 1) - tile) if ascending else tile
+
+    return base.join(F.broadcast(cuts)).select(
+        *keep,
+        # recency: smaller = better → tile 5 when below every cut
+        _score("recency_days", "rc", ascending=True).alias("r_score"),
+        _score("n_orders", "fc", ascending=False).alias("f_score"),
+        _score("cents", "mc", ascending=False).alias("m_score"),
+    )
+
+
 def rfm_customer_segments(
-    spark: SparkSession, sf_dir: str, n_tiles: int = 5, exact: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    n_tiles: int = 5,
+    exact: bool | None = None,
+    exact_max_customers: int = 10_000_000,
 ) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation — the
     classic CRM quintile score: each customer scored 1–5 on how recently
@@ -1583,59 +1678,17 @@ def rfm_customer_segments(
     membership then differs from ntile only at cut-value ties (ntile
     splits equal values across tiles by the custkey tie-break; the cut
     form puts them in one tile, which is the semantically honest
-    grouping). Final rollup is a tiny (≤ n_tiles³) hash aggregate."""
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(cents).alias("cents"),
-    )
-    max_date = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_date"))
-    base = per_cust.join(F.broadcast(max_date)).withColumn(
-        "recency_days", F.datediff(F.col("max_date"), F.col("last_date"))
-    )
-    if exact:
-        w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-        w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
-        w_m = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-        scored = base.select(
-            "o_custkey",
-            "cents",
-            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_r)).alias("r_score"),
-            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_f)).alias("f_score"),
-            (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_m)).alias("m_score"),
-        )
-    else:
-        qs = [i / n_tiles for i in range(1, n_tiles)]
-        cuts = base.agg(
-            F.percentile_approx("recency_days", qs).alias("rc"),
-            F.percentile_approx("n_orders", qs).alias("fc"),
-            F.percentile_approx("cents", qs).alias("mc"),
-        )
+    grouping). Final rollup is a tiny (≤ n_tiles³) hash aggregate.
 
-        def _score(col, cut_col, ascending):
-            # tiles below a cut: number of cut points the value exceeds
-            # (or is exceeded by, for ascending-is-better recency);
-            # +1 → 1..n_tiles, then flip so 5 = best
-            above = F.aggregate(
-                F.col(cut_col),
-                F.lit(0),
-                lambda acc, c: acc + (F.col(col) > c).cast("int"),
-            )
-            tile = above + 1
-            return (
-                (F.lit(n_tiles + 1) - tile) if ascending else tile
-            )
-
-        scored = base.join(F.broadcast(cuts)).select(
-            "o_custkey",
-            "cents",
-            # recency: smaller = better → tile 5 when below every cut
-            _score("recency_days", "rc", ascending=True).alias("r_score"),
-            _score("n_orders", "fc", ascending=False).alias("f_score"),
-            _score("cents", "mc", ascending=False).alias("m_score"),
-        )
+    ``exact=None`` (the default, VERDICT r8 #3) auto-switches: one
+    approx_count_distinct probe over o_custkey (a cheap mergeable-sketch
+    aggregate, NOT a precise count — it only feeds a threshold) picks
+    the exact ntile form while the customer relation is comfortably a
+    single sort task (≤ ``exact_max_customers``) and the sortless sketch
+    form past it, so a 10⁹-customer corpus never runs three
+    un-partitioned ntile sorts by default while the oracle-certified
+    exact semantics stay the resolved default at test/driver scales."""
+    scored = _rfm_scored(spark, sf_dir, n_tiles, exact, exact_max_customers)
     seg = (
         F.when(
             (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),

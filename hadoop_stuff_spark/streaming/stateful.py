@@ -564,7 +564,7 @@ def streaming_sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Streaming gaps-and-islands sessionizer: emits one summary row
     (user, session_start, session_end, n_events) per CLOSED session — a
@@ -581,11 +581,21 @@ def streaming_sessionize(
     event time past last_seen + gap). State per user is three longs —
     O(active users), the same class as the watchdog.
 
+    ``watermark_delay`` defaults to the session gap itself (ADVICE r8):
+    with a zero delay, ANY cross-key event-time skew — one user's
+    continuation arriving after another key advanced the watermark —
+    drops rows as late data and splits sessions, so the batch-equality
+    claim would hold only on strictly ordered streams. A delay of one
+    gap tolerates skew up to the gap at the cost of closed sessions
+    emitting one gap later; pass an explicit delay to trade differently.
+
     100 TB posture: state is keyed and sharded by the state store; the
     per-batch walk is O(events in batch) after one in-batch sort; no
     per-session array is ever held (the summary carries counts and
     bounds only — the batch operator's whale-session cap concern does
     not arise)."""
+    if watermark_delay is None:
+        watermark_delay = f"{gap_minutes} minutes"
     renamed = stream.selectExpr(
         f"{user_col} AS user_id", f"{ts_col} AS ts"
     ).withWatermark("ts", watermark_delay)

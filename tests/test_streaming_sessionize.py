@@ -44,17 +44,20 @@ def _run(spark, logdir, ckpt, outdir):
 def test_streaming_sessions_match_batch_sessionizer(spark, tmp_path):
     """u1's first session spans micro-batches; u2's and u3's interior
     gaps are data-revealed (u3's wholly INSIDE one batch — the backfill
-    case a timer can never see); the final open sessions of u1/u2/u3
-    close via the watermark timer once u99 pushes event time forward.
-    The closed-session set must equal the batch sessionizer's groups."""
+    case a timer can never see); u4's event arrives a batch LATE behind
+    cross-key skew (u2 already pushed event time past it — survivable
+    only because the default watermark delay is one session gap, ADVICE
+    r8); the final open sessions close via the watermark timer once u99
+    pushes event time forward. The closed-session set must equal the
+    batch sessionizer's groups."""
     logdir = str(tmp_path / "logs")
     ckpt = str(tmp_path / "ckpt")
     outdir = str(tmp_path / "out")
     os.makedirs(logdir)
 
-    # event time stays monotone ACROSS batches (watermark delay 0: a
-    # continuation arriving after the watermark passed it would be LATE
-    # data, and the open session legitimately times out first)
+    # event time stays monotone ACROSS batches except u4's planted skew
+    # below (the default watermark delay of one gap absorbs exactly that
+    # much cross-key lag; anything older is legitimately late data)
     _write_log(
         logdir,
         "b0.txt",
@@ -74,6 +77,10 @@ def test_streaming_sessions_match_batch_sessionizer(spark, tmp_path):
             f"3 {BASE + 4100}",
             f"3 {BASE + 4160}",
             f"3 {BASE + 7000}",
+            # u4 arrives one batch late: b1's max event time (BASE+4000)
+            # already passed BASE+3000 — with a zero watermark delay this
+            # row would be dropped as late; the one-gap default keeps it
+            f"4 {BASE + 3000}",
         ],
     )
     _run(spark, logdir, ckpt, outdir)
@@ -100,6 +107,7 @@ def test_streaming_sessions_match_batch_sessionizer(spark, tmp_path):
             (2, BASE + 4000, BASE + 4000, 1),  # timer-closed
             (3, BASE + 4100, BASE + 4160, 2),  # in-batch backfill gap
             (3, BASE + 7000, BASE + 7000, 1),  # timer-closed
+            (4, BASE + 3000, BASE + 3000, 1),  # cross-key-skew straggler
         ]
     )
     assert got == want  # u99's session is still open → not emitted
@@ -111,6 +119,7 @@ def test_streaming_sessions_match_batch_sessionizer(spark, tmp_path):
         (1, BASE), (1, BASE + 60), (1, BASE + 120), (2, BASE),
         (1, BASE + 200), (2, BASE + 4000), (1, BASE + 5000),
         (3, BASE + 4100), (3, BASE + 4160), (3, BASE + 7000),
+        (4, BASE + 3000),
     ]]
     from datetime import datetime, timezone
 

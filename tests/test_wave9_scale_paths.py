@@ -1,0 +1,232 @@
+"""Round-9 scale-path tests (VERDICT r8 #3/#4): KS bucketed-ECDF
+approx form, RFM customer-count auto-switch, and basket-lift
+materialization strategies."""
+
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest  # noqa: F401
+
+
+def _events_typed_fixture(tmp_path, rows, name="sf_evt"):
+    """(user_id, event_type, second-offset) rows, base epoch + offset s."""
+    base_ns = 1_700_000_000 * 1_000_000_000
+    n = len(rows)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base_ns + int(r[2] * 1_000_000_000) for r in rows],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+    return str(sf)
+
+
+def test_ks_approx_tracks_exact_and_avoids_rank_window(spark):
+    """The bucketed-ECDF form (no per-type rank window — the 100 TB
+    shape) must track the exact statistic within grid pitch + slack
+    (1/n_probes + sketch/bucket-boundary wobble) and reach the same
+    verdicts; its plan carries NO row_number and the only window (the
+    gap lag) partitions by (event_type, bucket), not whole types.
+    Runs at sf0.01 — the approx form targets DENSE types (sf0.001 has
+    ~7 events/type/day, where day bucketing sheds 14% of gaps; the
+    gap_bucket parameter exists for exactly that sparse case)."""
+    from hadoop_stuff_spark.operators.temporal import ks_interarrival_expfit
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r for r in ks_interarrival_expfit(spark, sf).collect()}
+    approx = {
+        r["event_type"]: r
+        for r in ks_interarrival_expfit(spark, sf, exact=False).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, e in exact.items():
+        a = approx[t]
+        # day-boundary gaps are dropped: a few per type at most
+        assert e["n_gaps"] * 0.9 <= a["n_gaps"] <= e["n_gaps"]
+        # |D̂ − D| ≤ grid pitch (1/99) + sketch/mean-perturbation slack
+        assert abs(a["ks_stat"] - e["ks_stat"]) <= 1 / 99 + 0.005
+        assert a["reject_exponential"] == e["reject_exponential"]
+    plan = (
+        ks_interarrival_expfit(spark, sf, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "row_number" not in plan  # no whole-type ECDF rank sort
+    assert "percentile" in plan.lower()  # the mergeable-sketch aggregate
+    # the lag window partitions by (event_type, _bucket)
+    assert "_bucket" in plan
+    # a sparse type wants a coarser bucket: week keeps >99.5% of gaps here
+    wk = {
+        r["event_type"]: r["n_gaps"]
+        for r in ks_interarrival_expfit(
+            spark, sf, exact=False, gap_bucket="week"
+        ).collect()
+    }
+    for t, e in exact.items():
+        assert wk[t] >= e["n_gaps"] * 0.995
+
+
+def test_ks_approx_fixture_verdicts(spark, tmp_path):
+    """Same planted distributions as the exact-path test: the metronome's
+    single ECDF step reads D̂ ≈ 0.632 − 1/99 on the grid (still a loud
+    reject); the true exponential stays under the critical value. The
+    approx form under-reads, so it can never reject where exact accepts."""
+    from hadoop_stuff_spark.operators.temporal import ks_interarrival_expfit
+
+    rows = [(1, "tick", i * 60.0) for i in range(101)]  # 100 equal gaps
+    t = 0.0
+    exp_rows = [(2, "poisson", 0.0)]
+    for k in range(100):
+        u = (k + 0.5) / 100
+        t += -60.0 * math.log(1 - u)
+        exp_rows.append((2, "poisson", t))
+    sf = _events_typed_fixture(tmp_path, rows + exp_rows, "sf_ks_apx")
+    out = {
+        r["event_type"]: r
+        for r in ks_interarrival_expfit(spark, sf, exact=False).collect()
+    }
+    assert out["tick"]["reject_exponential"]
+    # every probe quantile is the single 60 s step: sup over the grid is
+    # max_j |p_j − (1 − e⁻¹)| = (1 − e⁻¹) − 1/99
+    assert abs(out["tick"]["ks_stat"] - ((1 - math.exp(-1)) - 1 / 99)) < 0.01
+    assert not out["poisson"]["reject_exponential"]
+
+
+def test_rfm_auto_switch_resolves_by_customer_count(spark, sf_dir):
+    """exact=None (the default) picks the oracle-certified ntile form
+    while the customer relation fits one sort task, and the sortless
+    sketch form past the threshold — so the default never runs three
+    un-partitioned ntile sorts on a warehouse-scale corpus."""
+    from hadoop_stuff_spark.operators.relational import _rfm_scored
+
+    plan_small = (
+        _rfm_scored(spark, sf_dir, 5, None, 10_000_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile(5)" in plan_small  # auto resolves exact under threshold
+    plan_big = (
+        _rfm_scored(spark, sf_dir, 5, None, 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile(5)" not in plan_big  # past threshold: sketch cuts
+    assert "Window" not in plan_big  # and no window sort at all
+
+
+def test_rfm_approx_scores_stay_within_exact_tie_span(spark, sf_dir):
+    """Bounded deviation, score-level (the quantnorm/decile convention):
+    ntile splits a tied value class across adjacent tiles by the custkey
+    tie-break while the sketch-cut form puts the whole class in one tile,
+    so for every customer the approx score must land inside the EXACT
+    score span of customers sharing that value, ±1 for the equal-height
+    remainder wobble at cut boundaries."""
+    from hadoop_stuff_spark.operators.relational import _rfm_scored
+
+    exact = _rfm_scored(spark, sf_dir, 5, True, 0).toPandas()
+    approx = _rfm_scored(spark, sf_dir, 5, False, 0).toPandas()
+    assert len(exact) == len(approx)
+    for val_col, score_col in [
+        ("recency_days", "r_score"),
+        ("n_orders", "f_score"),
+        ("cents", "m_score"),
+    ]:
+        span = exact.groupby(val_col)[score_col].agg(["min", "max"])
+        a = approx.set_index("o_custkey")
+        e = exact.set_index("o_custkey")
+        for ck in e.index:
+            lo, hi = span.loc[e.loc[ck, val_col]]
+            assert lo - 1 <= a.loc[ck, score_col] <= hi + 1, (
+                f"{score_col} for customer {ck}: approx "
+                f"{a.loc[ck, score_col]} outside exact tie span [{lo},{hi}]±1"
+            )
+
+
+def test_basket_lift_materialization_strategies_agree(spark, sf_dir):
+    """All three strategies return identical rows; "checkpoint" compiles
+    to ZERO lineitem FileScans (the scan ran at checkpoint time),
+    "persist" reads the cache at every consumer (InMemoryTableScan),
+    and "none" shows the multi-rescan plan the pinning exists to kill."""
+    from hadoop_stuff_spark.operators.relational import basket_affinity_lift
+
+    results = {}
+    plans = {}
+    for m in ("checkpoint", "persist", "none"):
+        spark.catalog.clearCache()  # a prior persist would mask "none"
+        df = basket_affinity_lift(spark, sf_dir, min_support=2, materialize=m)
+        plans[m] = df._jdf.queryExecution().executedPlan().toString()
+        results[m] = [tuple(r) for r in df.collect()]
+    spark.catalog.clearCache()
+    assert results["checkpoint"] == results["persist"] == results["none"]
+    assert len(results["checkpoint"]) > 0
+    assert plans["checkpoint"].count("FileScan") == 0
+    assert plans["persist"].count("InMemoryTableScan") >= 4  # every consumer
+    assert plans["none"].count("FileScan") >= 2  # the rescan storm
+
+    with pytest.raises(ValueError, match="materialize"):
+        basket_affinity_lift(spark, sf_dir, materialize="bogus")
+
+
+def _docs_fixture(tmp_path, rows, name):
+    """(doc_id, source, text) documents table."""
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def test_minhash_calibration_zero_shingle_docs_hit_the_guard_not_a_join(
+    spark, tmp_path
+):
+    """ADVICE r8: docs shorter than n words have ZERO shingles but still
+    produce LSH candidates (their degenerate sentinel signatures agree in
+    every band, est 1.0). The size joins are LEFT now: such a pair is
+    excluded only by the explicit n_union > 0 guard (both-empty →
+    Jaccard undefined), never silently by an inner join — and a real
+    pair in the same band stays counted with its exact Jaccard."""
+    from hadoop_stuff_spark.operators.dedup import (
+        minhash_calibration,
+        minhash_candidates,
+    )
+    from hadoop_stuff_spark.catalog import load_table
+
+    rows = [
+        (1, "a", "tiny doc"),  # 2 words → 0 3-shingles
+        (2, "a", "small one"),  # 2 words → 0 3-shingles
+        (3, "a", " ".join(f"w{i}" for i in range(40))),
+        (4, "a", " ".join(f"w{i}" for i in range(40))),  # dup of 3
+    ]
+    sf = _docs_fixture(tmp_path, rows, "sf_zshingle")
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(load_table(spark, sf, "documents")).collect()
+    }
+    assert (1, 2) in cands  # the degenerate pair IS a candidate
+    assert (3, 4) in cands
+    rep = {r["est_band"]: r for r in minhash_calibration(spark, sf).collect()}
+    # only the real pair survives the Jaccard-undefined guard
+    assert sum(r["n_pairs"] for r in rep.values()) == len(cands) - 1
+    assert rep[9]["n_pairs"] == 1 and rep[9]["mean_exact"] == 1.0
