@@ -22,7 +22,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -1196,3 +1196,88 @@ def minhash_calibration(
         )
         .orderBy("est_band")
     )
+
+
+def n1_dedup_rate_by_batch(
+    spark: SparkSession, sf_dir: str, batch_size: int = 100
+) -> DataFrame:
+    """Per-source duplicate-rate TREND over ingest batches — the
+    monitoring view a crawl pipeline watches: a source whose dup rate
+    climbs batch over batch has gone stale (re-crawling the same pages),
+    long before the global dedup ratio moves. Batches are doc_id ranges
+    (``doc_id div batch_size`` — integer floor division on BOTH engines,
+    the r8 midpoint convention), the ingest-order stand-in the synthetic
+    corpus provides.
+
+    A doc is a duplicate iff an EARLIER doc (smaller doc_id, any source)
+    carries the same normalized-text fingerprint — the same canonical-
+    min rule as :func:`dedup_exact_groups`. Per (source, batch): doc and
+    dup counts, the batch dup rate, and running cumulative counts/rate.
+
+    Scale shape: one documents scan → fingerprint (map-side md5) → one
+    hash agg for first-ids → one fp-keyed hash join back → hash agg on
+    (source, batch). The cumulative window orders BATCHES within a
+    source — the windowed relation is batches-sized (corpus/batch_size
+    rows), never documents-sized. Zero-division impossible: every
+    emitted group has n_docs ≥ 1."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", fingerprint_md5("text").alias("fp")
+    )
+    first = docs.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    flagged = docs.join(first, "fp").select(
+        "source",
+        F.expr(f"doc_id div {batch_size}").alias("ingest_batch"),
+        (F.col("doc_id") > F.col("first_id")).cast("int").alias("_dup"),
+    )
+    per = flagged.groupBy("source", "ingest_batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_dup").alias("n_dups"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ingest_batch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_docs = F.sum("n_docs").over(w)
+    cum_dups = F.sum("n_dups").over(w)
+    return per.select(
+        "source",
+        "ingest_batch",
+        "n_docs",
+        "n_dups",
+        F.round(F.col("n_dups").cast("double") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+        cum_docs.alias("cum_docs"),
+        cum_dups.alias("cum_dups"),
+        F.round(cum_dups.cast("double") / cum_docs, 6).alias("cum_dup_rate"),
+    ).orderBy("source", "ingest_batch")
+
+
+DEDUP_RATE_BY_BATCH_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), fir AS (
+  SELECT fp, min(doc_id) AS first_id FROM f GROUP BY 1
+), d AS (
+  SELECT f.source, f.doc_id // 100 AS ingest_batch,
+         CASE WHEN f.doc_id > fir.first_id THEN 1 ELSE 0 END AS is_dup
+  FROM f JOIN fir USING (fp)
+), b AS (
+  SELECT source, ingest_batch, count(*) AS n_docs,
+         CAST(sum(is_dup) AS BIGINT) AS n_dups
+  FROM d GROUP BY 1, 2
+)
+SELECT source, ingest_batch, n_docs, n_dups,
+       round(CAST(n_dups AS DOUBLE) / n_docs, 6) AS dup_rate,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(n_dups) OVER w AS BIGINT) AS cum_dups,
+       round(CAST(sum(n_dups) OVER w AS DOUBLE) / sum(n_docs) OVER w, 6)
+         AS cum_dup_rate
+FROM b
+WINDOW w AS (PARTITION BY source ORDER BY ingest_batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY source, ingest_batch
+"""

@@ -1044,3 +1044,132 @@ FROM rz
 GROUP BY label
 ORDER BY label
 """
+
+
+def n2_ivf_recall_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    probe_widths: tuple[int, ...] = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """Recall@k vs probe width — the IVF capacity-planning companion to
+    `kmeans.n2_ivf_cell_balance`: cell balance says how evenly the index
+    SHARDS; this curve says how much of the true neighborhood each probe
+    width BUYS, which is the number an operator actually tunes
+    (recall target → n_probe → fraction of corpus scanned per query).
+
+    One corpus pass scores every (query, candidate) pair ONCE with the
+    candidate cell's probe RANK attached; each probe width is then a
+    filter (cell_rank <= width) + per-query top-k + overlap against the
+    exact brute-force top-k — no re-scoring per width. By construction
+    recall at ``n_probe = n_cells`` is exactly 1.0 (every cell probed =
+    brute force) and recall is non-decreasing in width; both pinned by
+    tests.
+
+    Rows-only (the quantizer rides numpy argsort over xxhash64-sampled
+    centroids — no SQL oracle); the exact baseline it compares against
+    IS the certified brute-force operator.
+
+    Scale shape: the widest probe scans the whole corpus ONCE (this is
+    a diagnostic over the index, priced like one brute-force pass);
+    queries and their ranked-cell arrays are broadcast; per-width top-k
+    is a window over per-query candidates. At 100 TB you run it on a
+    sampled query set against a sampled corpus slice — the shape is
+    unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb, n_cells)
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1))
+
+    cell_of = cell_of.asNondeterministic()  # see topk_cosine_ivf
+
+    @pandas_udf("array<int>")
+    def ranked_cells(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(list(np.argsort(-(m @ cents.T), axis=1).astype(np.int32)))
+
+    corpus = spread(emb).select(
+        "vec_id",
+        "embedding",
+        cell_of("embedding").alias("cell"),
+        l2_norm("embedding").alias("nrm"),
+    )
+    queries = broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            l2_norm("embedding").alias("qnrm"),
+            ranked_cells("embedding").alias("cell_order"),
+        )
+    )
+    # score each (query, candidate) ONCE; probe rank = 1-based position
+    # of the candidate's cell in the query's ranked cell list
+    scored = (
+        corpus.join(queries, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.array_position(F.col("cell_order"), F.col("cell")).alias(
+                "cell_rank"
+            ),
+            F.round(
+                dot("qvec", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    widths = F.explode(
+        F.array(*[F.lit(int(p)) for p in sorted(set(probe_widths))])
+    ).alias("n_probe")
+    per_width = scored.select("query_id", "vec_id", "cell_rank", "sim", widths)
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    ivf_topk = (
+        per_width.filter(F.col("cell_rank") <= F.col("n_probe"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("n_probe", "query_id", "vec_id")
+    )
+    truth = topk_cosine_bruteforce(spark, sf_dir, n_queries, k).select(
+        "query_id", "vec_id"
+    )
+    hits = ivf_topk.join(truth, ["query_id", "vec_id"]).groupBy(
+        "n_probe", "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    # materialize the full (n_probe, query) grid so a width that recalls
+    # ZERO truth neighbors for some query still averages as 0, not as a
+    # missing row (the categorical zero-cell rule)
+    grid = broadcast(
+        spark.range(n_queries)
+        .select(F.col("id").alias("query_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(int(p),) for p in sorted(set(probe_widths))], "n_probe int"
+            )
+        )
+    )
+    return (
+        grid.join(hits, ["n_probe", "query_id"], "left")
+        .select(
+            "n_probe",
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg(F.col("n_hit").cast("double") / F.lit(float(k))), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("n_probe")
+    )

@@ -2149,3 +2149,69 @@ FROM steps
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def decayed_event_type_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    half_life_hours: float = 24.0,
+    k: int = 10,
+) -> DataFrame:
+    """Exponential-decay weighted top-k event types — the batch, oracle-
+    certifiable counterpart of `streaming.stateful.decayed_heavy_hitters`
+    (same decay law, same "fresh beats stale" ranking): each event
+    contributes 0.5^(Δt / half_life) of weight, anchored at the corpus
+    max event time, so a type that stopped firing hours ago ranks below
+    a type bursting now even when its raw count is higher.
+
+    Exactness: the decay term is a libm pow whose last ulp can differ
+    between engines — each term is rounded to 6 dp FIXED-POINT (×10⁶ →
+    round → long) before the sum, so the aggregate is an exact integer
+    sum in both engines (the engine-wide convention; the KS exp fit and
+    the calibration means use the same trick). Δt is exact integer
+    microseconds (timestampdiff / date_diff 'microsecond').
+
+    Scale shape: one events scan → map-side decay expression → hash
+    aggregate on event_type → TakeOrdered k. The anchor max-ts is a
+    1-row broadcast (the allowlisted scalar shape). Fixed-point sums
+    hold to ~10¹² events per type before approaching int64 range
+    (each term ≤ 10⁶)."""
+    half_life_us = int(half_life_hours * 3600 * 1_000_000)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    mx = ev.agg(F.max("ts").alias("t_max"))
+    term = F.pow(
+        F.lit(0.5),
+        F.expr("timestampdiff(MICROSECOND, ts, t_max)").cast("double")
+        / F.lit(float(half_life_us)),
+    )
+    fixed = F.round(term * 1000000, 0).cast("long")
+    return (
+        ev.join(F.broadcast(mx))
+        .select("event_type", fixed.alias("_fx"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("_fx") / 1000000.0, 6).alias("decayed_weight"),
+        )
+        .orderBy(F.desc("decayed_weight"), "event_type")
+        .limit(k)
+    )
+
+
+DECAYED_TOPK_SQL = """
+WITH mx AS (SELECT max(ts) AS t_max FROM events),
+w AS (
+  SELECT event_type,
+         CAST(round(power(0.5,
+                CAST(date_diff('microsecond', ts, t_max) AS DOUBLE)
+                  / 86400000000.0) * 1000000, 0) AS BIGINT) AS fx
+  FROM events CROSS JOIN mx
+)
+SELECT event_type,
+       count(*) AS n_events,
+       round(CAST(sum(fx) AS BIGINT) / 1000000.0, 6) AS decayed_weight
+FROM w
+GROUP BY event_type
+ORDER BY decayed_weight DESC, event_type
+LIMIT 10
+"""

@@ -413,6 +413,10 @@ _CATALOG_A: dict[str, QuerySpec] = {
     # signatures (no SQL oracle); wave-8 property tests pin the bands
     # against the exact ngram-Jaccard baseline
     "n1_minhash_calibration": QuerySpec(dedup.minhash_calibration, None),
+    # IVF recall-vs-probes curve: the quantizer rides numpy argsort over
+    # xxhash64-sampled centroids (no SQL oracle); wave-9 tests pin
+    # monotonicity and recall == 1.0 at full probe width
+    "n2_ivf_recall_curve": QuerySpec(similarity.n2_ivf_recall_curve, None),
     # production near-dup path end to end (LSH pairs -> components ->
     # canonical): murmur3-backed, rows-only; coarsening-consistency and
     # determinism pinned by the wave-8 tests
@@ -738,6 +742,13 @@ _CATALOG_B: dict[str, QuerySpec] = {
     ),
     "n3_split_leakage_report": QuerySpec(
         sampling.n3_split_leakage_report, sampling.SPLIT_LEAKAGE_SQL
+    ),
+    # --- round-9 wave (cohort D extension; first driver rows in r10) ---
+    "decayed_event_type_topk": QuerySpec(
+        temporal.decayed_event_type_topk, temporal.DECAYED_TOPK_SQL
+    ),
+    "n1_dedup_rate_by_batch": QuerySpec(
+        dedup.n1_dedup_rate_by_batch, dedup.DEDUP_RATE_BY_BATCH_SQL
     ),
 }
 

@@ -115,6 +115,8 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "value_drift_psi",             # 1-row bounds+midpoint stats frame broadcast
         "basket_affinity_lift",        # 1-row basket-total frame broadcast
         "rfm_customer_segments",       # 1-row corpus-max-date frame broadcast
+        "decayed_event_type_topk",     # 1-row corpus-max-ts frame broadcast
+        "n2_ivf_recall_curve",         # diagnostic priced as ONE brute pass (broadcast query set)
     }
     sf = "/root/testdata/sf0.001"
     bad = []

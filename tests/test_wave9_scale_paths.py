@@ -230,3 +230,61 @@ def test_minhash_calibration_zero_shingle_docs_hit_the_guard_not_a_join(
     # only the real pair survives the Jaccard-undefined guard
     assert sum(r["n_pairs"] for r in rep.values()) == len(cands) - 1
     assert rep[9]["n_pairs"] == 1 and rep[9]["mean_exact"] == 1.0
+
+
+def test_decayed_topk_hand_computed_and_fresh_beats_stale(spark, tmp_path):
+    """Batch counterpart of the streaming decayed heavy hitters: 8 'stale'
+    events three half-lives before the anchor decay to 8·2⁻³ = 1.0, so a
+    type with 3 fresh events (weight 3.0) must outrank it — while raw
+    counts would order them the other way. Weights are exact powers of
+    two (6 dp fixed-point, no float drift)."""
+    from hadoop_stuff_spark.operators.temporal import decayed_event_type_topk
+
+    h = 3600.0  # half-life 1 h (as hours param: 1.0)
+    rows = [(1, "stale", 0.0)] * 8 + [(2, "fresh", 3 * h)] * 3
+    sf = _events_typed_fixture(tmp_path, rows, "sf_decay")
+    out = [
+        (r["event_type"], r["n_events"], r["decayed_weight"])
+        for r in decayed_event_type_topk(spark, sf, half_life_hours=1.0).collect()
+    ]
+    assert out == [("fresh", 3, 3.0), ("stale", 8, 1.0)]
+
+
+def test_dedup_rate_by_batch_planted_trend(spark, tmp_path):
+    """Source A goes stale: batch 0 is all-fresh, batch 1 re-ingests
+    batch-0 content (100% dup); source B stays fresh throughout. The
+    first occurrence is never a dup (canonical-min rule), the batch
+    rates isolate the regression, and the cumulative columns integrate
+    it."""
+    from hadoop_stuff_spark.operators.dedup import n1_dedup_rate_by_batch
+
+    rows = (
+        [(i, "A", f"alpha text number {i}") for i in range(4)]  # batch 0 fresh
+        + [(100 + i, "A", f"alpha text number {i}") for i in range(4)]  # rerun
+        + [(10, "B", "beta one"), (110, "B", "beta two")]  # fresh both batches
+    )
+    sf = _docs_fixture(tmp_path, rows, "sf_duprate")
+    out = {
+        (r["source"], r["ingest_batch"]): r
+        for r in n1_dedup_rate_by_batch(spark, sf, batch_size=100).collect()
+    }
+    assert out[("A", 0)]["dup_rate"] == 0.0
+    assert out[("A", 1)]["dup_rate"] == 1.0
+    assert out[("A", 1)]["cum_dup_rate"] == 0.5  # 4 dups / 8 docs
+    assert out[("B", 0)]["dup_rate"] == 0.0 and out[("B", 1)]["dup_rate"] == 0.0
+    assert out[("A", 1)]["cum_docs"] == 8 and out[("A", 1)]["cum_dups"] == 4
+
+
+def test_ivf_recall_curve_monotone_and_complete_at_full_width(spark, sf_dir):
+    """Recall@10 must be non-decreasing in probe width and EXACTLY 1.0
+    when every cell is probed (full probe = brute force by construction
+    — same candidates, same tie order)."""
+    from hadoop_stuff_spark.operators.similarity import n2_ivf_recall_curve
+
+    rows = n2_ivf_recall_curve(spark, sf_dir).collect()
+    widths = [r["n_probe"] for r in rows]
+    recalls = [r["recall_at_k"] for r in rows]
+    assert widths == sorted(widths) == [1, 2, 4, 8, 16]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:]))  # monotone
+    assert recalls[-1] == 1.0  # probing all 16 cells IS brute force
+    assert all(r["n_queries"] == 5 for r in rows)
