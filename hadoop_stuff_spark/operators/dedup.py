@@ -1281,3 +1281,97 @@ WINDOW w AS (PARTITION BY source ORDER BY ingest_batch
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY source, ingest_batch
 """
+
+
+def n1_cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplicate-mass matrix — who copies whom: for every
+    duplicated doc, the (its source → canonical doc's source) edge,
+    aggregated to a matrix of duplicate counts and the share of the
+    duplicating source's corpus they represent. The diagonal is
+    WITHIN-source duplication (re-crawls); off-diagonal mass is
+    mirror/syndication content — the number that decides which source
+    to drop from the mixture, since its tokens are already there.
+
+    Canonical rule: min doc_id across the whole corpus (identical to
+    :func:`dedup_exact_groups` / :func:`n1_dedup_rate_by_batch`), its
+    source via min_by/arg_min on the same key — deterministic, doc_id
+    unique.
+
+    The FULL |sources|² grid is materialized (the categorical
+    zero-cell rule): a clean corpus reports an explicit all-zeros
+    matrix rather than an empty frame, so "no duplication" and "query
+    broke" are distinguishable and trend diffs are row-stable.
+
+    Scale shape: one scan → md5 fingerprint → one hash agg for
+    (canonical id, canonical source) per fp → one fp-keyed hash join
+    back → hash agg on the (|sources|² bounded) matrix; the source
+    grid and per-source totals are broadcast-sized. Zero-division
+    impossible: every grid source has ≥1 doc by construction."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", fingerprint_md5("text").alias("fp")
+    )
+    first = docs.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.min_by("source", "doc_id").alias("canonical_source"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    dups = (
+        docs.join(first, "fp")
+        .filter(F.col("doc_id") > F.col("canonical_id"))
+        .select(F.col("source").alias("dup_source"), "canonical_source")
+        .groupBy("dup_source", "canonical_source")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    srcs = totals.select("source")
+    grid = srcs.select(F.col("source").alias("dup_source")).crossJoin(
+        F.broadcast(srcs.select(F.col("source").alias("canonical_source")))
+    )
+    return (
+        grid.join(F.broadcast(dups), ["dup_source", "canonical_source"], "left")
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("dup_source"), "n_docs")),
+            "dup_source",
+        )
+        .select(
+            "dup_source",
+            "canonical_source",
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+            F.round(
+                F.coalesce("n_dups", F.lit(0)).cast("double") / F.col("n_docs"), 6
+            ).alias("dup_share"),
+        )
+        .orderBy("dup_source", "canonical_source")
+    )
+
+
+CROSS_SOURCE_DUP_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), fir AS (
+  SELECT fp, min(doc_id) AS canonical_id,
+         arg_min(source, doc_id) AS canonical_source
+  FROM f GROUP BY 1
+), tot AS (
+  SELECT source, count(*) AS n_docs FROM f GROUP BY 1
+), d AS (
+  SELECT f.source AS dup_source, fir.canonical_source, count(*) AS n_dups
+  FROM f JOIN fir USING (fp)
+  WHERE f.doc_id > fir.canonical_id
+  GROUP BY 1, 2
+), grid AS (
+  SELECT a.source AS dup_source, b.source AS canonical_source
+  FROM tot a CROSS JOIN tot b
+)
+SELECT g.dup_source, g.canonical_source,
+       coalesce(d.n_dups, 0) AS n_dups,
+       round(CAST(coalesce(d.n_dups, 0) AS DOUBLE) / t.n_docs, 6) AS dup_share
+FROM grid g
+LEFT JOIN d ON d.dup_source = g.dup_source
+          AND d.canonical_source = g.canonical_source
+JOIN tot t ON t.source = g.dup_source
+ORDER BY g.dup_source, g.canonical_source
+"""

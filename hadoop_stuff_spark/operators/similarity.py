@@ -1173,3 +1173,81 @@ def n2_ivf_recall_curve(
         )
         .orderBy("n_probe")
     )
+
+
+def n2_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift: each label's mean vector
+    compared (cosine) against the corpus mean — the embedding-space
+    monitor that catches a class collapsing toward the global mean
+    (features washing out) or drifting away (distribution shift /
+    upstream encoder change) long before downstream eval moves.
+
+    Exactness: centroids are exact component means (sum/count per
+    dimension); cosine is formed from those 640 aggregate rows and
+    rounded 6 dp (the float-aggregate convention the corr/spearman
+    oracles certified — partial-agg ordering ulps are erased by the
+    round). Zero-norm centroids are filtered on BOTH engines (the ANSI
+    zero-division rule).
+
+    Scale shape: one embeddings scan → posexplode to (label, dim) →
+    hash agg to |labels|·dim component sums; the corpus centroid is a
+    RE-aggregate of that tiny relation (no second scan); everything
+    after the first agg is control-plane-sized."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "label", F.posexplode(as_double("embedding")).alias("i", "v")
+    )
+    per = e.groupBy("label", "i").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    corpus = per.groupBy("i").agg(
+        F.sum("s").alias("cs"), F.sum("n").alias("cn")
+    )
+    m = F.col("s") / F.col("n")
+    mc = F.col("cs") / F.col("cn")
+    agg = (
+        per.join(corpus, "i")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sqrt(F.sum(m * m)).alias("_nl"),
+            F.sqrt(F.sum(mc * mc)).alias("_nc"),
+            F.sum(m * mc).alias("_dot"),
+        )
+        .filter((F.col("_nl") > 0) & (F.col("_nc") > 0))
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        F.round(F.col("_nl"), 6).alias("centroid_norm"),
+        F.round(F.col("_dot") / (F.col("_nl") * F.col("_nc")), 6).alias(
+            "cos_to_corpus"
+        ),
+    ).orderBy("label")
+
+
+LABEL_CENTROID_DRIFT_SQL = """
+WITH e AS (
+  SELECT label,
+         unnest(range(1, 65)) AS i,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+), per AS (
+  SELECT label, i, sum(v) AS s, count(*) AS n FROM e GROUP BY 1, 2
+), corpus AS (
+  SELECT i, sum(s) AS cs, CAST(sum(n) AS BIGINT) AS cn FROM per GROUP BY 1
+), agg AS (
+  SELECT label,
+         CAST(max(n) AS BIGINT) AS n_vecs,
+         sqrt(sum((s / n) * (s / n))) AS nl,
+         sqrt(sum((cs / cn) * (cs / cn))) AS nc,
+         sum((s / n) * (cs / cn)) AS dt
+  FROM per JOIN corpus USING (i)
+  GROUP BY label
+)
+SELECT label, n_vecs,
+       round(nl, 6) AS centroid_norm,
+       round(dt / (nl * nc), 6) AS cos_to_corpus
+FROM agg
+WHERE nl > 0 AND nc > 0
+ORDER BY label
+"""

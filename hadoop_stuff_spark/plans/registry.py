@@ -750,6 +750,12 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n1_dedup_rate_by_batch": QuerySpec(
         dedup.n1_dedup_rate_by_batch, dedup.DEDUP_RATE_BY_BATCH_SQL
     ),
+    "n1_cross_source_dup_matrix": QuerySpec(
+        dedup.n1_cross_source_dup_matrix, dedup.CROSS_SOURCE_DUP_SQL
+    ),
+    "n2_label_centroid_drift": QuerySpec(
+        similarity.n2_label_centroid_drift, similarity.LABEL_CENTROID_DRIFT_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -288,3 +288,80 @@ def test_ivf_recall_curve_monotone_and_complete_at_full_width(spark, sf_dir):
     assert all(b >= a for a, b in zip(recalls, recalls[1:]))  # monotone
     assert recalls[-1] == 1.0  # probing all 16 cells IS brute force
     assert all(r["n_queries"] == 5 for r in rows)
+
+
+def test_cross_source_dup_matrix_planted_edges_and_zero_grid(spark, tmp_path):
+    """A copies one doc from B twice and re-ingests one of its own docs;
+    C is clean. The matrix reports the A→B edge (2 dups), the A→A
+    diagonal (1), shares over A's 5 docs, and EXPLICIT zeros for every
+    other cell of the 3×3 grid (clean ≠ empty)."""
+    from hadoop_stuff_spark.operators.dedup import n1_cross_source_dup_matrix
+
+    rows = [
+        (1, "B", "the original syndicated article body"),
+        (10, "A", "the original syndicated article body"),  # copy of B's
+        (11, "A", "the original syndicated article body"),  # copy of B's
+        (12, "A", "a genuinely new piece of text"),
+        (13, "A", "a genuinely new piece of text"),  # re-ingest of own
+        (14, "A", "something else entirely here"),
+        (20, "C", "clean source content"),
+    ]
+    sf = _docs_fixture(tmp_path, rows, "sf_xsrc")
+    out = {
+        (r["dup_source"], r["canonical_source"]): r
+        for r in n1_cross_source_dup_matrix(spark, sf).collect()
+    }
+    assert len(out) == 9  # full 3x3 grid
+    assert out[("A", "B")]["n_dups"] == 2
+    assert out[("A", "B")]["dup_share"] == 0.4  # 2 of A's 5 docs
+    assert out[("A", "A")]["n_dups"] == 1
+    assert out[("A", "A")]["dup_share"] == 0.2
+    zeros = {k for k, r in out.items() if r["n_dups"] == 0}
+    assert zeros == set(out) - {("A", "B"), ("A", "A")}
+    assert all(out[z]["dup_share"] == 0.0 for z in zeros)
+
+
+def _embeddings_fixture(tmp_path, rows, name):
+    """(vec_id, label, list-of-float embedding) embeddings table."""
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "embeddings.parquet"))
+    return str(sf)
+
+
+def test_label_centroid_drift_hand_computed(spark, tmp_path):
+    """Two orthogonal unit-vector labels: corpus mean is the midpoint, so
+    each label's cosine to it is exactly 1/√2 ≈ 0.707107 and each
+    centroid norm is 1.0; a third label ON the corpus mean direction
+    reads cosine 1.0. Totals: n_vecs per label exact."""
+    from hadoop_stuff_spark.operators.similarity import n2_label_centroid_drift
+
+    e1 = [1.0, 0.0]
+    e2 = [0.0, 1.0]
+    mid = [0.5, 0.5]
+    rows = [
+        (0, 0, e1),
+        (1, 0, e1),
+        (2, 1, e2),
+        (3, 1, e2),
+        (4, 2, mid),
+        (5, 2, mid),
+    ]
+    sf = _embeddings_fixture(tmp_path, rows, "sf_cdrift")
+    out = {r["label"]: r for r in n2_label_centroid_drift(spark, sf).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(r["n_vecs"] == 2 for r in out.values())
+    assert out[0]["centroid_norm"] == 1.0 and out[1]["centroid_norm"] == 1.0
+    # corpus mean over [e1, e1, e2, e2, mid, mid] = (3/6, 3/6) = (0.5, 0.5),
+    # |corpus| = 1/√2 → cos(e_i, corpus) = 0.5 / (1 · 1/√2) = 1/√2
+    assert out[0]["cos_to_corpus"] == out[1]["cos_to_corpus"] == 0.707107
+    assert out[2]["cos_to_corpus"] == 1.0  # label 2 IS the corpus direction
