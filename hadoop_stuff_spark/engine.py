@@ -212,6 +212,10 @@ class Engine:
                 self.spark, sf_dir
             )
         except ValueError as exc:
+            # swallow ONLY the documented max_sources cap — any other
+            # ValueError is a real bug and must stay loud (r9 review)
+            if "max_sources" not in str(exc):
+                raise
             import warnings
 
             warnings.warn(

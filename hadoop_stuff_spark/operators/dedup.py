@@ -37,10 +37,11 @@ from hadoop_stuff_spark.functions.text import fingerprint_md5
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups by normalized-text fingerprint: canonical
-    (min) doc_id + group size per distinct content."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    (min) doc_id + group size per distinct content. Keys on the shared
+    :func:`_doc_fingerprints` relation (one fingerprint definition for
+    every exact-dup operator; the unused source column prunes away)."""
     return (
-        docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+        _doc_fingerprints(spark, sf_dir)
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
@@ -1198,8 +1199,36 @@ def minhash_calibration(
     )
 
 
+# default shared with DEDUP_RATE_BY_BATCH_SQL below — the oracle is
+# derived from THIS constant (r9 review finding: a hard-coded '// 100'
+# silently decouples from a changed Python default)
+_DEDUP_RATE_BATCH_SIZE = 100
+
+
+def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, fp) relation — THE normalized-text fingerprint
+    every exact-dup operator keys on (`dedup_exact_groups`,
+    `n1_dedup_rate_by_batch`, `n1_cross_source_dup_matrix`). One
+    definition so the md5/normalization can never drift between the
+    dedup report, the trend monitor, and the matrix."""
+    return spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", fingerprint_md5("text").alias("fp")
+    )
+
+
+def _canonical_first(docs: DataFrame) -> DataFrame:
+    """Per-fingerprint canonical pick: min doc_id corpus-wide and its
+    source (min_by on the same unique key — deterministic). The single
+    definition of 'which copy is the original' shared by the dup-trend
+    and cross-source operators."""
+    return docs.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.min_by("source", "doc_id").alias("canonical_source"),
+    )
+
+
 def n1_dedup_rate_by_batch(
-    spark: SparkSession, sf_dir: str, batch_size: int = 100
+    spark: SparkSession, sf_dir: str, batch_size: int = _DEDUP_RATE_BATCH_SIZE
 ) -> DataFrame:
     """Per-source duplicate-rate TREND over ingest batches — the
     monitoring view a crawl pipeline watches: a source whose dup rate
@@ -1220,14 +1249,12 @@ def n1_dedup_rate_by_batch(
     source — the windowed relation is batches-sized (corpus/batch_size
     rows), never documents-sized. Zero-division impossible: every
     emitted group has n_docs ≥ 1."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", fingerprint_md5("text").alias("fp")
-    )
-    first = docs.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    docs = _doc_fingerprints(spark, sf_dir)
+    first = _canonical_first(docs).select("fp", "canonical_id")
     flagged = docs.join(first, "fp").select(
         "source",
         F.expr(f"doc_id div {batch_size}").alias("ingest_batch"),
-        (F.col("doc_id") > F.col("first_id")).cast("int").alias("_dup"),
+        (F.col("doc_id") > F.col("canonical_id")).cast("int").alias("_dup"),
     )
     per = flagged.groupBy("source", "ingest_batch").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1254,7 +1281,7 @@ def n1_dedup_rate_by_batch(
     ).orderBy("source", "ingest_batch")
 
 
-DEDUP_RATE_BY_BATCH_SQL = """
+DEDUP_RATE_BY_BATCH_SQL = f"""
 WITH f AS (
   SELECT doc_id, source,
          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
@@ -1262,7 +1289,7 @@ WITH f AS (
 ), fir AS (
   SELECT fp, min(doc_id) AS first_id FROM f GROUP BY 1
 ), d AS (
-  SELECT f.source, f.doc_id // 100 AS ingest_batch,
+  SELECT f.source, f.doc_id // {_DEDUP_RATE_BATCH_SIZE} AS ingest_batch,
          CASE WHEN f.doc_id > fir.first_id THEN 1 ELSE 0 END AS is_dup
   FROM f JOIN fir USING (fp)
 ), b AS (
@@ -1309,13 +1336,8 @@ def n1_cross_source_dup_matrix(
     back → hash agg on the (|sources|² bounded) matrix; the source
     grid and per-source totals are broadcast-sized. Zero-division
     impossible: every grid source has ≥1 doc by construction."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", fingerprint_md5("text").alias("fp")
-    )
-    first = docs.groupBy("fp").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.min_by("source", "doc_id").alias("canonical_source"),
-    )
+    docs = _doc_fingerprints(spark, sf_dir)
+    first = _canonical_first(docs)
     totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     dups = (
         docs.join(first, "fp")

@@ -195,6 +195,46 @@ def _centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def _cell_assign_udf(cents: np.ndarray):
+    """THE coarse-quantizer assignment UDF every IVF path shares
+    (batch index, persisted index, recall curve): nearest centroid by
+    cosine via one Arrow-batched numpy matmul. One definition so the
+    norm floor / dtype / tie behavior can never diverge between the
+    index build and the diagnostics that measure it. Marked
+    nondeterministic so Catalyst's inferred isnotnull constraint cannot
+    clone the UDF below a repartition (the python-chain-dup rule;
+    deterministic in fact)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1))
+
+    return cell_of.asNondeterministic()
+
+
+def _ranked_cells_udf(cents: np.ndarray, n_probe: int | None = None):
+    """Per-query centroid ranking UDF (same normalize-and-matmul as
+    :func:`_cell_assign_udf`): full descending-cosine cell order, or the
+    first ``n_probe`` entries when given. Shared by the probe path and
+    the recall curve so the ranking the curve measures is the ranking
+    queries actually probe."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def ranked(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cents.T), axis=1)
+        if n_probe is not None:
+            order = order[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return ranked
+
+
 def topk_cosine_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -220,29 +260,10 @@ def topk_cosine_ivf(
     clustered embeddings (the actual 100 TB workload) n_probe=1-2 of
     sqrt(N) cells is the standard operating point.
     """
-    from pyspark.sql.functions import pandas_udf
-
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb, n_cells)
-
-    @pandas_udf("int")
-    def cell_of(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cents.T, axis=1))
-
-    # deterministic in fact, but marked nondeterministic so Catalyst's
-    # inferred isnotnull(cell) join constraint cannot clone the UDF below
-    # the repartition (the python-chain-dup lint rule; same class as the
-    # round-2 PQ defect)
-    cell_of = cell_of.asNondeterministic()
-
-    @pandas_udf("array<int>")
-    def probe_cells(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe]
-        return pd.Series(list(order.astype(np.int32)))
+    cell_of = _cell_assign_udf(cents)
+    probe_cells = _ranked_cells_udf(cents, n_probe)
 
     corpus = spread(emb).select(
         "vec_id",
@@ -322,16 +343,9 @@ def build_ivf_index(
     partition-pruned scan — untouched cells are never opened. Build cost:
     one pass to assign cells + one partitioned write; rebuild only when the
     quantizer drifts."""
-    from pyspark.sql.functions import pandas_udf
-
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb, n_cells)
-
-    @pandas_udf("int")
-    def cell_of(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cents.T, axis=1))
+    cell_of = _cell_assign_udf(cents)
 
     (
         spread(emb)
@@ -498,20 +512,11 @@ def saved_centroid_encoder(spark: SparkSession, index_path: str):
     quantizer must stay fixed across appends or every existing cell
     assignment is invalidated). Shared by :func:`append_to_ivf_index` and
     the streaming maintenance sink (streaming/vectors.py)."""
-    from pyspark.sql.functions import pandas_udf
-
     cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cell] = r.centroid
-
-    @pandas_udf("int")
-    def cell_of(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cents.T, axis=1))
-
-    return cell_of
+    return _cell_assign_udf(cents)
 
 
 def append_to_ivf_index(
@@ -1060,42 +1065,32 @@ def n2_ivf_recall_curve(
     width BUYS, which is the number an operator actually tunes
     (recall target → n_probe → fraction of corpus scanned per query).
 
-    One corpus pass scores every (query, candidate) pair ONCE with the
-    candidate cell's probe RANK attached; each probe width is then a
-    filter (cell_rank <= width) + per-query top-k + overlap against the
-    exact brute-force top-k — no re-scoring per width. By construction
-    recall at ``n_probe = n_cells`` is exactly 1.0 (every cell probed =
-    brute force) and recall is non-decreasing in width; both pinned by
-    tests.
+    ONE corpus pass scores every (query, candidate) pair — the same
+    `_cell_assign_udf`/`_ranked_cells_udf` quantizer the real index
+    uses — with the candidate cell's probe RANK attached; each probe
+    width is then a filter (cell_rank <= width) + per-query top-k. The
+    TRUTH set comes from the same pass: the sentinel width n_cells
+    probes every cell, which IS brute force (same candidates, same 6 dp
+    rounding, same tie order) — no second scoring pass. The tiny
+    (widths·queries·k)-row top-k relation is eagerly checkpointed
+    because it feeds both the truth side and the per-width side (the
+    double-evaluation rule for pandas-UDF upstreams). By construction
+    recall at n_cells is exactly 1.0 and recall is non-decreasing in
+    width; both pinned by tests.
 
     Rows-only (the quantizer rides numpy argsort over xxhash64-sampled
-    centroids — no SQL oracle); the exact baseline it compares against
-    IS the certified brute-force operator.
+    centroids — no SQL oracle); the full-width slice doubles as the
+    exact baseline, itself test-pinned equal to `topk_cosine_bruteforce`.
 
-    Scale shape: the widest probe scans the whole corpus ONCE (this is
-    a diagnostic over the index, priced like one brute-force pass);
-    queries and their ranked-cell arrays are broadcast; per-width top-k
-    is a window over per-query candidates. At 100 TB you run it on a
-    sampled query set against a sampled corpus slice — the shape is
-    unchanged."""
-    from pyspark.sql.functions import pandas_udf
-
+    Scale shape: priced as ONE brute-force pass (the sentinel width
+    scans every cell once); queries and their ranked-cell arrays are
+    broadcast; per-width top-k is a window over per-query candidates.
+    At 100 TB you run it on a sampled query set against a sampled
+    corpus slice — the shape is unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb, n_cells)
-
-    @pandas_udf("int")
-    def cell_of(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cents.T, axis=1))
-
-    cell_of = cell_of.asNondeterministic()  # see topk_cosine_ivf
-
-    @pandas_udf("array<int>")
-    def ranked_cells(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(list(np.argsort(-(m @ cents.T), axis=1).astype(np.int32)))
+    cell_of = _cell_assign_udf(cents)
+    ranked_cells = _ranked_cells_udf(cents)
 
     corpus = spread(emb).select(
         "vec_id",
@@ -1126,8 +1121,12 @@ def n2_ivf_recall_curve(
             ).alias("sim"),
         )
     )
+    curve_widths = sorted(set(int(p) for p in probe_widths))
+    # sentinel width n_cells = every cell probed = the brute-force truth;
+    # ranked once alongside the requested widths in the SAME pass
+    all_widths = sorted(set(curve_widths + [n_cells]))
     widths = F.explode(
-        F.array(*[F.lit(int(p)) for p in sorted(set(probe_widths))])
+        F.array(*[F.lit(p) for p in all_widths])
     ).alias("n_probe")
     per_width = scored.select("query_id", "vec_id", "cell_rank", "sim", widths)
     w = Window.partitionBy("n_probe", "query_id").orderBy(
@@ -1138,13 +1137,20 @@ def n2_ivf_recall_curve(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("n_probe", "query_id", "vec_id")
+        # consumed at TWO plan sites (truth + per-width) — eager
+        # checkpoint so the pandas-UDF scoring pass runs exactly once;
+        # the relation is |widths|·n_queries·k rows, control-plane sized
+        .localCheckpoint(eager=True)
     )
-    truth = topk_cosine_bruteforce(spark, sf_dir, n_queries, k).select(
+    truth = ivf_topk.filter(F.col("n_probe") == n_cells).select(
         "query_id", "vec_id"
     )
-    hits = ivf_topk.join(truth, ["query_id", "vec_id"]).groupBy(
-        "n_probe", "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    hits = (
+        ivf_topk.filter(F.col("n_probe").isin(curve_widths))
+        .join(truth, ["query_id", "vec_id"])
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
     # materialize the full (n_probe, query) grid so a width that recalls
     # ZERO truth neighbors for some query still averages as 0, not as a
     # missing row (the categorical zero-cell rule)
@@ -1153,7 +1159,7 @@ def n2_ivf_recall_curve(
         .select(F.col("id").alias("query_id"))
         .crossJoin(
             spark.createDataFrame(
-                [(int(p),) for p in sorted(set(probe_widths))], "n_probe int"
+                [(p,) for p in curve_widths], "n_probe int"
             )
         )
     )

@@ -2012,7 +2012,10 @@ def ks_interarrival_expfit(
       (any date_trunc unit) — parallelism is #type-buckets instead of
       #types; at most one gap per type-bucket (the boundary crossing) is
       dropped, a vanishing fraction of any type dense enough to need
-      this path (a sparse type wants a coarser bucket: "week"/"month");
+      this path. A type SPARSE relative to the bucket (≤1 event per
+      bucket) loses every gap — it is still reported, with n_gaps 0 and
+      NULL stat/verdict ("bucketing starved this type"), never silently
+      dropped; coarsen ``gap_bucket`` ("week"/"month") to cover it;
     - NO ECDF rank window: one hash aggregate per type collects n, the
       exact gap sum, and ``n_probes-1`` approx_percentile cut points
       (mergeable sketch, accuracy ``probe_accuracy``); the sup runs over
@@ -2064,7 +2067,7 @@ def ks_interarrival_expfit(
         )
         p = (F.col("_j") + 1).cast("double") / F.lit(float(n_probes))
         d_j = F.round(F.greatest(p - f_exp, f_exp - p), 6)
-        return (
+        stats = (
             probe.select("event_type", "n_gaps", "mean_gap_s", d_j.alias("_d"))
             .groupBy("event_type")
             .agg(
@@ -2076,6 +2079,27 @@ def ks_interarrival_expfit(
                 "reject_exponential",
                 F.col("ks_stat")
                 > F.lit(1.36) / F.sqrt(F.col("n_gaps").cast("double")),
+            )
+        )
+        # a type sparse relative to gap_bucket (≤1 event per bucket) has
+        # EVERY gap bucketed away — without this outer join it would
+        # vanish from the report while the exact form still verdicts it.
+        # Emit it loudly instead: n_gaps 0, NULL stat/verdict ("bucketing
+        # starved this type — coarsen gap_bucket"), never a silent drop.
+        eligible = (
+            ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("_n_events"))
+            .filter(F.col("_n_events") >= 2)
+            .select("event_type")
+        )
+        return (
+            eligible.join(stats, "event_type", "left")
+            .select(
+                "event_type",
+                F.coalesce("n_gaps", F.lit(0)).alias("n_gaps"),
+                "mean_gap_s",
+                "ks_stat",
+                "reject_exponential",
             )
             .orderBy("event_type")
         )
@@ -2151,11 +2175,18 @@ ORDER BY event_type
 """
 
 
+# defaults shared with DECAYED_TOPK_SQL below — the oracle is derived
+# from THESE constants, so the Python default and the certified SQL can
+# never silently diverge (r9 review finding)
+_DECAYED_HALF_LIFE_HOURS = 24.0
+_DECAYED_TOPK_K = 10
+
+
 def decayed_event_type_topk(
     spark: SparkSession,
     sf_dir: str,
-    half_life_hours: float = 24.0,
-    k: int = 10,
+    half_life_hours: float = _DECAYED_HALF_LIFE_HOURS,
+    k: int = _DECAYED_TOPK_K,
 ) -> DataFrame:
     """Exponential-decay weighted top-k event types — the batch, oracle-
     certifiable counterpart of `streaming.stateful.decayed_heavy_hitters`
@@ -2198,13 +2229,14 @@ def decayed_event_type_topk(
     )
 
 
-DECAYED_TOPK_SQL = """
+DECAYED_TOPK_SQL = f"""
 WITH mx AS (SELECT max(ts) AS t_max FROM events),
 w AS (
   SELECT event_type,
          CAST(round(power(0.5,
                 CAST(date_diff('microsecond', ts, t_max) AS DOUBLE)
-                  / 86400000000.0) * 1000000, 0) AS BIGINT) AS fx
+                  / {_DECAYED_HALF_LIFE_HOURS * 3600 * 1_000_000:.1f}) * 1000000,
+              0) AS BIGINT) AS fx
   FROM events CROSS JOIN mx
 )
 SELECT event_type,
@@ -2213,5 +2245,5 @@ SELECT event_type,
 FROM w
 GROUP BY event_type
 ORDER BY decayed_weight DESC, event_type
-LIMIT 10
+LIMIT {_DECAYED_TOPK_K}
 """

@@ -769,17 +769,20 @@ _CATALOG_B: dict[str, QuerySpec] = {
 # order, so every oracle-backed query eventually earns an independent driver
 # CORRECTNESS row.
 #
-# Schedule (cohorts are declaration-order slices; _CATALOG_B is 124
-# entries after the round-8 wave — 117 at r8 start + 7 added — so cohort C
-# fills a whole window and cohort D is 19; sizes are asserted from
-# len(_CATALOG_B) below so this comment can't silently drift again):
+# Schedule (cohorts are declaration-order slices; cohort sizes are NOT
+# quoted here — compute cohort D as len(_CATALOG_B) - 105 at rotation
+# time, since in-round waves extend the catalog after any number written
+# here (the r8 comment said 120, reality was 124; the r9 comment said
+# 124/19 and the same round grew it again — quoting numbers in comments
+# lost twice):
 #   r1-r6 : the original _CATALOG_A window        → CORRECTNESS_r01..r06
 #   r7    : anchors + cohort A = _CATALOG_B[0:35] → first driver rows for 35
 #   r8    : anchors + cohort B = _CATALOG_B[35:70]
 #   r9    : anchors + cohort C = _CATALOG_B[70:105]
-#   r10   : anchors + cohort D = _CATALOG_B[105:] (len(_CATALOG_B)-105 = 19
-#           as of r9) + displaced _CATALOG_A queries (oldest driver row
-#           first), then round-robin. New r9+ catalog entries extend
+#   r10   : anchors + cohort D = _CATALOG_B[105:] (the remainder, whatever
+#           it has grown to) — if it exceeds 35, split across r10/r11;
+#           if under, pad with displaced _CATALOG_A queries (oldest driver
+#           row first), then round-robin. New catalog entries extend
 #           cohort D.
 # Rotating = replacing _WINDOW_ROTATION with the next cohort's names; the
 # asserts below keep the 50-slot / oracle-first contract intact.

@@ -286,8 +286,34 @@ def test_ivf_recall_curve_monotone_and_complete_at_full_width(spark, sf_dir):
     recalls = [r["recall_at_k"] for r in rows]
     assert widths == sorted(widths) == [1, 2, 4, 8, 16]
     assert all(b >= a for a, b in zip(recalls, recalls[1:]))  # monotone
-    assert recalls[-1] == 1.0  # probing all 16 cells IS brute force
+    # full width reads 1.0 BY CONSTRUCTION now (the truth set is the
+    # sentinel full-width slice of the same pass) — the non-tautological
+    # equivalence to the certified brute-force operator is pinned by
+    # test_ivf_full_probe_equals_bruteforce below
+    assert recalls[-1] == 1.0
     assert all(r["n_queries"] == 5 for r in rows)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """The claim the recall curve's internal truth set rests on: probing
+    EVERY cell through the shared quantizer UDFs yields exactly the
+    certified brute-force top-k (same candidates, same 6 dp rounding,
+    same (sim desc, vec_id) tie order) — pinned externally so the
+    curve's recall=1.0 anchor is not self-referential."""
+    from hadoop_stuff_spark.operators.similarity import (
+        topk_cosine_bruteforce,
+        topk_cosine_ivf,
+    )
+
+    brute = {
+        (r["query_id"], r["rk"]): (r["vec_id"], r["sim"])
+        for r in topk_cosine_bruteforce(spark, sf_dir).collect()
+    }
+    full = {
+        (r["query_id"], r["rk"]): (r["vec_id"], r["sim"])
+        for r in topk_cosine_ivf(spark, sf_dir, n_probe=16, n_cells=16).collect()
+    }
+    assert full == brute
 
 
 def test_cross_source_dup_matrix_planted_edges_and_zero_grid(spark, tmp_path):
@@ -365,3 +391,38 @@ def test_label_centroid_drift_hand_computed(spark, tmp_path):
     # |corpus| = 1/√2 → cos(e_i, corpus) = 0.5 / (1 · 1/√2) = 1/√2
     assert out[0]["cos_to_corpus"] == out[1]["cos_to_corpus"] == 0.707107
     assert out[2]["cos_to_corpus"] == 1.0  # label 2 IS the corpus direction
+
+
+def test_ks_approx_reports_bucket_starved_types_not_drops_them(
+    spark, tmp_path
+):
+    """r9 review finding: a type firing once per day has EVERY gap
+    bucketed away under gap_bucket='day' — it must still appear in the
+    report (n_gaps 0, NULL stat/verdict), never silently vanish; a
+    coarser bucket then covers it. A dense type in the same corpus is
+    unaffected."""
+    from hadoop_stuff_spark.operators.temporal import ks_interarrival_expfit
+
+    day = 86400.0
+    rows = [(1, "daily", i * day) for i in range(10)]  # 1 event/day
+    rows += [(2, "dense", i * 60.0) for i in range(50)]  # 1/minute
+    sf = _events_typed_fixture(tmp_path, rows, "sf_ks_sparse")
+    out = {
+        r["event_type"]: r
+        for r in ks_interarrival_expfit(spark, sf, exact=False).collect()
+    }
+    assert set(out) == {"daily", "dense"}  # sparse type NOT dropped
+    assert out["daily"]["n_gaps"] == 0
+    assert out["daily"]["ks_stat"] is None
+    assert out["daily"]["reject_exponential"] is None
+    assert out["dense"]["n_gaps"] == 49  # dense type unaffected
+    # coarser bucket covers the sparse type: 10 daily events in one
+    # month-bucket -> 9 gaps
+    wk = {
+        r["event_type"]: r
+        for r in ks_interarrival_expfit(
+            spark, sf, exact=False, gap_bucket="month"
+        ).collect()
+    }
+    assert wk["daily"]["n_gaps"] == 9
+    assert wk["daily"]["ks_stat"] is not None
