@@ -2247,3 +2247,327 @@ GROUP BY event_type
 ORDER BY decayed_weight DESC, event_type
 LIMIT {_DECAYED_TOPK_K}
 """
+
+
+def changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint per priority class over the daily order-count
+    series — binary segmentation's first split: the day boundary that
+    maximizes the standardized two-sample mean-shift statistic
+    ``T_i² = D_i² / (i·(n−i)·n)`` with ``D_i = S_i·n − i·S_n`` (S = prefix
+    sum of counts). The complement to :func:`cusum_daily_orders`: CUSUM
+    flags that a sustained shift EXISTS; this localizes WHERE the level
+    changed and by how much — the "what day did the mix break" question an
+    ingest monitor answers before diffing upstream configs.
+
+    Exactness across engines: D_i is exact integer arithmetic on prefix
+    sums (no means until the very end), the score D_i²/(i·(n−i)) is one
+    IEEE double division of exact int64 operands (identically rounded on
+    both engines), and the argmax orders by (score desc, date asc) so ties
+    break deterministically. D_i² stays within int64 up to ~3·10⁹ total
+    orders per priority × ~10⁴ days; past that, promote D to double before
+    squaring (the score is a ranking key, not a reported value).
+
+    Scale shape: one orders scan → hash aggregate to (priority, day)
+    cardinality, then ordered windows over the TINY daily series — the
+    windows never see fact rows. Interior splits only (1 ≤ i < n)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wg = Window.partitionBy("o_orderpriority")
+    w_ord = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        daily.withColumn("s_i", F.sum("n").over(w_ord))
+        .withColumn("i", F.row_number().over(wg.orderBy("o_orderdate")))
+        .withColumn("n_days", F.count(F.lit(1)).over(wg))
+        .withColumn("s_n", F.sum("n").over(wg))
+        .filter(F.col("i") < F.col("n_days"))
+        .withColumn("d_i", F.col("s_i") * F.col("n_days") - F.col("i") * F.col("s_n"))
+        .withColumn(
+            "score",
+            (F.col("d_i") * F.col("d_i")).cast("double")
+            / (F.col("i") * (F.col("n_days") - F.col("i"))).cast("double"),
+        )
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(wg.orderBy(F.desc("score"), F.asc("o_orderdate"))),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("split_date"),
+        F.col("i").alias("n_left"),
+        (F.col("n_days") - F.col("i")).alias("n_right"),
+        F.round(F.col("s_i") / F.col("i"), 6).alias("mean_left"),
+        F.round(
+            (F.col("s_n") - F.col("s_i")) / (F.col("n_days") - F.col("i")), 6
+        ).alias("mean_right"),
+        F.round(
+            F.sqrt(F.col("score") / F.col("n_days").cast("double")), 6
+        ).alias("shift_tstat"),
+    ).orderBy("o_orderpriority")
+
+
+CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), scored AS (
+  SELECT o_orderpriority, o_orderdate, n,
+         sum(n) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS i,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n_days,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS s_n
+  FROM daily
+), interior AS (
+  SELECT *, s_i * n_days - i * s_n AS d_i,
+         CAST(d_i * d_i AS DOUBLE) / CAST(i * (n_days - i) AS DOUBLE) AS score
+  FROM scored WHERE i < n_days
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY score DESC, o_orderdate) AS rk
+  FROM interior
+)
+SELECT o_orderpriority,
+       o_orderdate AS split_date,
+       i AS n_left,
+       n_days - i AS n_right,
+       round(s_i / i, 6) AS mean_left,
+       round((s_n - s_i) / (n_days - i), 6) AS mean_right,
+       round(sqrt(score / CAST(n_days AS DOUBLE)), 6) AS shift_tstat
+FROM best WHERE rk = 1
+ORDER BY o_orderpriority
+"""
+
+
+def forecast_backtest_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest over the CALENDAR-densified daily
+    order-count series: three standard baselines — naive (yesterday),
+    seasonal-naive (same weekday last week), and a trailing 7-day moving
+    average — each scored by MAE, RMSE, and signed bias over every day
+    where all three predictors exist. This is the sanity table a capacity
+    planner reads before trusting any fancier model: if it can't beat
+    seasonal-naive, the seasonality IS the forecast.
+
+    The series is densified over the full calendar span (missing days
+    count 0) so "yesterday" and "last week" are calendar lags, not
+    previous-observed-row lags — a gap day would otherwise silently
+    shift every seasonal prediction off its weekday.
+
+    Exactness across engines: all errors are scaled ×7 so the MA7 error
+    ``|7·actual − Σ₇|`` is exact integer arithmetic (no mean until the
+    final division); MAE/bias divide one exact int64 sum, RMSE is
+    sqrt (IEEE exactly-rounded) of one exact ratio. Squared-error sums
+    stay within int64 to ~10⁶ orders/day over 10⁴ days; past that promote
+    the square to double (RMSE is a diagnostic, not a ranking key).
+
+    Scale shape: one orders scan → hash aggregate to day cardinality; the
+    calendar explode, windows, and metric stack all run on the tiny daily
+    series. The date-bounds row is the allowlisted 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(F.min("d").alias("t0"), F.max("d").alias("t1"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(t0, t1, interval 1 day)")).alias("d")
+    )
+    dense = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    )
+    w = Window.orderBy("d")
+    w7 = Window.orderBy("d").rowsBetween(-7, -1)
+    ev = (
+        dense.withColumn("rn", F.row_number().over(w))
+        .withColumn("lag1", F.lag("n", 1).over(w))
+        .withColumn("lag7", F.lag("n", 7).over(w))
+        .withColumn("sum7", F.sum("n").over(w7))
+        .filter(F.col("rn") > 7)
+    )
+    e_naive = (F.col("n") - F.col("lag1")) * 7
+    e_snaive = (F.col("n") - F.col("lag7")) * 7
+    e_ma7 = F.col("n") * 7 - F.col("sum7")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(e_naive)).alias("ae_n"),
+        F.sum(e_naive * e_naive).alias("se_n"),
+        F.sum(e_naive).alias("b_n"),
+        F.sum(F.abs(e_snaive)).alias("ae_s"),
+        F.sum(e_snaive * e_snaive).alias("se_s"),
+        F.sum(e_snaive).alias("b_s"),
+        F.sum(F.abs(e_ma7)).alias("ae_m"),
+        F.sum(e_ma7 * e_ma7).alias("se_m"),
+        F.sum(e_ma7).alias("b_m"),
+    )
+    stacked = agg.select(
+        "n_days",
+        F.expr(
+            "stack(3, 'ma7', ae_m, se_m, b_m,"
+            " 'naive', ae_n, se_n, b_n,"
+            " 'seasonal_naive', ae_s, se_s, b_s)"
+            " AS (method, ae, se, b)"
+        ),
+    )
+    return stacked.select(
+        "method",
+        "n_days",
+        F.round(F.col("ae") / (7.0 * F.col("n_days")), 6).alias("mae"),
+        F.round(F.sqrt(F.col("se") / (49.0 * F.col("n_days"))), 6).alias("rmse"),
+        F.round(F.col("b") / (7.0 * F.col("n_days")), 6).alias("bias"),
+    ).orderBy("method")
+
+
+FORECAST_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d, count(*) AS n FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(d) AS t0, max(d) AS t1 FROM daily
+), cal AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS d FROM bounds
+), dense AS (
+  SELECT cal.d, COALESCE(daily.n, 0) AS n
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), ev AS (
+  SELECT *,
+         row_number() OVER (ORDER BY d) AS rn,
+         lag(n, 1) OVER (ORDER BY d) AS lag1,
+         lag(n, 7) OVER (ORDER BY d) AS lag7,
+         sum(n) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sum7
+  FROM dense
+), err AS (
+  SELECT (n - lag1) * 7 AS e_n, (n - lag7) * 7 AS e_s, n * 7 - sum7 AS e_m
+  FROM ev WHERE rn > 7
+), agg AS (
+  SELECT count(*) AS n_days,
+         CAST(sum(abs(e_n)) AS BIGINT) AS ae_n, CAST(sum(e_n * e_n) AS BIGINT) AS se_n,
+         CAST(sum(e_n) AS BIGINT) AS b_n,
+         CAST(sum(abs(e_s)) AS BIGINT) AS ae_s, CAST(sum(e_s * e_s) AS BIGINT) AS se_s,
+         CAST(sum(e_s) AS BIGINT) AS b_s,
+         CAST(sum(abs(e_m)) AS BIGINT) AS ae_m, CAST(sum(e_m * e_m) AS BIGINT) AS se_m,
+         CAST(sum(e_m) AS BIGINT) AS b_m
+  FROM err
+), stacked AS (
+  SELECT 'ma7' AS method, n_days, ae_m AS ae, se_m AS se, b_m AS b FROM agg
+  UNION ALL
+  SELECT 'naive', n_days, ae_n, se_n, b_n FROM agg
+  UNION ALL
+  SELECT 'seasonal_naive', n_days, ae_s, se_s, b_s FROM agg
+)
+SELECT method, n_days,
+       round(ae / (7.0 * n_days), 6) AS mae,
+       round(sqrt(se / (49.0 * n_days)), 6) AS rmse,
+       round(b / (7.0 * n_days), 6) AS bias
+FROM stacked
+ORDER BY method
+"""
+
+
+# max lag shared with ACF_SQL below — the oracle is derived from THIS
+# constant (the decayed-topk convention: Python default and certified SQL
+# cannot silently diverge)
+_ACF_MAX_LAG = 14
+
+
+def acf_daily_orders(
+    spark: SparkSession, sf_dir: str, max_lag: int = _ACF_MAX_LAG
+) -> DataFrame:
+    """Autocorrelation function of the calendar-densified daily order-count
+    series at lags 1..``max_lag``: the spectrum a scheduler reads to pick
+    the seasonal period (a weekly cycle shows as a lag-7 spike) and the
+    plot that justifies — or kills — the seasonal-naive baseline in
+    :func:`forecast_backtest_daily_orders`.
+
+    Each lag's Pearson r is assembled from exact int64 sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) over the lag-aligned pairs, so the only floating-point
+    steps are one fused expression of exactly-represented integers — both
+    engines round identically. Zero-variance sides yield NULL (guarded),
+    never NaN. Σxy stays in int64 to ~3·10⁹ orders/day over 10⁴ days.
+
+    Scale shape: one orders scan → hash aggregate to day cardinality; the
+    lag alignment is an integer-key self-join of the TINY daily series
+    against a ``max_lag``-row lag grid (day_idx = day_idx − k), a hash
+    join on exact integers — no window state, no fact-row windows. The
+    date-bounds row is the allowlisted 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(F.min("d").alias("t0"), F.max("d").alias("t1"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(t0, t1, interval 1 day)")).alias("d")
+    )
+    dense = (
+        cal.join(daily, "d", "left")
+        .join(F.broadcast(bounds.select("t0")))
+        .select(
+            F.datediff(F.col("d"), F.col("t0")).alias("idx"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    x = dense.select(F.col("idx").alias("ix"), F.col("n").alias("xv"))
+    y = dense.select(F.col("idx").alias("iy"), F.col("n").alias("yv"))
+    pairs = (
+        x.join(F.broadcast(lags))
+        .withColumn("iy", F.col("ix") - F.col("lag"))
+        .join(y, "iy")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    vx = agg["n_pairs"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    vy = agg["n_pairs"] * agg["syy"] - agg["sy"] * agg["sy"]
+    num = (agg["n_pairs"] * agg["sxy"] - agg["sx"] * agg["sy"]).cast("double")
+    return agg.select(
+        "lag",
+        "n_pairs",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+ACF_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS d, count(*) AS n FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(d) AS t0, max(d) AS t1 FROM daily
+), cal AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS d FROM bounds
+), dense AS (
+  SELECT CAST(date_diff('day', bounds.t0, cal.d) AS INTEGER) AS idx,
+         COALESCE(daily.n, 0) AS n
+  FROM cal LEFT JOIN daily ON cal.d = daily.d CROSS JOIN bounds
+), lags AS (
+  SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag
+), pairs AS (
+  SELECT lags.lag, x.n AS xv, y.n AS yv
+  FROM dense x CROSS JOIN lags JOIN dense y ON y.idx = x.idx - lags.lag
+), agg AS (
+  SELECT lag, count(*) AS n_pairs,
+         CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(xv * yv) AS BIGINT) AS sxy,
+         CAST(sum(xv * xv) AS BIGINT) AS sxx,
+         CAST(sum(yv * yv) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+            THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+       END AS acf
+FROM agg
+ORDER BY lag
+"""

@@ -756,6 +756,13 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n2_label_centroid_drift": QuerySpec(
         similarity.n2_label_centroid_drift, similarity.LABEL_CENTROID_DRIFT_SQL
     ),
+    "changepoint_daily_orders": QuerySpec(
+        temporal.changepoint_daily_orders, temporal.CHANGEPOINT_SQL
+    ),
+    "forecast_backtest_daily_orders": QuerySpec(
+        temporal.forecast_backtest_daily_orders, temporal.FORECAST_BACKTEST_SQL
+    ),
+    "acf_daily_orders": QuerySpec(temporal.acf_daily_orders, temporal.ACF_SQL),
 }
 
 # --------------------------------------------------------------------------
