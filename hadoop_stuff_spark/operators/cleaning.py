@@ -211,3 +211,106 @@ HAVING count(DISTINCT source) >= 2
 ORDER BY df DESC, ngram
 LIMIT 20
 """
+
+
+# defaults shared with CURATION_FUNNEL_SQL below (the decayed-topk
+# convention: the Python defaults and the certified SQL cannot diverge)
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_ALPHA_MIN = 0.5
+
+
+def n3_curation_funnel_by_source(
+    spark: SparkSession,
+    sf_dir: str,
+    min_chars: int = _FUNNEL_MIN_CHARS,
+    alpha_min: float = _FUNNEL_ALPHA_MIN,
+) -> DataFrame:
+    """Per-source curation SURVIVAL FUNNEL: how many documents (and final
+    tokens) each source contributes after the three standard gates run in
+    sequence — global exact dedup (canonical = min doc_id per normalized
+    fingerprint, so a source whose content duplicates another source's
+    earlier doc LOSES the row, exactly like the production dedup), a
+    minimum-length gate, and an alphabetic-ratio quality gate. This is the
+    attrition table a corpus report leads with: it localizes WHICH source
+    the pipeline is silently discarding before anyone debugs the mix.
+
+    Portable by construction: the fingerprint is the shared exact-dedup
+    md5 (functions.text.fingerprint_md5 / dedup._doc_fingerprints), the
+    alpha ratio is regexp_replace + length arithmetic (identical in
+    DuckDB with the 'g' flag), and gate counts are exact integer sums.
+
+    Scale shape: one documents scan → one window shuffle on the
+    fingerprint (the same Exchange exact dedup pays; text never moves —
+    only (doc_id, fp) feed the window) → hash aggregate to |sources|
+    rows. Zero-division guard: empty docs fail the alpha gate by
+    definition (length 0 ⇒ not alpha_ok), never divide."""
+    from pyspark.sql import Window
+
+    from hadoop_stuff_spark.functions.text import fingerprint_md5
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("fp")
+    staged = (
+        docs.withColumn("fp", fingerprint_md5("text"))
+        .withColumn("canon", F.col("doc_id") == F.min("doc_id").over(w))
+        .withColumn("len_ok", F.col("n_chars") >= min_chars)
+        .withColumn(
+            "alpha_ok",
+            (F.length("text") > 0)
+            & (
+                F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+                >= F.lit(float(alpha_min)) * F.length("text")
+            ),
+        )
+        .withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
+    )
+    final = F.col("canon") & F.col("len_ok") & F.col("alpha_ok")
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("canon").cast("long")).alias("n_after_dedup"),
+            F.sum((F.col("canon") & F.col("len_ok")).cast("long")).alias(
+                "n_after_length"
+            ),
+            F.sum(final.cast("long")).alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(final, F.col("n_tok"))), F.lit(0)
+            ).cast("long").alias("tokens_final"),
+        )
+        .withColumn(
+            "survival_pct",
+            F.round(F.col("n_final").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH staged AS (
+  SELECT source, n_chars, text,
+         doc_id = min(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         ) AS canon,
+         n_chars >= {_FUNNEL_MIN_CHARS} AS len_ok,
+         length(text) > 0
+           AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               >= {_FUNNEL_ALPHA_MIN} * length(text) AS alpha_ok,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+       CAST(sum(CASE WHEN canon AND len_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_length,
+       CAST(sum(CASE WHEN canon AND len_ok AND alpha_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_final,
+       CAST(COALESCE(sum(CASE WHEN canon AND len_ok AND alpha_ok
+                              THEN n_tok END), 0) AS BIGINT) AS tokens_final,
+       round(CAST(sum(CASE WHEN canon AND len_ok AND alpha_ok THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS survival_pct
+FROM staged
+GROUP BY source
+ORDER BY source
+"""

@@ -1397,3 +1397,87 @@ LEFT JOIN d ON d.dup_source = g.dup_source
 JOIN tot t ON t.source = g.dup_source
 ORDER BY g.dup_source, g.canonical_source
 """
+
+
+def dedup_weighted_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    salt: str = "dws1",
+) -> DataFrame:
+    """Duplication-weighted sampling: keep each row with probability
+    1/group_size (group = normalized-content fingerprint), so every
+    duplicate GROUP survives with expectation exactly 1 — the unbiased
+    alternative to canonical-pick exact dedup when downstream statistics
+    must not over-represent heavily-copied content but a deterministic
+    min-id canonical would freeze WHICH copy always survives.
+
+    The keep decision is a pure function of the row (md5 of the salted
+    key) and its group size — reruns and backfills keep the same rows;
+    change ``salt`` for an independent draw. The comparison is EXACT
+    integer arithmetic: u·group_size < 16⁶ with u the digest's 6-hex-char
+    value (u uniform on [0, 16⁶)), i.e. u < 16⁶/group_size without ever
+    forming the fraction — no float thresholds, no engine rounding.
+    Unique rows (group_size 1) always survive.
+
+    Scale shape: one window shuffle on the fingerprint for group_size
+    (the same Exchange exact dedup pays), then a map-side filter —
+    nothing collects, nothing is quadratic."""
+    from hadoop_stuff_spark.operators.sampling import _HEX_DIGITS, _hex_prefix_val
+
+    fp = fingerprint_md5(content_col)
+    gs = F.count(F.lit(1)).over(Window.partitionBy(fp))
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    u = _hex_prefix_val(h, _HEX_DIGITS)
+    return (
+        df.withColumn("_gs", gs)
+        .filter(u * F.col("_gs") < F.lit(16**_HEX_DIGITS))
+        .withColumnRenamed("_gs", "group_size")
+    )
+
+
+def n1_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification: per-source kept counts + id-sum of the
+    duplication-weighted sample (order-free exact summary of the kept
+    SET), plus how many kept rows came from true dup groups."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    kept = dedup_weighted_sample(docs)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum((F.col("group_size") > 1).cast("long")).alias("n_from_dup_groups"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_weighted_sample_sql() -> str:
+    hexv = "0"
+    for i in range(1, 7):
+        hexv = (
+            f"({hexv}) * 16 + (strpos('0123456789abcdef',"
+            f" substr(md5('dws1:' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         count(*) OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         ) AS group_size
+  FROM documents
+), kept AS (
+  SELECT * FROM sized WHERE ({hexv}) * group_size < {16**6}
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_from_dup_groups
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+DEDUP_WEIGHTED_SAMPLE_SQL = _dedup_weighted_sample_sql()

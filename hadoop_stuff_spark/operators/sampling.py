@@ -585,3 +585,129 @@ ORDER BY sp.split
 
 
 SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+# defaults shared with TOKEN_BUDGET_SQL below (the decayed-topk convention:
+# the Python defaults and the certified SQL cannot silently diverge)
+_BUDGET_TOKENS = 1_000_000
+_BUDGET_TAU = 2.0
+_BUDGET_MAX_EPOCHS = 4.0
+
+
+def n3_token_budget_epochs(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = _BUDGET_TOKENS,
+    tau: float = _BUDGET_TAU,
+    max_epochs: float = _BUDGET_MAX_EPOCHS,
+) -> DataFrame:
+    """Token-budget epoch allocator — the consumer of the temperature
+    mixture table: given a total training-token budget, each source's
+    temperature-τ share is converted into an allocated token count and an
+    epoch (repeat) factor over that source's actual tokens, capped at
+    ``max_epochs`` (repeating a small source past a few epochs stops
+    buying diversity — the standard data-constrained scaling guardrail).
+    The report shows where the budget actually lands: ``clipped`` sources
+    return unspent budget, so ``realized_share`` drifts from
+    ``target_share`` exactly where the cap bit.
+
+    Exactness across engines: token counts are exact integers
+    (explode-free size(split())), the share chain is the mixture table's
+    pow/sum expression (identical doubles both engines), allocations use
+    explicit floor() (never a bare CAST — DuckDB rounds, Spark
+    truncates), and every reported ratio rounds to 6 dp.
+
+    Scale shape: one documents scan → |sources|-row hash aggregate; all
+    windows and arithmetic run on that tiny relation. Nothing here sees
+    document text after the map-side token count."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    per_src = docs.groupBy("source").agg(
+        F.sum(n_tok).cast("long").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all).cast(
+        "double"
+    )
+    powed = F.pow(p, 1.0 / tau)
+    q = powed / F.sum(powed).over(w_all)
+    alloc = F.floor(q * float(budget_tokens)).cast("long")
+    staged = (
+        per_src.withColumn("target_share", q)
+        .withColumn("allocated_tokens", alloc)
+        .withColumn(
+            "epochs_raw",
+            F.col("allocated_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .withColumn("clipped", F.col("epochs_raw") > F.lit(float(max_epochs)))
+        .withColumn(
+            "tokens_drawn",
+            F.when(
+                F.col("clipped"),
+                F.floor(F.lit(float(max_epochs)) * F.col("n_tokens")).cast("long"),
+            ).otherwise(F.col("allocated_tokens")),
+        )
+    )
+    return staged.select(
+        "source",
+        "n_tokens",
+        F.round("target_share", 6).alias("target_share"),
+        "allocated_tokens",
+        F.round(
+            F.when(F.col("clipped"), F.lit(float(max_epochs))).otherwise(
+                F.col("epochs_raw")
+            ),
+            6,
+        ).alias("epochs"),
+        "clipped",
+        "tokens_drawn",
+        F.round(
+            F.col("tokens_drawn").cast("double")
+            / F.sum("tokens_drawn").over(w_all).cast("double"),
+            6,
+        ).alias("realized_share"),
+    ).orderBy("source")
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), shares AS (
+  SELECT source, n_tokens,
+         pow(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE),
+             1.0 / {_BUDGET_TAU}) AS powed
+  FROM per_src
+), q AS (
+  SELECT source, n_tokens,
+         powed / sum(powed) OVER () AS target_share
+  FROM shares
+), staged AS (
+  SELECT source, n_tokens, target_share,
+         CAST(floor(target_share * {float(_BUDGET_TOKENS)}) AS BIGINT)
+           AS allocated_tokens,
+         CAST(floor(target_share * {float(_BUDGET_TOKENS)}) AS BIGINT)
+           / CAST(n_tokens AS DOUBLE) AS epochs_raw
+  FROM q
+), capped AS (
+  SELECT *,
+         epochs_raw > {_BUDGET_MAX_EPOCHS} AS clipped,
+         CASE WHEN epochs_raw > {_BUDGET_MAX_EPOCHS}
+              THEN CAST(floor({_BUDGET_MAX_EPOCHS} * n_tokens) AS BIGINT)
+              ELSE allocated_tokens END AS tokens_drawn
+  FROM staged
+)
+SELECT source, n_tokens,
+       round(target_share, 6) AS target_share,
+       allocated_tokens,
+       round(CASE WHEN clipped THEN {_BUDGET_MAX_EPOCHS} ELSE epochs_raw END, 6)
+         AS epochs,
+       clipped,
+       tokens_drawn,
+       round(CAST(tokens_drawn AS DOUBLE)
+             / CAST(sum(tokens_drawn) OVER () AS DOUBLE), 6) AS realized_share
+FROM capped
+ORDER BY source
+"""

@@ -763,6 +763,15 @@ _CATALOG_B: dict[str, QuerySpec] = {
         temporal.forecast_backtest_daily_orders, temporal.FORECAST_BACKTEST_SQL
     ),
     "acf_daily_orders": QuerySpec(temporal.acf_daily_orders, temporal.ACF_SQL),
+    "n3_token_budget_epochs": QuerySpec(
+        sampling.n3_token_budget_epochs, sampling.TOKEN_BUDGET_SQL
+    ),
+    "n3_curation_funnel_by_source": QuerySpec(
+        cleaning.n3_curation_funnel_by_source, cleaning.CURATION_FUNNEL_SQL
+    ),
+    "n1_dedup_weighted_sample": QuerySpec(
+        dedup.n1_dedup_weighted_sample, dedup.DEDUP_WEIGHTED_SAMPLE_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -143,3 +143,105 @@ def test_acf_max_lag_parameter(spark, tmp_path):
 
     sf = _orders_fixture(tmp_path, [1, 2, 3] * 5, "sf_acf_k")
     assert acf_daily_orders(spark, sf, max_lag=3).count() == 3
+
+
+def _docs_fixture(tmp_path, rows, name):
+    """(doc_id, source, text) documents table."""
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def test_token_budget_clips_tiny_source_and_returns_budget(spark, tmp_path):
+    """A tiny source whose temperature share over-allocates past the epoch
+    cap is clipped: epochs == max_epochs exactly, tokens_drawn ==
+    floor(max_epochs * n_tokens), and the unclipped source keeps its full
+    allocation (floor-exact budget accounting)."""
+    from hadoop_stuff_spark.operators.sampling import n3_token_budget_epochs
+
+    rows = [(1, "big", "w " * 999 + "w"), (2, "tiny", "a b c d e f g h i j")]
+    sf = _docs_fixture(tmp_path, rows, "sf_budget")
+    out = {
+        r["source"]: r
+        for r in n3_token_budget_epochs(
+            spark, sf, budget_tokens=2000, tau=4.0, max_epochs=4.0
+        ).collect()
+    }
+    assert out["big"]["n_tokens"] == 1000 and out["tiny"]["n_tokens"] == 10
+    assert out["tiny"]["clipped"] is True
+    assert out["tiny"]["epochs"] == 4.0
+    assert out["tiny"]["tokens_drawn"] == 40
+    assert out["big"]["clipped"] is False
+    assert out["big"]["tokens_drawn"] == out["big"]["allocated_tokens"]
+    # floors only ever round down: total allocation never exceeds budget
+    assert (
+        out["big"]["allocated_tokens"] + out["tiny"]["allocated_tokens"] <= 2000
+    )
+    # realized shares sum to 1 over the drawn tokens
+    total = out["big"]["tokens_drawn"] + out["tiny"]["tokens_drawn"]
+    assert out["big"]["realized_share"] == round(
+        out["big"]["tokens_drawn"] / total, 6
+    )
+
+
+def test_curation_funnel_gates_apply_in_sequence(spark, tmp_path):
+    """Planted attrition: a cross-source duplicate loses to the earlier
+    doc_id, a short doc dies at the length gate, a digits-only doc dies
+    at the alpha gate — and each count lands in the right funnel stage."""
+    from hadoop_stuff_spark.operators.cleaning import n3_curation_funnel_by_source
+
+    good = ("good words here " * 10).strip()  # alpha-heavy, > 100 chars
+    rows = [
+        (1, "a", good),
+        (2, "a", "tiny text"),  # fails length
+        (3, "a", ("1234567890 " * 20).strip()),  # fails alpha ratio
+        (4, "b", good),  # exact dup of doc 1 → loses dedup to source a
+        (5, "b", good + " extra tail of words"),  # unique, survives
+    ]
+    sf = _docs_fixture(tmp_path, rows, "sf_funnel")
+    out = {
+        r["source"]: r for r in n3_curation_funnel_by_source(spark, sf).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["n_after_dedup"]) == (3, 3)
+    assert a["n_after_length"] == 2  # doc 2 died
+    assert a["n_final"] == 1  # doc 3 died at alpha
+    assert a["survival_pct"] == round(1 / 3, 6)
+    assert (b["n_docs"], b["n_after_dedup"]) == (2, 1)  # doc 4 deduped away
+    assert b["n_final"] == 1
+    assert b["tokens_final"] == len((good + " extra tail of words").split(" "))
+
+
+def test_dedup_weighted_sample_keeps_uniques_and_thins_dups(spark, tmp_path):
+    """group_size 1 rows ALWAYS survive (u·1 < 16⁶ for every digest); a
+    100-copy group survives with expectation 1 (binomial — assert a loose
+    upper bound), and the draw is deterministic across runs."""
+    from hadoop_stuff_spark.operators.dedup import dedup_weighted_sample
+
+    uniques = [(i, "u", f"unique document number {i} with words") for i in range(5)]
+    dups = [(100 + i, "d", "the copied document body") for i in range(100)]
+    sf = _docs_fixture(tmp_path, uniques + dups, "sf_dws")
+    from hadoop_stuff_spark.catalog import load_table
+
+    docs = load_table(spark, sf, "documents")
+    kept1 = sorted(r["doc_id"] for r in dedup_weighted_sample(docs).collect())
+    kept2 = sorted(r["doc_id"] for r in dedup_weighted_sample(docs).collect())
+    assert kept1 == kept2  # pure function of the rows
+    assert [i for i in kept1 if i < 5] == [0, 1, 2, 3, 4]
+    n_dup_kept = len([i for i in kept1 if i >= 100])
+    assert n_dup_kept <= 8  # P(Binom(100, 0.01) > 8) ≈ 1e-8
+    # independent draw under a different salt actually differs in the
+    # dup group with overwhelming probability OR keeps uniques anyway
+    kept3 = sorted(
+        r["doc_id"] for r in dedup_weighted_sample(docs, salt="dws2").collect()
+    )
+    assert [i for i in kept3 if i < 5] == [0, 1, 2, 3, 4]
