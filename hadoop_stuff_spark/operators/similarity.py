@@ -1257,3 +1257,207 @@ FROM agg
 WHERE nl > 0 AND nc > 0
 ORDER BY label
 """
+
+
+def n2_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding-space health report: anisotropy (how much of the
+    average squared norm the corpus mean direction eats — the "common
+    direction" pathology that inflates every cosine) and the participation
+    ratio (Σvar)²/Σvar² — the effective number of dimensions actually
+    carrying variance (64 = isotropic, ~1 = collapsed to a line). The two
+    numbers a retrieval stack checks after any encoder change: rising
+    anisotropy or a falling participation ratio predicts cosine-ranking
+    degradation before any recall eval moves.
+
+    Built entirely from the per-dimension sufficient statistics (s, ss, n)
+    of ONE posexplode scan — the same float-aggregate convention the
+    dim-stats/centroid-drift oracles certified: double sums whose
+    partial-agg ordering ulps are erased by the 6 dp round. Dead
+    dimensions counted at sample variance < 1e-6.
+
+    Scale shape: posexplode fans to dim rows but map-side partial
+    aggregation folds to O(dims × partitions) before the exchange; the
+    final report aggregates 64 rows. Degenerate corpora (zero variance
+    everywhere, all-zero vectors) yield NULL anisotropy/participation
+    ratio (guarded), never NaN — the ANSI zero-division convention."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        F.posexplode(as_double("embedding")).alias("i", "v")
+    )
+    per = e.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    m = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    agg = per.agg(
+        F.max("n").alias("n_vecs"),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(m * m).alias("_mu2"),
+        F.sum(F.col("ss") / F.col("n")).alias("_ex2"),
+        F.sum(var).alias("_v1"),
+        F.sum(var * var).alias("_v2"),
+        F.sum((var < 1e-6).cast("long")).alias("n_dead_dims"),
+    )
+    return agg.select(
+        "n_vecs",
+        "n_dims",
+        F.round(F.sqrt(F.col("_mu2")), 6).alias("centroid_norm"),
+        F.round(F.sqrt(F.col("_ex2")), 6).alias("rms_norm"),
+        F.when(
+            F.col("_ex2") > 0, F.round(F.col("_mu2") / F.col("_ex2"), 6)
+        ).alias("anisotropy"),
+        F.when(
+            F.col("_v2") > 0,
+            F.round(F.col("_v1") * F.col("_v1") / F.col("_v2"), 6),
+        ).alias("participation_ratio"),
+        "n_dead_dims",
+    )
+
+
+ANISOTROPY_SQL = """
+WITH e AS (
+  SELECT unnest(generate_series(1, 64)) AS i,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+), per AS (
+  SELECT i, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+  FROM e GROUP BY i
+), stats AS (
+  SELECT i, n, s, ss,
+         (s / n) * (s / n) AS m2,
+         ss / n AS ex2,
+         (ss - s * s / n) / (n - 1) AS var
+  FROM per
+)
+SELECT CAST(max(n) AS BIGINT) AS n_vecs,
+       count(*) AS n_dims,
+       round(sqrt(sum(m2)), 6) AS centroid_norm,
+       round(sqrt(sum(ex2)), 6) AS rms_norm,
+       CASE WHEN sum(ex2) > 0 THEN round(sum(m2) / sum(ex2), 6) END AS anisotropy,
+       CASE WHEN sum(var * var) > 0
+            THEN round(sum(var) * sum(var) / sum(var * var), 6)
+       END AS participation_ratio,
+       CAST(sum(CASE WHEN var < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_dims
+FROM stats
+"""
+
+
+def n2_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified (centroid) silhouette: for every vector,
+    a = distance to its OWN label centroid, b = distance to the NEAREST
+    other label's centroid, s = (b − a)/max(a, b) — the clustering-quality
+    score that tells a labeling/eval pipeline which classes are compact
+    and separated (s → 1) vs bleeding into a neighbor (s ≤ 0), at
+    centroid cost instead of the quadratic full-pairwise silhouette.
+
+    Exactness across engines: centroids are built from FIXED-POINT
+    integer component sums (the kmeans convention — ×10⁶ → round → int64
+    — so partial-agg ordering cannot perturb them), each squared distance
+    is rounded to 6 dp BEFORE the min/compare (so the nearest-other
+    choice is deterministic on both engines), and the final averages
+    round to 6 dp.
+
+    Scale shape: one posexplode scan → |labels|·dim fixed-point sums →
+    centroid arrays (a |labels|-row broadcast, the allowlisted scalar
+    shape); the per-vector pass is a map-side zip_with against the
+    broadcast centroids — n·|labels| candidate rows, never n²."""
+    from hadoop_stuff_spark.operators.kmeans import FP
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", as_double("embedding").alias("vec")
+    )
+    fx = F.round(F.col("v") * FP, 0).cast("long")
+    sums = (
+        emb.select("label", F.posexplode("vec").alias("i", "v"))
+        .select("label", "i", fx.alias("fx"))
+        .groupBy("label", "i")
+        .agg(F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cents = (
+        sums.select(
+            F.col("label").alias("clabel"),
+            F.struct("i", ((F.col("s") / float(FP)) / F.col("n")).alias("m")).alias(
+                "im"
+            ),
+        )
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("im")), lambda z: z.getField("m")
+            ).alias("cent")
+        )
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("vec"), F.col("cent"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ),
+        6,
+    )
+    pv = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "label", "clabel", dist.alias("dist"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist")))
+            ).alias("a"),
+            F.sqrt(
+                F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist")))
+            ).alias("b"),
+        )
+    )
+    sil = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    return (
+        pv.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("a"), 6).alias("avg_dist_own"),
+            F.round(F.avg("b"), 6).alias("avg_dist_other"),
+            F.round(F.avg(sil), 6).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_SILHOUETTE_SQL = """
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+), sums AS (
+  SELECT label, unnest(generate_series(1, 64)) AS i,
+         CAST(round(unnest(vec) * 1000000.0, 0) AS BIGINT) AS fx
+  FROM vecs
+), persum AS (
+  SELECT label, i, CAST(sum(fx) AS BIGINT) AS s, count(*) AS n
+  FROM sums GROUP BY 1, 2
+), cents AS (
+  SELECT label AS clabel, list((s / 1000000.0) / n ORDER BY i) AS cent
+  FROM persum GROUP BY label
+), dists AS (
+  SELECT v.vec_id, v.label, c.clabel,
+         round(list_aggregate(list_transform(list_zip(v.vec, c.cent),
+               z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), 6) AS dist
+  FROM vecs v CROSS JOIN cents c
+), pv AS (
+  SELECT vec_id, label,
+         sqrt(max(CASE WHEN clabel = label THEN dist END)) AS a,
+         sqrt(min(CASE WHEN clabel <> label THEN dist END)) AS b
+  FROM dists GROUP BY 1, 2
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(a), 6) AS avg_dist_own,
+       round(avg(b), 6) AS avg_dist_other,
+       round(avg(CASE WHEN greatest(a, b) > 0
+                      THEN (b - a) / greatest(a, b) ELSE 0.0 END), 6)
+         AS avg_silhouette
+FROM pv
+GROUP BY label
+ORDER BY label
+"""

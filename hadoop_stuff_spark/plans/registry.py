@@ -772,6 +772,12 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n1_dedup_weighted_sample": QuerySpec(
         dedup.n1_dedup_weighted_sample, dedup.DEDUP_WEIGHTED_SAMPLE_SQL
     ),
+    "n2_anisotropy_report": QuerySpec(
+        similarity.n2_anisotropy_report, similarity.ANISOTROPY_SQL
+    ),
+    "n2_label_silhouette": QuerySpec(
+        similarity.n2_label_silhouette, similarity.LABEL_SILHOUETTE_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -245,3 +245,88 @@ def test_dedup_weighted_sample_keeps_uniques_and_thins_dups(spark, tmp_path):
         r["doc_id"] for r in dedup_weighted_sample(docs, salt="dws2").collect()
     )
     assert [i for i in kept3 if i < 5] == [0, 1, 2, 3, 4]
+
+
+def _emb_fixture(tmp_path, rows, name):
+    """(vec_id, embedding, label) embeddings table."""
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "embeddings.parquet"))
+    return str(sf)
+
+
+def test_anisotropy_identical_vectors_is_one_and_pr_null_guarded(spark, tmp_path):
+    """All-identical vectors: the mean direction carries ALL the squared
+    norm (anisotropy exactly 1), and zero variance everywhere makes the
+    participation ratio NULL (guarded), never NaN."""
+    from hadoop_stuff_spark.operators.similarity import n2_anisotropy_report
+
+    rows = [(i, [1.0, 2.0, 2.0, 0.0], 0) for i in range(10)]
+    sf = _emb_fixture(tmp_path, rows, "sf_iso")
+    r = n2_anisotropy_report(spark, sf).collect()[0]
+    assert r["n_vecs"] == 10 and r["n_dims"] == 4
+    assert r["anisotropy"] == 1.0
+    assert r["participation_ratio"] is None
+    assert r["n_dead_dims"] == 4
+    assert r["centroid_norm"] == 3.0  # sqrt(1+4+4)
+
+
+def test_anisotropy_equal_variance_dims_pr_equals_n_dims(spark, tmp_path):
+    """One-hot basis vectors, each dimension equally often: every dim has
+    the same variance, so PR = (d·v)²/(d·v²) = d exactly."""
+    from hadoop_stuff_spark.operators.similarity import n2_anisotropy_report
+
+    rows = []
+    for rep in range(3):
+        for d in range(4):
+            v = [0.0] * 4
+            v[d] = 1.0
+            rows.append((rep * 4 + d, v, 0))
+    sf = _emb_fixture(tmp_path, rows, "sf_onehot")
+    r = n2_anisotropy_report(spark, sf).collect()[0]
+    assert r["participation_ratio"] == 4.0
+    assert r["n_dead_dims"] == 0
+    # mean vector = (1/4,..): ||mu||^2 = 4/16 = 0.25; E||x||^2 = 1
+    assert r["anisotropy"] == 0.25
+
+
+def test_label_silhouette_separated_vs_coincident(spark, tmp_path):
+    """Two tight, well-separated labels score ~1; a third label placed
+    exactly ON label 0's centroid scores ≤ 0 (its nearest-other is as
+    close as its own centroid)."""
+    from hadoop_stuff_spark.operators.similarity import n2_label_silhouette
+
+    rows = (
+        [(i, [0.0, float(i % 2) * 0.2, 0.0, 0.0], 0) for i in range(4)]
+        + [(10 + i, [10.0, float(i % 2) * 0.2, 0.0, 0.0], 1) for i in range(4)]
+        + [(20 + i, [0.0, float(i % 2) * 0.2, 0.0, 0.0], 2) for i in range(4)]
+    )
+    sf = _emb_fixture(tmp_path, rows, "sf_sil")
+    out = {r["label"]: r for r in n2_label_silhouette(spark, sf).collect()}
+    assert out[1]["avg_silhouette"] > 0.9
+    # labels 0 and 2 coincide: own-centroid distance == other-centroid
+    # distance, silhouette ~0 (and never positive)
+    assert out[0]["avg_silhouette"] <= 0.0
+    assert out[2]["avg_silhouette"] <= 0.0
+    assert out[1]["n_vecs"] == 4
+
+
+def test_label_silhouette_identical_point_all_labels_zero_guard(spark, tmp_path):
+    """Every vector of every label at the same point: a = b = 0 → the
+    max(a,b) guard yields silhouette 0, not a division error."""
+    from hadoop_stuff_spark.operators.similarity import n2_label_silhouette
+
+    rows = [(i, [1.0, 1.0], i % 2) for i in range(6)]
+    sf = _emb_fixture(tmp_path, rows, "sf_sil0")
+    out = n2_label_silhouette(spark, sf).collect()
+    assert all(r["avg_silhouette"] == 0.0 for r in out)
+    assert all(r["avg_dist_own"] == 0.0 for r in out)

@@ -120,6 +120,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "n1_cross_source_dup_matrix",  # |sources|^2 zero-cell grid crossJoin (two tiny frames)
         "forecast_backtest_daily_orders",  # 1-row date-bounds frame broadcast (calendar explode)
         "acf_daily_orders",            # 1-row bounds + max_lag-row lag-grid broadcasts
+        "n2_label_silhouette",         # |labels|-row centroid frame broadcast (scalar shape)
     }
     sf = "/root/testdata/sf0.001"
     bad = []
