@@ -725,3 +725,123 @@ def decayed_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA anomaly detector per key
+
+_EWMA_OUT = (
+    "user_id LONG, ts TIMESTAMP, value DOUBLE, ema DOUBLE, z DOUBLE, "
+    "n_prior LONG"
+)
+_EWMA_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ema", DoubleType()),
+        StructField("ewvar", DoubleType()),
+    ]
+)
+
+
+def _ewma_anomaly_fn_factory(alpha: float, k: float, min_obs: int):
+    one_minus = 1.0 - alpha
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, ema, ewvar = state.get if state.exists else (0, 0.0, 0.0)
+        rows: list[tuple[int, int, float]] = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                eids = pdf["event_id"].tolist()
+                vals = pdf["value"].tolist()
+                rows.extend(zip(ms, eids, vals))
+        out: list[tuple] = []
+        # total in-batch order (ts, event_id) — the batch fold's order, so
+        # the recurrence applies the identical dependent IEEE op sequence
+        # regardless of how the rows were split across micro-batches
+        for ms, _eid, x in sorted(rows):
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                continue  # null values carry no signal and no update
+            if n >= min_obs:
+                dev = x - ema
+                if ewvar > 0.0:
+                    z = dev / math.sqrt(ewvar)
+                    if abs(z) > k:
+                        out.append((ms, x, ema, z, n))
+                elif dev != 0.0:
+                    # zero variance so far: ANY deviation is anomalous;
+                    # z has no finite value — emitted NULL (guard, not NaN)
+                    out.append((ms, x, ema, None, n))
+            if n == 0:
+                ema, ewvar = x, 0.0
+            else:
+                delta = x - ema
+                ema = ema + alpha * delta
+                ewvar = one_minus * (ewvar + alpha * delta * delta)
+            n += 1
+        state.update((int(n), float(ema), float(ewvar)))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "ts": pd.to_datetime([o[0] for o in out], unit="ms"),
+                    "value": [o[1] for o in out],
+                    "ema": [o[2] for o in out],
+                    "z": [o[3] for o in out],
+                    "n_prior": [o[4] for o in out],
+                }
+            )
+
+    return fn
+
+
+def streaming_ewma_anomaly(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    k: float = 3.0,
+    min_obs: int = 5,
+) -> DataFrame:
+    """Per-key streaming anomaly detector over a numeric signal: each
+    event is scored against the key's running EWMA and exponentially-
+    weighted variance (z = (x − ema)/√ewvar, both BEFORE the event
+    updates them — an event never vouches for itself), and rows with
+    |z| > ``k`` after a ``min_obs`` burn-in are emitted as anomalies.
+    The streaming twin of the batch EMA fold
+    (:func:`operators.temporal.ema_event_values` — same α-recurrence,
+    same (ts, event_id) total order), extended with the West-style
+    EW variance update ewvar ← (1−α)·(ewvar + α·Δ²).
+
+    Batch-independence: detection depends only on the per-key event
+    SEQUENCE, so any split of an in-order stream into micro-batches
+    yields the identical anomaly set (pinned by the equivalence test) —
+    there are no timers and no watermark dependency; late data simply
+    scores in arrival order (document upstream ordering expectations).
+    NULL values carry no signal and no update. Zero-variance burn-in
+    (constant signal) flags ANY deviation with a NULL z — the guard,
+    never a NaN.
+
+    100 TB posture: state per key is three scalars — O(active keys),
+    sharded by the state store; each micro-batch does one in-batch sort
+    of its own rows and a scalar fold, no per-key history is ever
+    materialized."""
+    renamed = stream.selectExpr(
+        f"{user_col} AS user_id",
+        f"{ts_col} AS ts",
+        f"{id_col} AS event_id",
+        f"CAST({value_col} AS DOUBLE) AS value",
+    )
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        _ewma_anomaly_fn_factory(alpha, k, min_obs),
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
