@@ -1187,3 +1187,105 @@ SELECT event_type,
 FROM terms GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def n3_length_psi_by_source(
+    spark: SparkSession, sf_dir: str, n_bins: int = 20
+) -> DataFrame:
+    """Population-stability index of each SOURCE's document-length
+    (n_chars) distribution against the whole corpus — the per-source
+    drift score a multi-source ingest dashboard ranks by (a source whose
+    length profile suddenly diverges from the corpus is the first place
+    to look for a scraper change, truncation bug, or boilerplate flood).
+    Same PSI scale as :func:`value_drift_psi` (<0.1 stable, >0.25
+    investigate).
+
+    Deterministic end to end, the PSI house conventions: equi-width bins
+    over the GLOBAL n_chars min/max with the degenerate and last-bin
+    clamps; empty-bin shares floored at 1e-6 on both engines; per-bin
+    terms 9 dp fixed-point-summed. Integer bin arithmetic — n_chars is
+    exact int64, so bin edges are the only doubles and both engines
+    floor the same quotients.
+
+    Scale shape: one bounds aggregate (1-row broadcast, the allowlisted
+    scalar shape) + one (source × bin) hash aggregate; corpus bin counts
+    are a window RE-aggregate of those |sources|·bins cells — the corpus
+    is never scanned twice."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    stats = docs.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    width = (F.col("hi") - F.col("lo")).cast("double") / n_bins
+    bin_id = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("n_chars") - F.col("lo")).cast("double") / width),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+    )
+    cells = (
+        docs.join(F.broadcast(stats))
+        .select("source", bin_id.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_sb"))
+    )
+    w_src = Window.partitionBy("source")
+    w_bin = Window.partitionBy("bin")
+    w_all = Window.partitionBy()
+    p_src = F.greatest(
+        F.col("n_sb").cast("double") / F.sum("n_sb").over(w_src), F.lit(1e-6)
+    )
+    p_corp = F.greatest(
+        F.sum("n_sb").over(w_bin).cast("double") / F.sum("n_sb").over(w_all),
+        F.lit(1e-6),
+    )
+    term_fp = F.round(
+        (p_src - p_corp) * F.log(p_src / p_corp) * 1000000000, 0
+    ).cast("long")
+    return (
+        cells.select("source", F.col("n_sb").alias("n"), term_fp.alias("_t"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.round(F.sum("_t") / 1000000000.0, 6).alias("psi"),
+        )
+        .orderBy("source")
+    )
+
+
+LENGTH_PSI_SQL = """
+WITH stats AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+), binned AS (
+  SELECT source,
+         CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(floor(CAST(n_chars - lo AS DOUBLE)
+                               / (CAST(hi - lo AS DOUBLE) / 20)), 19)
+              END AS INTEGER) AS bin
+  FROM documents CROSS JOIN stats
+), cells AS (
+  SELECT source, bin, count(*) AS n_sb FROM binned GROUP BY 1, 2
+), terms AS (
+  SELECT source, n_sb,
+         CAST(round(
+           (greatest(CAST(n_sb AS DOUBLE)
+                     / sum(n_sb) OVER (PARTITION BY source), 1e-6)
+            - greatest(CAST(sum(n_sb) OVER (PARTITION BY bin) AS DOUBLE)
+                       / sum(n_sb) OVER (), 1e-6))
+           * ln(greatest(CAST(n_sb AS DOUBLE)
+                         / sum(n_sb) OVER (PARTITION BY source), 1e-6)
+                / greatest(CAST(sum(n_sb) OVER (PARTITION BY bin) AS DOUBLE)
+                           / sum(n_sb) OVER (), 1e-6))
+           * 1000000000, 0) AS BIGINT) AS t
+  FROM cells
+)
+SELECT source,
+       CAST(sum(n_sb) AS BIGINT) AS n_docs,
+       round(CAST(sum(t) AS BIGINT) / 1000000000.0, 6) AS psi
+FROM terms
+GROUP BY source
+ORDER BY source
+"""

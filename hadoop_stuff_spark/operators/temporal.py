@@ -2571,3 +2571,57 @@ SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
 FROM agg
 ORDER BY lag
 """
+
+
+def weekly_value_quantile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p90/p99 of the event ``value`` per event type, with the
+    week-over-week median delta — the quantile-band trend a telemetry
+    dashboard plots to separate "the median moved" (systematic change)
+    from "the tail moved" (a new outlier population), which single-number
+    trends (mean, max) conflate.
+
+    Exactness: Spark ``percentile`` and DuckDB ``quantile_cont`` compute
+    the same linear-interpolated order statistic (the certified
+    percentiles convention), rounded to 4 dp; week bucketing is ISO
+    Monday ``date_trunc('week')`` on both engines; the delta is a lag
+    window over the tiny (week × type) relation, NULL on each type's
+    first week.
+
+    Scale shape: one events scan → exact percentile per (week, type)
+    group — a sort per group, the certified exact default; at whale
+    (week × type) cardinalities the house scale path is
+    ``approx_percentile`` (mergeable KLL-style summaries, map-side
+    combinable — the percentiles_order_value convention, error-bounded
+    in tests there). The trailing lag runs on aggregate-sized rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        "event_type",
+        "value",
+    )
+    agg = ev.groupBy("week_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    return agg.withColumn(
+        "p50_delta", F.round(F.col("p50") - F.lag("p50", 1).over(w), 4)
+    ).orderBy("week_start", "event_type")
+
+
+WEEKLY_QUANTILE_TREND_SQL = """
+WITH agg AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start, event_type,
+         count(*) AS n_events,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90,
+         round(quantile_cont(value, 0.99), 4) AS p99
+  FROM events GROUP BY 1, 2
+)
+SELECT week_start, event_type, n_events, p50, p90, p99,
+       round(p50 - lag(p50, 1) OVER (PARTITION BY event_type
+                                     ORDER BY week_start), 4) AS p50_delta
+FROM agg
+ORDER BY week_start, event_type
+"""

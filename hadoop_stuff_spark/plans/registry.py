@@ -778,6 +778,12 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n2_label_silhouette": QuerySpec(
         similarity.n2_label_silhouette, similarity.LABEL_SILHOUETTE_SQL
     ),
+    "n3_length_psi_by_source": QuerySpec(
+        profile.n3_length_psi_by_source, profile.LENGTH_PSI_SQL
+    ),
+    "weekly_value_quantile_trend": QuerySpec(
+        temporal.weekly_value_quantile_trend, temporal.WEEKLY_QUANTILE_TREND_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -330,3 +330,79 @@ def test_label_silhouette_identical_point_all_labels_zero_guard(spark, tmp_path)
     out = n2_label_silhouette(spark, sf).collect()
     assert all(r["avg_silhouette"] == 0.0 for r in out)
     assert all(r["avg_dist_own"] == 0.0 for r in out)
+
+
+def test_length_psi_identical_sources_is_zero_shifted_source_flags(
+    spark, tmp_path
+):
+    """Sources with the corpus's own length mix score PSI ~0; a source
+    whose lengths sit in bins the corpus barely uses scores past the
+    0.25 'investigate' threshold and ranks first."""
+    from hadoop_stuff_spark.operators.profile import n3_length_psi_by_source
+
+    rows = []
+    did = iter(range(10_000))
+    # a and b: same mix of short and long docs
+    for src in ("a", "b"):
+        for _ in range(10):
+            rows.append((next(did), src, "x" * 10))
+            rows.append((next(did), src, "y" * 200))
+    sf_same = _docs_fixture(tmp_path, rows, "sf_psi_same")
+    out = {
+        r["source"]: r["psi"]
+        for r in n3_length_psi_by_source(spark, sf_same).collect()
+    }
+    assert all(v < 0.01 for v in out.values())
+
+    rows_shift = rows + [(next(did), "c", "z" * 400) for _ in range(20)]
+    sf_shift = _docs_fixture(tmp_path, rows_shift, "sf_psi_shift")
+    out2 = {
+        r["source"]: r["psi"]
+        for r in n3_length_psi_by_source(spark, sf_shift).collect()
+    }
+    assert out2["c"] > 0.25
+    assert out2["c"] == max(out2.values())
+
+
+def _valued_events_fixture(tmp_path, rows, name):
+    """(user_id, event_type, second-offset, value) events table."""
+    base_ns = 1_700_000_000 * 1_000_000_000
+    n = len(rows)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base_ns + int(r[2] * 1_000_000_000) for r in rows],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(table, str(sf / "events.parquet"))
+    return str(sf)
+
+
+def test_weekly_quantile_trend_interpolated_medians_and_delta(spark, tmp_path):
+    """Two full weeks of values 1..100 then 101..200: interpolated p50s
+    are 50.5 and 150.5, the second week's delta is exactly 100, and the
+    first week's delta is NULL."""
+    from hadoop_stuff_spark.operators.temporal import weekly_value_quantile_trend
+
+    week_s = 7 * 86_400
+    # each cluster spans 100 minutes, far inside one ISO week, and the
+    # second sits exactly one week later — two week buckets, one type
+    rows = [(1, "m", i * 60.0, float(i + 1)) for i in range(100)]
+    rows += [(1, "m", week_s + i * 60.0, float(101 + i)) for i in range(100)]
+    sf = _valued_events_fixture(tmp_path, rows, "sf_qtrend")
+    got = weekly_value_quantile_trend(spark, sf).collect()
+    assert len(got) == 2
+    first, second = got
+    assert first["p50"] == 50.5 and first["p50_delta"] is None
+    assert second["p50"] == 150.5 and second["p50_delta"] == 100.0
+    assert first["p99"] == round(1 + 99 * 0.99, 4)
+    assert first["n_events"] == 100
