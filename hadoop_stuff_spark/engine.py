@@ -176,8 +176,9 @@ class Engine:
         referential integrity across every FK edge, primary-key
         uniqueness across every table, and the per-column profile of the
         fact tables — the publish gate a warehouse load runs before
-        flipping a snapshot pointer. Returns the three certified report
-        frames unmaterialized (the caller decides what to collect/land),
+        flipping a snapshot pointer. Returns the certified report frames
+        (one dict entry each — count them in the test, not here; quoted
+        counts in prose go stale) unmaterialized (the caller decides what to collect/land),
         so composing them costs nothing until an action runs — with one
         exception: the source-similarity matrix runs an eager distinct-
         source probe at BUILD time (its pair grid and driver collect are
@@ -194,6 +195,9 @@ class Engine:
         from hadoop_stuff_spark.operators.profile import (
             benford_first_digit_audit,
         )
+        from hadoop_stuff_spark.operators.profile import (
+            n3_length_psi_by_source,
+        )
         from hadoop_stuff_spark.operators.textstats import (
             source_js_divergence_matrix,
         )
@@ -205,6 +209,9 @@ class Engine:
             # round-8 addition: fabricated-money tripwire (certified
             # EXTRA oracle; unmaterialized like the three above)
             "benford": benford_first_digit_audit(self.spark, sf_dir),
+            # round-9 addition: per-source length-distribution drift
+            # (certified EXTRA oracle; unmaterialized)
+            "length_drift": n3_length_psi_by_source(self.spark, sf_dir),
         }
         try:
             # eager source-count probe inside (see docstring)

@@ -613,9 +613,11 @@ def n3_token_budget_epochs(
 
     Exactness across engines: token counts are exact integers
     (explode-free size(split())), the share chain is the mixture table's
-    pow/sum expression (identical doubles both engines), allocations use
-    explicit floor() (never a bare CAST — DuckDB rounds, Spark
-    truncates), and every reported ratio rounds to 6 dp.
+    pow/sum expression, allocations floor the milli-token-ROUNDED
+    product (the round erases partial-agg ordering ulps BEFORE the
+    floor — flooring the raw product could differ by one token across
+    engines; and explicit floor(), never a bare CAST — DuckDB rounds,
+    Spark truncates), and every reported ratio rounds to 6 dp.
 
     Scale shape: one documents scan → |sources|-row hash aggregate; all
     windows and arithmetic run on that tiny relation. Nothing here sees
@@ -631,7 +633,13 @@ def n3_token_budget_epochs(
     )
     powed = F.pow(p, 1.0 / tau)
     q = powed / F.sum(powed).over(w_all)
-    alloc = F.floor(q * float(budget_tokens)).cast("long")
+    # the allocation floors the 3 dp-ROUNDED product, not the raw one:
+    # raw q carries partial-agg ordering ulps, and floor() of an
+    # ulp-uncertain product can differ by one token across engines; the
+    # milli-token round erases the ulp first (the house float-aggregate
+    # rule), then floor() of the now-identical value is exact — and the
+    # bias vs the true floor is at most half a milli-token per source
+    alloc = F.floor(F.round(q * float(budget_tokens), 3)).cast("long")
     staged = (
         per_src.withColumn("target_share", q)
         .withColumn("allocated_tokens", alloc)
@@ -686,9 +694,9 @@ WITH per_src AS (
   FROM shares
 ), staged AS (
   SELECT source, n_tokens, target_share,
-         CAST(floor(target_share * {float(_BUDGET_TOKENS)}) AS BIGINT)
+         CAST(floor(round(target_share * {float(_BUDGET_TOKENS)}, 3)) AS BIGINT)
            AS allocated_tokens,
-         CAST(floor(target_share * {float(_BUDGET_TOKENS)}) AS BIGINT)
+         CAST(floor(round(target_share * {float(_BUDGET_TOKENS)}, 3)) AS BIGINT)
            / CAST(n_tokens AS DOUBLE) AS epochs_raw
   FROM q
 ), capped AS (

@@ -865,8 +865,8 @@ def test_dedup_vocab_impact_duplicates_remove_tokens_not_vocab(spark, tmp_path):
 
 
 def test_engine_audit_composes_certified_reports(spark, sf_dir):
-    """The one-call publish gate returns the three certified frames with
-    their certified schemas; clean testdata shows zero orphans/dups."""
+    """The one-call publish gate returns every certified report frame
+    with its certified schema; clean testdata shows zero orphans/dups."""
     from hadoop_stuff_spark.engine import Engine
 
     rep = Engine(spark).audit(sf_dir)
@@ -876,6 +876,7 @@ def test_engine_audit_composes_certified_reports(spark, sf_dir):
         "orders_profile",
         "benford",
         "source_similarity",
+        "length_drift",
     }
     ri = rep["referential"].collect()
     assert len(ri) == 7 and all(r["n_orphans"] == 0 for r in ri)
@@ -885,6 +886,7 @@ def test_engine_audit_composes_certified_reports(spark, sf_dir):
     assert rep["orders_profile"].count() == 6  # one row per orders column
     assert rep["benford"].count() == 9  # all nine digits materialized
     assert rep["source_similarity"].count() == 190  # C(20,2) source pairs
+    assert rep["length_drift"].count() == 20  # one PSI row per source
 
 
 def test_value_drift_psi_stable_vs_shifted(spark, tmp_path):

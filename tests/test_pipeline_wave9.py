@@ -52,8 +52,6 @@ def test_changepoint_localizes_planted_level_shift(spark, tmp_path):
     r = rows[0]
     assert r["n_left"] == 30 and r["n_right"] == 30
     assert r["mean_left"] == 2.0 and r["mean_right"] == 8.0
-    # split_date is the LAST day of the left regime (day offset 29)
-    assert r["split_date"].day - rows[0]["split_date"].day == 0  # sanity
     assert r["shift_tstat"] > 0
 
 
