@@ -1759,3 +1759,214 @@ FROM seg
 GROUP BY segment
 ORDER BY segment
 """
+
+
+def part_neighbor_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    min_common: int = 3,
+    max_parts_per_customer: int = 200,
+    top: int = 25,
+) -> DataFrame:
+    """Second-order part similarity — "customers who bought X also bought
+    Y", normalized: Jaccard of the two parts' CUSTOMER sets, for pairs
+    sharing at least ``min_common`` customers. The complement to
+    :func:`copurchase_pairs` (raw co-count) and
+    :func:`basket_affinity_lift` (independence ratio): Jaccard surfaces
+    related NICHE parts that co-count ranking buries under universally
+    popular ones.
+
+    Plan shape — the inverted-index discipline (the ngram-Jaccard
+    pattern): pairs form ONLY through the (customer → parts) index, so
+    two parts meet iff a customer bought both. The quadratic risk is the
+    whale customer (buys everything → |parts|² pairs); customers with
+    more than ``max_parts_per_customer`` distinct parts are cut from the
+    index FIRST via a tiny broadcast anti-join (the hot-shingle df-cut),
+    consistently removed from intersections AND union sizes, so the
+    reported value is the true Jaccard over the filtered index.
+
+    Exactness: counts are exact integers; Jaccard is one double
+    division of int64 operands, rounded 6 dp; the top-k orders by
+    (jaccard desc, part_a, part_b) — a TakeOrdered, never a global
+    sort."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    idx = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    whales = (
+        idx.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .filter(F.col("n_parts") > max_parts_per_customer)
+        .select("cust")
+    )
+    idx = idx.join(broadcast(whales), "cust", "left_anti")
+    sizes = idx.groupBy("part").agg(F.count(F.lit(1)).alias("n_cust"))
+    a = idx.select("cust", F.col("part").alias("part_a"))
+    b = idx.select("cust", F.col("part").alias("part_b"))
+    common = (
+        a.join(b, "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    sa = sizes.select(F.col("part").alias("part_a"), F.col("n_cust").alias("n_a"))
+    sb = sizes.select(F.col("part").alias("part_b"), F.col("n_cust").alias("n_b"))
+    out = (
+        common.join(sa, "part_a")
+        .join(sb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(F.desc("jaccard"), "part_a", "part_b").limit(top)
+
+
+PART_NEIGHBOR_JACCARD_SQL = """
+WITH idx AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), whales AS (
+  SELECT cust FROM idx GROUP BY 1 HAVING count(*) > 200
+), cut AS (
+  SELECT i.cust, i.part FROM idx i ANTI JOIN whales w ON i.cust = w.cust
+), sizes AS (
+  SELECT part, count(*) AS n_cust FROM cut GROUP BY 1
+), common AS (
+  SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_common
+  FROM cut a JOIN cut b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT part_a, part_b, n_common,
+       sa.n_cust AS n_a, sb.n_cust AS n_b,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.n_cust + sb.n_cust - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.part = part_a
+JOIN sizes sb ON sb.part = part_b
+ORDER BY jaccard DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row revenue-concentration report over customer lifetime spend:
+    Gini coefficient plus top-1% and top-10% revenue shares — the
+    "do 1% of accounts carry half the business" readout that decides
+    whether churn risk is concentrated and whether revenue dashboards
+    need whale-segmented views. The customer-spend sibling of
+    :func:`profile.gini_doc_length_by_source` (same rank identity, same
+    guards).
+
+    Exactness: spend is exact integer CENTS (the money convention);
+    Gini uses G = (2·Σ(i·x_(i)) − (n+1)·Σx) / (n·Σx) over ascending
+    ranks with doc-order tie-break on custkey — numerator and
+    denominator are int64 on both engines, one final IEEE division,
+    rounded 6 dp. Top-share cuts keep ranks > floor(0.99·n) /
+    floor(0.9·n), integer-exact. int64 overflow of Σ(i·x) is loud
+    (ANSI) — it needs ~10⁹ customers × 10⁹ cents to approach.
+
+    Scale shape: orders aggregate to the customer relation first (hash
+    agg, fact rows never sorted); the rank window then sorts
+    CUSTOMERS — the RFM-class single-sort shape, customers-not-facts;
+    at 10⁹+ customers the approx path is quantile cut-points over
+    spend (approx_percentile), the documented house convention.
+    Customers with zero orders carry zero revenue mass and are
+    excluded (they cannot change any share numerator)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
+    wn = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n_all"),
+    )
+    n = F.col("n_customers")
+    total = F.col("_total")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("_total"),
+        F.sum(F.col("i") * F.col("cents")).alias("_iwx"),
+        F.sum(
+            F.when(
+                F.col("i") > F.floor(F.lit(0.99) * F.col("n_all")), F.col("cents")
+            ).otherwise(F.lit(0))
+        ).alias("_top1"),
+        F.sum(
+            F.when(
+                F.col("i") > F.floor(F.lit(0.9) * F.col("n_all")), F.col("cents")
+            ).otherwise(F.lit(0))
+        ).alias("_top10"),
+    )
+    return agg.select(
+        "n_customers",
+        F.round(total / 100.0, 2).alias("total_revenue"),
+        F.when(
+            total > 0,
+            F.round(
+                (F.lit(2) * F.col("_iwx") - (n + 1) * total).cast("double")
+                / (n * total).cast("double"),
+                6,
+            ),
+        ).alias("gini"),
+        F.when(
+            total > 0,
+            F.round(F.col("_top1").cast("double") / total.cast("double"), 6),
+        ).alias("top1_share"),
+        F.when(
+            total > 0,
+            F.round(F.col("_top10").cast("double") / total.cast("double"), 6),
+        ).alias("top10_share"),
+    )
+
+
+REVENUE_CONCENTRATION_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i,
+         count(*) OVER () AS n_all
+  FROM spend
+), agg AS (
+  SELECT count(*) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total,
+         CAST(sum(i * cents) AS BIGINT) AS iwx,
+         CAST(sum(CASE WHEN i > floor(0.99 * n_all) THEN cents ELSE 0 END)
+              AS BIGINT) AS top1,
+         CAST(sum(CASE WHEN i > floor(0.9 * n_all) THEN cents ELSE 0 END)
+              AS BIGINT) AS top10
+  FROM ranked
+)
+SELECT n_customers,
+       round(total / 100.0, 2) AS total_revenue,
+       CASE WHEN total > 0 THEN
+         round(CAST(2 * iwx - (n_customers + 1) * total AS DOUBLE)
+               / CAST(n_customers * total AS DOUBLE), 6) END AS gini,
+       CASE WHEN total > 0 THEN
+         round(CAST(top1 AS DOUBLE) / CAST(total AS DOUBLE), 6) END
+         AS top1_share,
+       CASE WHEN total > 0 THEN
+         round(CAST(top10 AS DOUBLE) / CAST(total AS DOUBLE), 6) END
+         AS top10_share
+FROM agg
+"""

@@ -784,6 +784,13 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "weekly_value_quantile_trend": QuerySpec(
         temporal.weekly_value_quantile_trend, temporal.WEEKLY_QUANTILE_TREND_SQL
     ),
+    "part_neighbor_jaccard": QuerySpec(
+        relational.part_neighbor_jaccard, relational.PART_NEIGHBOR_JACCARD_SQL
+    ),
+    "customer_revenue_concentration": QuerySpec(
+        relational.customer_revenue_concentration,
+        relational.REVENUE_CONCENTRATION_SQL,
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -404,3 +404,124 @@ def test_weekly_quantile_trend_interpolated_medians_and_delta(spark, tmp_path):
     assert second["p50"] == 150.5 and second["p50_delta"] == 100.0
     assert first["p99"] == round(1 + 99 * 0.99, 4)
     assert first["n_events"] == 100
+
+
+def _basket_fixture(tmp_path, order_cust, order_parts, name):
+    """orders.parquet + lineitem.parquet: order_cust maps order→customer,
+    order_parts maps order→list of parts."""
+    okeys = sorted(order_cust)
+    base_ns = 1_700_000_000 * 1_000_000_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(okeys, pa.int64()),
+            "o_custkey": pa.array([order_cust[k] for k in okeys], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(okeys)),
+            "o_totalprice": pa.array([100.0] * len(okeys), pa.float64()),
+            "o_orderdate": pa.array([base_ns] * len(okeys), pa.timestamp("ns")),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(okeys)),
+        }
+    )
+    lk, lp = [], []
+    for k in okeys:
+        for p in order_parts[k]:
+            lk.append(k)
+            lp.append(p)
+    n = len(lk)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(lk, pa.int64()),
+            "l_partkey": pa.array(lp, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([10.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array([base_ns] * n, pa.timestamp("ns")),
+        }
+    )
+    sf = tmp_path / name
+    os.makedirs(sf)
+    pq.write_table(orders, str(sf / "orders.parquet"))
+    pq.write_table(lineitem, str(sf / "lineitem.parquet"))
+    return str(sf)
+
+
+def test_part_neighbor_jaccard_exact_overlap_and_whale_cut(spark, tmp_path):
+    """Parts 1 and 2 share exactly 3 of 4/5 customers → jaccard 3/6; a
+    whale customer who buys EVERY part is cut by the df-guard, so it
+    neither inflates intersections nor unions."""
+    from hadoop_stuff_spark.operators.relational import part_neighbor_jaccard
+
+    # customers 1..3 buy both part 1 and part 2 (one order each per part);
+    # customer 4 buys only part 1; customers 5,6 buy only part 2;
+    # customer 99 is the whale buying parts 1,2,3 (cut at max=2)
+    order_cust, order_parts, ok = {}, {}, iter(range(1, 100))
+    def add(cust, parts):
+        k = next(ok)
+        order_cust[k] = cust
+        order_parts[k] = parts
+    for c in (1, 2, 3):
+        add(c, [1, 2])
+    add(4, [1])
+    add(5, [2])
+    add(6, [2])
+    add(99, [1, 2, 3])
+    sf = _basket_fixture(tmp_path, order_cust, order_parts, "sf_pnj")
+    rows = part_neighbor_jaccard(
+        spark, sf, min_common=2, max_parts_per_customer=2
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["part_a"], r["part_b"]) == (1, 2)
+    # whale cut: sizes are 4 and 5 (not 5 and 6), intersection 3
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (3, 4, 5)
+    assert r["jaccard"] == 0.5
+
+
+def test_revenue_concentration_uniform_zero_one_whale_high(spark, tmp_path):
+    """Equal spends → Gini exactly 0 and top-10% share = its head count
+    share; one whale holding all revenue → Gini = (n−1)/n exactly and
+    top-1% share = 1."""
+    from hadoop_stuff_spark.operators.relational import (
+        customer_revenue_concentration,
+    )
+
+    uniform = _orders_fixture(tmp_path, [10] * 10, "sf_rc_u")
+    # one order per customer: rewrite custkeys to distinct values
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(uniform, "orders.parquet"))
+    t = t.set_column(
+        1, "o_custkey", pa.array(list(range(t.num_rows)), pa.int64())
+    )
+    _pq.write_table(t, os.path.join(uniform, "orders.parquet"))
+    r = customer_revenue_concentration(spark, uniform).collect()[0]
+    assert r["n_customers"] == 100
+    assert r["gini"] == 0.0
+    assert r["top10_share"] == 0.1
+
+    whale = tmp_path / "sf_rc_w"
+    os.makedirs(whale)
+    rows = 100
+    base_ns = 1_700_000_000 * 1_000_000_000
+    t2 = pa.table(
+        {
+            "o_orderkey": pa.array(range(rows), pa.int64()),
+            "o_custkey": pa.array(range(rows), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * rows),
+            "o_totalprice": pa.array(
+                [1000000.0] + [0.0] * (rows - 1), pa.float64()
+            ),
+            "o_orderdate": pa.array([base_ns] * rows, pa.timestamp("ns")),
+            "o_orderpriority": pa.array(["1-URGENT"] * rows),
+        }
+    )
+    _pq.write_table(t2, os.path.join(str(whale), "orders.parquet"))
+    whale = str(whale)
+    r = customer_revenue_concentration(spark, whale).collect()[0]
+    assert r["n_customers"] == 100
+    assert r["gini"] == round((100 - 1) / 100, 6)
+    assert r["top1_share"] == 1.0
