@@ -2492,7 +2492,10 @@ def acf_daily_orders(
     lag alignment is an integer-key self-join of the TINY daily series
     against a ``max_lag``-row lag grid (day_idx = day_idx − k), a hash
     join on exact integers — no window state, no fact-row windows. The
-    date-bounds row is the allowlisted 1-row broadcast."""
+    date-bounds row is the allowlisted 1-row broadcast. Every requested
+    lag is materialized: a lag longer than the series reports
+    (n_pairs 0, acf NULL) instead of silently vanishing (the
+    zero-cell-grid convention)."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
@@ -2525,12 +2528,16 @@ def acf_daily_orders(
         F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
         F.sum(F.col("yv") * F.col("yv")).alias("syy"),
     )
-    vx = agg["n_pairs"] * agg["sxx"] - agg["sx"] * agg["sx"]
-    vy = agg["n_pairs"] * agg["syy"] - agg["sy"] * agg["sy"]
-    num = (agg["n_pairs"] * agg["sxy"] - agg["sx"] * agg["sy"]).cast("double")
-    return agg.select(
+    # lags beyond the series length have zero pairs and VANISH from the
+    # groupBy (the chi²-zero-cell trap) — re-join the full lag grid so a
+    # missing lag reads as (n_pairs 0, acf NULL), never as an absent row
+    full = lags.join(agg, "lag", "left")
+    vx = full["n_pairs"] * full["sxx"] - full["sx"] * full["sx"]
+    vy = full["n_pairs"] * full["syy"] - full["sy"] * full["sy"]
+    num = (full["n_pairs"] * full["sxy"] - full["sx"] * full["sy"]).cast("double")
+    return full.select(
         "lag",
-        "n_pairs",
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
         F.when(
             (vx > 0) & (vy > 0),
             F.round(num / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
@@ -2562,14 +2569,15 @@ WITH daily AS (
          CAST(sum(yv * yv) AS BIGINT) AS syy
   FROM pairs GROUP BY lag
 )
-SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+SELECT CAST(lags.lag AS INTEGER) AS lag,
+       COALESCE(n_pairs, 0) AS n_pairs,
        CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
             THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
                        / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
                               * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
        END AS acf
-FROM agg
-ORDER BY lag
+FROM lags LEFT JOIN agg ON lags.lag = agg.lag
+ORDER BY 1
 """
 
 

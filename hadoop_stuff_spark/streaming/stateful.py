@@ -845,3 +845,122 @@ def streaming_ewma_anomaly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming PSI drift detector per key
+
+_PSI_OUT = "user_id LONG, n_ref LONG, n_batch LONG, psi DOUBLE, drifted BOOLEAN"
+_PSI_STATE = StructType(
+    [
+        StructField("ref_counts", ArrayType(LongType())),
+        StructField("n_ref", LongType()),
+    ]
+)
+
+
+def _psi_drift_fn_factory(
+    edges: tuple, baseline_n: int, threshold: float, min_batch_n: int
+):
+    n_bins = len(edges) + 1
+
+    def _bin(x: float) -> int:
+        # linear scan is fine: n_bins is a config constant (~20); the
+        # per-batch cost is the pandas iteration, not the comparisons
+        for i, e in enumerate(edges):
+            if x < e:
+                return i
+        return n_bins - 1
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            ref_counts, n_ref = state.get
+            ref = list(ref_counts)
+        else:
+            ref, n_ref = [0] * n_bins, 0
+        batch_bins: list[int] = []
+        for pdf in pdf_iter:
+            for x in pdf["value"].tolist():
+                if x is None or (isinstance(x, float) and math.isnan(x)):
+                    continue
+                batch_bins.append(_bin(x))
+        # events fill the frozen reference FIRST (in arrival order),
+        # then the remainder of the batch is the comparison window —
+        # one event is never counted on both sides
+        fill = min(len(batch_bins), baseline_n - n_ref)
+        for b in batch_bins[:fill]:
+            ref[b] += 1
+        n_ref += fill
+        window = batch_bins[fill:]
+        state.update((ref, int(n_ref)))
+        if n_ref < baseline_n or len(window) < min_batch_n:
+            return
+        cur = [0] * n_bins
+        for b in window:
+            cur[b] += 1
+        psi = 0.0
+        for rb, cb in zip(ref, cur):
+            pr = max(rb / n_ref, 1e-6)
+            pc = max(cb / len(window), 1e-6)
+            psi += (pc - pr) * math.log(pc / pr)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_ref": [n_ref],
+                "n_batch": [len(window)],
+                "psi": [round(psi, 6)],
+                "drifted": [psi > threshold],
+            }
+        )
+
+    return fn
+
+
+def streaming_psi_drift(
+    stream: DataFrame,
+    bin_edges: tuple,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    baseline_n: int = 100,
+    threshold: float = 0.25,
+    min_batch_n: int = 20,
+) -> DataFrame:
+    """Per-key drift-on-arrival monitor: each key's FIRST ``baseline_n``
+    values freeze a reference histogram over the caller-provided
+    ``bin_edges`` (in production: the edges a certified batch profile —
+    :func:`operators.profile.value_drift_psi`'s equi-width convention —
+    published); every subsequent micro-batch with at least
+    ``min_batch_n`` values is scored as PSI(batch ‖ reference) with the
+    batch-PSI smoothing (empty-bin shares floored at 1e-6) and emitted
+    with a ``drifted`` flag at the standard 0.25 investigate line. The
+    streaming twin of the batch PSI operators — drift shows up within
+    one micro-batch of arriving instead of at the next batch audit.
+
+    The comparison window IS the micro-batch by design (each emission
+    scores fresh data only — an event is never counted in both the
+    reference and a window, and never scored twice); the reference fill
+    is arrival-order deterministic. State per key is ``len(bin_edges)+1``
+    int64 bin counts plus one counter — bounded, sharded by the state
+    store, no timers.
+
+    100 TB posture: identical to the other stateful ops here —
+    per-batch work is one pass over the key's new rows; emitted rows are
+    one per (key, batch)."""
+    if not bin_edges or list(bin_edges) != sorted(bin_edges):
+        raise ValueError("bin_edges must be a non-empty ascending sequence")
+    renamed = stream.selectExpr(
+        f"{user_col} AS user_id", f"CAST({value_col} AS DOUBLE) AS value"
+    )
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        _psi_drift_fn_factory(
+            tuple(float(e) for e in bin_edges), baseline_n, threshold, min_batch_n
+        ),
+        outputStructType=_PSI_OUT,
+        stateStructType=_PSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
