@@ -1454,12 +1454,9 @@ def n1_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_weighted_sample_sql() -> str:
-    hexv = "0"
-    for i in range(1, 7):
-        hexv = (
-            f"({hexv}) * 16 + (strpos('0123456789abcdef',"
-            f" substr(md5('dws1:' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
-        )
+    from hadoop_stuff_spark.operators.sampling import _HEX_DIGITS, hex_prefix_sql
+
+    hexv = hex_prefix_sql("dws1", _HEX_DIGITS)
     return f"""
 WITH sized AS (
   SELECT doc_id, source,

@@ -1189,8 +1189,13 @@ ORDER BY event_type
 """
 
 
+# default shared with LENGTH_PSI_SQL below (the derived-constant
+# convention: the Python default and the certified SQL cannot diverge)
+_PSI_N_BINS = 20
+
+
 def n3_length_psi_by_source(
-    spark: SparkSession, sf_dir: str, n_bins: int = 20
+    spark: SparkSession, sf_dir: str, n_bins: int = _PSI_N_BINS
 ) -> DataFrame:
     """Population-stability index of each SOURCE's document-length
     (n_chars) distribution against the whole corpus — the per-source
@@ -1205,12 +1210,19 @@ def n3_length_psi_by_source(
     clamps; empty-bin shares floored at 1e-6 on both engines; per-bin
     terms 9 dp fixed-point-summed. Integer bin arithmetic — n_chars is
     exact int64, so bin edges are the only doubles and both engines
-    floor the same quotients.
+    floor the same quotients. The FULL |sources|×n_bins grid is
+    materialized before the terms (the zero-cell-grid convention): a
+    bin the source is absent from but the corpus occupies contributes
+    its floored (1e-6 vs p_corp) term — dropping those cells is
+    precisely the understatement that hides a drifted source (r9
+    review finding, numerically reproduced: a fully-shifted source read
+    0.73 where the correct PSI is 9.2).
 
     Scale shape: one bounds aggregate (1-row broadcast, the allowlisted
-    scalar shape) + one (source × bin) hash aggregate; corpus bin counts
-    are a window RE-aggregate of those |sources|·bins cells — the corpus
-    is never scanned twice."""
+    scalar shape) + one (source × bin) hash aggregate; the zero-cell
+    grid is |sources|·n_bins rows (control-plane-sized) and corpus bin
+    counts are a window RE-aggregate of it — the corpus is never
+    scanned twice."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
@@ -1231,6 +1243,11 @@ def n3_length_psi_by_source(
         .select("source", bin_id.alias("bin"))
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("n_sb"))
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    grid = cells.select("source").distinct().crossJoin(F.broadcast(bins))
+    cells = grid.join(cells, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce("n_sb", F.lit(0).cast("long")).alias("n_sb")
     )
     w_src = Window.partitionBy("source")
     w_bin = Window.partitionBy("bin")
@@ -1256,18 +1273,26 @@ def n3_length_psi_by_source(
     )
 
 
-LENGTH_PSI_SQL = """
+LENGTH_PSI_SQL = f"""
 WITH stats AS (
   SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
 ), binned AS (
   SELECT source,
          CAST(CASE WHEN hi = lo THEN 0
               ELSE least(floor(CAST(n_chars - lo AS DOUBLE)
-                               / (CAST(hi - lo AS DOUBLE) / 20)), 19)
+                               / (CAST(hi - lo AS DOUBLE) / {_PSI_N_BINS})),
+                         {_PSI_N_BINS - 1})
               END AS INTEGER) AS bin
   FROM documents CROSS JOIN stats
-), cells AS (
+), raw_cells AS (
   SELECT source, bin, count(*) AS n_sb FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, CAST(b.bin AS INTEGER) AS bin
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_N_BINS - 1})) AS bin) b
+), cells AS (
+  SELECT g.source, g.bin, COALESCE(r.n_sb, 0) AS n_sb
+  FROM grid g LEFT JOIN raw_cells r ON g.source = r.source AND g.bin = r.bin
 ), terms AS (
   SELECT source, n_sb,
          CAST(round(

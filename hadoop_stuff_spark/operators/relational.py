@@ -1761,12 +1761,20 @@ ORDER BY segment
 """
 
 
+# defaults shared with PART_NEIGHBOR_JACCARD_SQL below (the
+# derived-constant convention: Python defaults and certified SQL
+# cannot silently diverge)
+_PNJ_MIN_COMMON = 3
+_PNJ_MAX_PARTS = 200
+_PNJ_TOP = 25
+
+
 def part_neighbor_jaccard(
     spark: SparkSession,
     sf_dir: str,
-    min_common: int = 3,
-    max_parts_per_customer: int = 200,
-    top: int = 25,
+    min_common: int = _PNJ_MIN_COMMON,
+    max_parts_per_customer: int = _PNJ_MAX_PARTS,
+    top: int = _PNJ_TOP,
 ) -> DataFrame:
     """Second-order part similarity — "customers who bought X also bought
     Y", normalized: Jaccard of the two parts' CUSTOMER sets, for pairs
@@ -1834,12 +1842,12 @@ def part_neighbor_jaccard(
     return out.orderBy(F.desc("jaccard"), "part_a", "part_b").limit(top)
 
 
-PART_NEIGHBOR_JACCARD_SQL = """
+PART_NEIGHBOR_JACCARD_SQL = f"""
 WITH idx AS (
   SELECT DISTINCT o_custkey AS cust, l_partkey AS part
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), whales AS (
-  SELECT cust FROM idx GROUP BY 1 HAVING count(*) > 200
+  SELECT cust FROM idx GROUP BY 1 HAVING count(*) > {_PNJ_MAX_PARTS}
 ), cut AS (
   SELECT i.cust, i.part FROM idx i ANTI JOIN whales w ON i.cust = w.cust
 ), sizes AS (
@@ -1848,7 +1856,7 @@ WITH idx AS (
   SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_common
   FROM cut a JOIN cut b ON a.cust = b.cust AND a.part < b.part
   GROUP BY 1, 2
-  HAVING count(*) >= 3
+  HAVING count(*) >= {_PNJ_MIN_COMMON}
 )
 SELECT part_a, part_b, n_common,
        sa.n_cust AS n_a, sb.n_cust AS n_b,
@@ -1858,7 +1866,7 @@ FROM common
 JOIN sizes sa ON sa.part = part_a
 JOIN sizes sb ON sb.part = part_b
 ORDER BY jaccard DESC, part_a, part_b
-LIMIT 25
+LIMIT {_PNJ_TOP}
 """
 
 

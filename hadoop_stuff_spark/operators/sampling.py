@@ -241,6 +241,21 @@ def _hex_prefix_val(h: Column, n: int = _MIX_DIGITS) -> Column:
     return v
 
 
+def hex_prefix_sql(salt: str, n: int, key_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`_hex_prefix_val` over
+    ``md5('<salt>:' || CAST(<key_expr> AS VARCHAR))`` — THE one SQL
+    builder for the md5-prefix-to-integer chain (r9 review: three
+    copy-pasted builders drifted into three modules; a chain fix must
+    land exactly here)."""
+    hexv = "0"
+    for i in range(1, n + 1):
+        hexv = (
+            f"({hexv}) * 16 + (strpos('{_HEX_CHARS}',"
+            f" substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    return hexv
+
+
 def corpus_mix(
     df: DataFrame,
     source_col: str,
@@ -307,12 +322,7 @@ def n3_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mix_sql() -> str:
-    hexv = "0"
-    for i in range(1, _MIX_DIGITS + 1):
-        hexv = (
-            f"({hexv}) * 16 + (strpos('0123456789abcdef',"
-            f" substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
-        )
+    hexv = hex_prefix_sql("mix1", _MIX_DIGITS)
     return f"""
 WITH filt AS (
   SELECT doc_id, source FROM documents WHERE source IN ('src0','src1','src2')
@@ -394,12 +404,7 @@ def n3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weighted_sample_sql() -> str:
-    hexv = "0"
-    for i in range(1, _HEX_DIGITS + 1):
-        hexv = (
-            f"({hexv}) * 16 + (strpos('0123456789abcdef',"
-            f" substr(md5('es1:' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
-        )
+    hexv = hex_prefix_sql("es1", _HEX_DIGITS)
     return f"""
 WITH h AS (
   SELECT doc_id, n_chars,

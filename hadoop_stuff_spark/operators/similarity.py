@@ -1317,7 +1317,7 @@ def n2_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANISOTROPY_SQL = """
 WITH e AS (
-  SELECT unnest(generate_series(1, 64)) AS i,
+  SELECT unnest(generate_series(1, len(embedding))) AS i,
          unnest(embedding::DOUBLE[]) AS v
   FROM embeddings
 ), per AS (
@@ -1431,7 +1431,7 @@ LABEL_SILHOUETTE_SQL = """
 WITH vecs AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
 ), sums AS (
-  SELECT label, unnest(generate_series(1, 64)) AS i,
+  SELECT label, unnest(generate_series(1, len(vec))) AS i,
          CAST(round(unnest(vec) * 1000000.0, 0) AS BIGINT) AS fx
   FROM vecs
 ), persum AS (

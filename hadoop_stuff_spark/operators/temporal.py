@@ -2345,6 +2345,42 @@ ORDER BY o_orderpriority
 """
 
 
+def _daily_orders_dense(spark: SparkSession, sf_dir: str):
+    """Shared calendar-densified daily order-count series: one orders
+    scan → hash aggregate to day cardinality → full-calendar explode
+    with missing days materialized as 0-count rows. Returns
+    ``(dense, bounds)`` — dense is (d, n), bounds the 1-row
+    (t0, t1) frame (the allowlisted scalar broadcast). THE one
+    densification (r9 review: forecast backtest and the ACF each
+    rebuilt it; a calendar bug fix must land exactly here)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(F.min("d").alias("t0"), F.max("d").alias("t1"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(t0, t1, interval 1 day)")).alias("d")
+    )
+    dense = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    )
+    return dense, bounds
+
+
+# the SQL mirror of _daily_orders_dense — shared verbatim by
+# FORECAST_BACKTEST_SQL and ACF_SQL
+_DAILY_DENSE_CTES = """daily AS (
+  SELECT o_orderdate AS d, count(*) AS n FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(d) AS t0, max(d) AS t1 FROM daily
+), cal AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS d FROM bounds
+), dense AS (
+  SELECT cal.d, COALESCE(daily.n, 0) AS n
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+)"""
+
+
 def forecast_backtest_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step-ahead forecast backtest over the CALENDAR-densified daily
     order-count series: three standard baselines — naive (yesterday),
@@ -2369,17 +2405,7 @@ def forecast_backtest_daily_orders(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: one orders scan → hash aggregate to day cardinality; the
     calendar explode, windows, and metric stack all run on the tiny daily
     series. The date-bounds row is the allowlisted 1-row broadcast."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    bounds = daily.agg(F.min("d").alias("t0"), F.max("d").alias("t1"))
-    cal = bounds.select(
-        F.explode(F.expr("sequence(t0, t1, interval 1 day)")).alias("d")
-    )
-    dense = cal.join(daily, "d", "left").select(
-        "d", F.coalesce("n", F.lit(0).cast("long")).alias("n")
-    )
+    dense, _ = _daily_orders_dense(spark, sf_dir)
     w = Window.orderBy("d")
     w7 = Window.orderBy("d").rowsBetween(-7, -1)
     ev = (
@@ -2422,17 +2448,8 @@ def forecast_backtest_daily_orders(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("method")
 
 
-FORECAST_BACKTEST_SQL = """
-WITH daily AS (
-  SELECT o_orderdate AS d, count(*) AS n FROM orders GROUP BY 1
-), bounds AS (
-  SELECT min(d) AS t0, max(d) AS t1 FROM daily
-), cal AS (
-  SELECT unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS d FROM bounds
-), dense AS (
-  SELECT cal.d, COALESCE(daily.n, 0) AS n
-  FROM cal LEFT JOIN daily ON cal.d = daily.d
-), ev AS (
+FORECAST_BACKTEST_SQL = f"""
+WITH {_DAILY_DENSE_CTES}, ev AS (
   SELECT *,
          row_number() OVER (ORDER BY d) AS rn,
          lag(n, 1) OVER (ORDER BY d) AS lag1,
@@ -2496,21 +2513,10 @@ def acf_daily_orders(
     lag is materialized: a lag longer than the series reports
     (n_pairs 0, acf NULL) instead of silently vanishing (the
     zero-cell-grid convention)."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    bounds = daily.agg(F.min("d").alias("t0"), F.max("d").alias("t1"))
-    cal = bounds.select(
-        F.explode(F.expr("sequence(t0, t1, interval 1 day)")).alias("d")
-    )
-    dense = (
-        cal.join(daily, "d", "left")
-        .join(F.broadcast(bounds.select("t0")))
-        .select(
-            F.datediff(F.col("d"), F.col("t0")).alias("idx"),
-            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
-        )
+    dense0, bounds = _daily_orders_dense(spark, sf_dir)
+    dense = dense0.join(F.broadcast(bounds.select("t0"))).select(
+        F.datediff(F.col("d"), F.col("t0")).alias("idx"),
+        F.col("n"),
     )
     lags = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
     x = dense.select(F.col("idx").alias("ix"), F.col("n").alias("xv"))
@@ -2546,21 +2552,14 @@ def acf_daily_orders(
 
 
 ACF_SQL = f"""
-WITH daily AS (
-  SELECT o_orderdate AS d, count(*) AS n FROM orders GROUP BY 1
-), bounds AS (
-  SELECT min(d) AS t0, max(d) AS t1 FROM daily
-), cal AS (
-  SELECT unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS d FROM bounds
-), dense AS (
-  SELECT CAST(date_diff('day', bounds.t0, cal.d) AS INTEGER) AS idx,
-         COALESCE(daily.n, 0) AS n
-  FROM cal LEFT JOIN daily ON cal.d = daily.d CROSS JOIN bounds
+WITH {_DAILY_DENSE_CTES}, idxed AS (
+  SELECT CAST(date_diff('day', bounds.t0, dense.d) AS INTEGER) AS idx, n
+  FROM dense CROSS JOIN bounds
 ), lags AS (
   SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag
 ), pairs AS (
   SELECT lags.lag, x.n AS xv, y.n AS yv
-  FROM dense x CROSS JOIN lags JOIN dense y ON y.idx = x.idx - lags.lag
+  FROM idxed x CROSS JOIN lags JOIN idxed y ON y.idx = x.idx - lags.lag
 ), agg AS (
   SELECT lag, count(*) AS n_pairs,
          CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,

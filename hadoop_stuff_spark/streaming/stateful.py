@@ -755,15 +755,19 @@ def _ewma_anomaly_fn_factory(alpha: float, k: float, min_obs: int):
         rows: list[tuple[int, int, float]] = []
         for pdf in pdf_iter:
             if len(pdf):
-                ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                # microseconds, not ms: Spark TimestampType is us-precision,
+                # so this IS the batch twin's full-resolution ts order (an
+                # ms truncation would reorder sub-ms event pairs vs the
+                # batch fold — r9 review finding)
+                us = (pdf["ts"].astype("int64") // 1_000).tolist()
                 eids = pdf["event_id"].tolist()
                 vals = pdf["value"].tolist()
-                rows.extend(zip(ms, eids, vals))
+                rows.extend(zip(us, eids, vals))
         out: list[tuple] = []
         # total in-batch order (ts, event_id) — the batch fold's order, so
         # the recurrence applies the identical dependent IEEE op sequence
         # regardless of how the rows were split across micro-batches
-        for ms, _eid, x in sorted(rows):
+        for us, _eid, x in sorted(rows):
             if x is None or (isinstance(x, float) and math.isnan(x)):
                 continue  # null values carry no signal and no update
             if n >= min_obs:
@@ -771,11 +775,11 @@ def _ewma_anomaly_fn_factory(alpha: float, k: float, min_obs: int):
                 if ewvar > 0.0:
                     z = dev / math.sqrt(ewvar)
                     if abs(z) > k:
-                        out.append((ms, x, ema, z, n))
+                        out.append((us, x, ema, z, n))
                 elif dev != 0.0:
                     # zero variance so far: ANY deviation is anomalous;
                     # z has no finite value — emitted NULL (guard, not NaN)
-                    out.append((ms, x, ema, None, n))
+                    out.append((us, x, ema, None, n))
             if n == 0:
                 ema, ewvar = x, 0.0
             else:
@@ -788,7 +792,7 @@ def _ewma_anomaly_fn_factory(alpha: float, k: float, min_obs: int):
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(out),
-                    "ts": pd.to_datetime([o[0] for o in out], unit="ms"),
+                    "ts": pd.to_datetime([o[0] for o in out], unit="us"),
                     "value": [o[1] for o in out],
                     "ema": [o[2] for o in out],
                     "z": [o[3] for o in out],

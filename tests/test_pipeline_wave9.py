@@ -360,6 +360,12 @@ def test_length_psi_identical_sources_is_zero_shifted_source_flags(
     }
     assert out2["c"] > 0.25
     assert out2["c"] == max(out2.values())
+    # zero-cell grid regression (r9 review): c holds 1/3 of the corpus in
+    # a bin a and b are ABSENT from — their floored missing-bin terms must
+    # appear (PSI >> 1), and c's fully-shifted profile scores ~9.2; the
+    # pre-fix cell-only computation read 0.135/0.73 here
+    assert out2["a"] > 2.0 and out2["b"] > 2.0
+    assert out2["c"] > 9.0
 
 
 def _valued_events_fixture(tmp_path, rows, name):
