@@ -86,6 +86,21 @@ HEADLINE = [
         "ks_interarrival_expfit",
         "basket_affinity_lift",
     ]),
+    # round-10 widening (VERDICT r9 #2): the round-9 second wave gets
+    # wall-time accountability, added at ROUND START so the committed
+    # detail and the driver's BENCH_r10 describe the same set. The detail
+    # JSON carries a shared_45_total subtotal (total minus these) that
+    # compares against BENCH_r09/BENCH_DETAIL_r09's 45-query value —
+    # quoting r9 queries_min as the base per the r9 environment-shift
+    # adjudication.
+    *(_R10_WIDENING := [
+        "changepoint_daily_orders",
+        "forecast_backtest_daily_orders",
+        "acf_daily_orders",
+        "n3_curation_funnel_by_source",
+        "part_neighbor_jaccard",
+        "n2_label_silhouette",
+    ]),
 ]
 
 
@@ -188,11 +203,21 @@ def main() -> None:
         ingest, matrix = {"error": f"{type(exc).__name__}: {exc}"[:300]}, []
 
     total = round(sum(timings.values()), 3)
-    # round-over-round comparability across the r9 headline widening:
-    # the subtotal over exactly r8's 41-query set (headline minus the
-    # round-9 additions) is what compares against BENCH_r08's value.
+    # round-over-round comparability across headline widenings: the
+    # subtotal over exactly the PREVIOUS round's query set (headline
+    # minus this round's additions) is what compares against the prior
+    # BENCH_r{N}; the r8-era 41-query subtotal is kept for the longer
+    # series.
+    shared_45 = round(
+        sum(t for n, t in timings.items() if n not in _R10_WIDENING), 3
+    )
     shared_prev = round(
-        sum(t for n, t in timings.items() if n not in _R9_WIDENING), 3
+        sum(
+            t
+            for n, t in timings.items()
+            if n not in _R9_WIDENING and n not in _R10_WIDENING
+        ),
+        3,
     )
     # Stdout carries ONLY the minimal driver contract line — round 4's
     # line grew past the driver's stdout capture (runs arrays + ingest
@@ -212,7 +237,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "shared_41_total": shared_prev,
+        "shared_45_total": shared_45,
         "r9_widening": _R9_WIDENING,
+        "r10_widening": _R10_WIDENING,
         "queries": timings,
         "queries_min": t_min,
         "queries_max": t_max,
@@ -635,13 +662,21 @@ def _ingest_benchmarks(spark):
 # real regression from co-tenant load (unchanged-code queries drifted up
 # to +24% in r7) — the median of 5 keeps one hot and one cold outlier
 # out, and queries_min is recorded alongside for the adjudication
+# min-of-5 adjudication for every query that crossed ~2 s in the r9
+# DRIVER run (VERDICT r9 "what's wrong" #4: recompute the >=2 s set at
+# round start instead of pinning r7's). Set = BENCH_DETAIL_r09.json
+# (driver session) queries median >= 2.0 s, plus referential_integrity
+# at 1.93 s min — the r9 environment shift pushed it to the boundary.
 _EXTRA_RUNS = {
-    "copurchase_pairs": 2,
-    "n1_curate_pipeline": 2,
     "n2_kmeans_lloyd": 2,
+    "n1_curate_pipeline": 2,
     "pagerank_copurchase_parts": 2,
     "n1_semantic_dedup_pairs": 2,
+    "basket_affinity_lift": 2,
     "n1_containment_pairs": 2,
+    "source_js_divergence_matrix": 2,
+    "copurchase_pairs": 2,
+    "referential_integrity_report": 2,
 }
 
 # queries whose result is the deliverable (collect it); others just count

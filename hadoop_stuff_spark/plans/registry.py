@@ -814,11 +814,18 @@ _CATALOG_B: dict[str, QuerySpec] = {
 #   r7    : anchors + cohort A = _CATALOG_B[0:35] → first driver rows for 35
 #   r8    : anchors + cohort B = _CATALOG_B[35:70]
 #   r9    : anchors + cohort C = _CATALOG_B[70:105]
-#   r10   : anchors + cohort D = _CATALOG_B[105:] (the remainder, whatever
-#           it has grown to) — if it exceeds 35, split across r10/r11;
-#           if under, pad with displaced _CATALOG_A queries (oldest driver
-#           row first), then round-robin. New catalog entries extend
-#           cohort D.
+#   r10   : anchors + cohort D = _CATALOG_B[105:140] — the slice is PINNED
+#           at 140 so in-round waves extending the catalog land in
+#           EXTRA_QUERIES (locally certified) without overflowing the
+#           window; after r10 every entry declared by r9 close has an
+#           independent driver row.
+#   r11+  : steady-state round-robin RE-certification, oldest driver row
+#           first: the displaced _CATALOG_A oracle entries (driver rows
+#           date to r1-r6) go first, then cohorts A, B, C, D in order,
+#           interleaved with any never-certified entries added after the
+#           r10 pin (those jump the queue — first-certification beats
+#           re-certification). Compute the r11 slice at rotation time
+#           from the catalog as it then stands; don't quote counts here.
 # Rotating = replacing _WINDOW_ROTATION with the next cohort's names; the
 # asserts below keep the 50-slot / oracle-first contract intact.
 
@@ -840,8 +847,10 @@ _ANCHORS = [
     "u3_expression_predicate",
 ]
 
-# r9 window = cohort C: _CATALOG_B entries 70..105 in declaration order.
-_WINDOW_ROTATION = list(_CATALOG_B)[70:105]
+# r10 window = cohort D: _CATALOG_B entries 105..end in declaration order
+# (the final never-driver-certified cohort — after this round every
+# oracle-backed entry has an independent driver row).
+_WINDOW_ROTATION = list(_CATALOG_B)[105:140]
 
 _ORACLE_CATALOG: dict[str, QuerySpec] = {
     **{n: s for n, s in _CATALOG_A.items() if s.oracle},
