@@ -1406,11 +1406,14 @@ def dedup_weighted_sample(
     salt: str = "dws1",
 ) -> DataFrame:
     """Duplication-weighted sampling: keep each row with probability
-    1/group_size (group = normalized-content fingerprint), so every
-    duplicate GROUP survives with expectation exactly 1 — the unbiased
-    alternative to canonical-pick exact dedup when downstream statistics
-    must not over-represent heavily-copied content but a deterministic
-    min-id canonical would freeze WHICH copy always survives.
+    ceil(16⁶/group_size)/16⁶ ≈ 1/group_size (group = normalized-content
+    fingerprint), so every duplicate GROUP survives with expectation 1
+    up to the 16⁻⁶ threshold-resolution bias (the group expectation is
+    gs·ceil(16⁶/gs)/16⁶ ≥ 1, high by at most gs/16⁶ — ADVICE r9) — the
+    near-unbiased alternative to canonical-pick exact dedup when
+    downstream statistics must not over-represent heavily-copied content
+    but a deterministic min-id canonical would freeze WHICH copy always
+    survives.
 
     The keep decision is a pure function of the row (md5 of the salted
     key) and its group size — reruns and backfills keep the same rows;

@@ -392,13 +392,16 @@ def gini_doc_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents).
 
     Exactness: Gini uses the rank identity
-    G = (2·Σ(i·x_(i)) − (n+1)·Σx) / (n·Σx) over ascending ranks i —
-    numerator and denominator are INTEGER (bigint) on both engines, so
-    the single final division is of identical operands (IEEE-exact),
-    rounded to 6 dp. Ranks tie-break on doc_id; the top-decile cut
-    keeps ranks > floor(0.9·n), again integer-exact. Bigint overflow of
-    n·Σx is loud (ANSI on both engines), not silent — it needs
-    quintillion-scale char totals per source.
+    G = (2·Σ(i·x_(i)) − (n+1)·Σx) / (n·Σx) over ascending ranks i.
+    Σ(i·x) grows as n²/2·mean_chars per source — an int64 sum would
+    overflow around ~4·10⁷ docs per source at 10⁴ mean chars (the same
+    n²-growth class ADVICE r9 flagged on the revenue sibling), well
+    inside a 100 TB corpus — so i·x and every n·Σx-scale product run
+    in DOUBLE on both engines: gini needs ~6 significant digits and
+    the double sum's partial-agg ordering ulps are erased by the 6 dp
+    round (the house float-agg convention). Σx stays exact int64;
+    ranks tie-break on doc_id; the top-decile cut keeps ranks >
+    floor(0.9·n), integer-exact.
 
     Scale shape: the rank window sorts WITHIN each source partition
     (one hash-shuffle on source, never a global sort); everything after
@@ -422,7 +425,7 @@ def gini_doc_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.sum(F.col("i") * F.col("n_chars")).alias("_iwx"),
+            F.sum(F.col("i").cast("double") * F.col("n_chars")).alias("_iwx"),
             F.sum(
                 F.when(
                     F.col("i") > F.floor(F.lit(0.9) * F.col("n_src")),
@@ -439,8 +442,11 @@ def gini_doc_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 total > 0,
                 F.round(
-                    (F.lit(2) * F.col("_iwx") - (n + 1) * total).cast("double")
-                    / (n * total).cast("double"),
+                    (
+                        F.lit(2.0) * F.col("_iwx")
+                        - (n + 1).cast("double") * total.cast("double")
+                    )
+                    / (n.cast("double") * total.cast("double")),
                     6,
                 ),
             ).alias("gini"),
@@ -466,14 +472,14 @@ WITH ranked AS (
   FROM documents
 ), agg AS (
   SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         sum(i * n_chars) AS iwx,
+         sum(CAST(i AS DOUBLE) * n_chars) AS iwx,
          sum(CASE WHEN i > floor(0.9 * n_src) THEN n_chars ELSE 0 END)
            AS top_chars
   FROM ranked GROUP BY source
 )
 SELECT source, n_docs, total_chars,
-       round(CAST(2 * iwx - (n_docs + 1) * total_chars AS DOUBLE)
-             / CAST(n_docs * total_chars AS DOUBLE), 6) AS gini,
+       round((2.0 * iwx - CAST(n_docs + 1 AS DOUBLE) * total_chars)
+             / (CAST(n_docs AS DOUBLE) * total_chars), 6) AS gini,
        round(CAST(top_chars AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
          AS top_decile_share
 FROM agg ORDER BY source

@@ -1881,11 +1881,15 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
 
     Exactness: spend is exact integer CENTS (the money convention);
     Gini uses G = (2·Σ(i·x_(i)) − (n+1)·Σx) / (n·Σx) over ascending
-    ranks with doc-order tie-break on custkey — numerator and
-    denominator are int64 on both engines, one final IEEE division,
-    rounded 6 dp. Top-share cuts keep ranks > floor(0.99·n) /
-    floor(0.9·n), integer-exact. int64 overflow of Σ(i·x) is loud
-    (ANSI) — it needs ~10⁹ customers × 10⁹ cents to approach.
+    ranks with doc-order tie-break on custkey. Σ(i·x) grows as
+    n²/2·mean_cents — with TPC-H-like lifetime spend (~10⁸ cents) an
+    int64 sum would overflow around n ≈ 3·10⁵ customers (ADVICE r9
+    corrected the earlier bound), far below the claimed posture — so
+    i·x is promoted to DOUBLE before summing on BOTH engines: gini
+    needs ~6 significant digits and the partial-agg ordering ulps of
+    the double sum are erased by the 6 dp round (the house float-agg
+    convention). Σx stays exact int64; top-share cuts keep ranks >
+    floor(0.99·n) / floor(0.9·n), integer-exact.
 
     Scale shape: orders aggregate to the customer relation first (hash
     agg, fact rows never sorted); the rank window then sorts
@@ -1910,7 +1914,7 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("_total"),
-        F.sum(F.col("i") * F.col("cents")).alias("_iwx"),
+        F.sum(F.col("i").cast("double") * F.col("cents")).alias("_iwx"),
         F.sum(
             F.when(
                 F.col("i") > F.floor(F.lit(0.99) * F.col("n_all")), F.col("cents")
@@ -1927,9 +1931,15 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(total / 100.0, 2).alias("total_revenue"),
         F.when(
             total > 0,
+            # every product that scales as n·Σx runs in double: the int64
+            # forms (n+1)·Σx and n·Σx overflow at the same ~3·10⁵-customer
+            # scale as Σ(i·x) did
             F.round(
-                (F.lit(2) * F.col("_iwx") - (n + 1) * total).cast("double")
-                / (n * total).cast("double"),
+                (
+                    F.lit(2.0) * F.col("_iwx")
+                    - (n + 1).cast("double") * total.cast("double")
+                )
+                / (n.cast("double") * total.cast("double")),
                 6,
             ),
         ).alias("gini"),
@@ -1958,7 +1968,7 @@ WITH spend AS (
 ), agg AS (
   SELECT count(*) AS n_customers,
          CAST(sum(cents) AS BIGINT) AS total,
-         CAST(sum(i * cents) AS BIGINT) AS iwx,
+         sum(CAST(i AS DOUBLE) * cents) AS iwx,
          CAST(sum(CASE WHEN i > floor(0.99 * n_all) THEN cents ELSE 0 END)
               AS BIGINT) AS top1,
          CAST(sum(CASE WHEN i > floor(0.9 * n_all) THEN cents ELSE 0 END)
@@ -1968,8 +1978,8 @@ WITH spend AS (
 SELECT n_customers,
        round(total / 100.0, 2) AS total_revenue,
        CASE WHEN total > 0 THEN
-         round(CAST(2 * iwx - (n_customers + 1) * total AS DOUBLE)
-               / CAST(n_customers * total AS DOUBLE), 6) END AS gini,
+         round((2.0 * iwx - CAST(n_customers + 1 AS DOUBLE) * total)
+               / (CAST(n_customers AS DOUBLE) * total), 6) END AS gini,
        CASE WHEN total > 0 THEN
          round(CAST(top1 AS DOUBLE) / CAST(total AS DOUBLE), 6) END
          AS top1_share,

@@ -1273,7 +1273,10 @@ def n2_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ONE posexplode scan — the same float-aggregate convention the
     dim-stats/centroid-drift oracles certified: double sums whose
     partial-agg ordering ulps are erased by the 6 dp round. Dead
-    dimensions counted at sample variance < 1e-6.
+    dimensions counted at sample variance < 1e-6, with the variance
+    rounded to 9 dp first so the threshold compare is ulp-stable
+    across engines (same convention as the silhouette's
+    round-before-compare).
 
     Scale shape: posexplode fans to dim rows but map-side partial
     aggregation folds to O(dims × partitions) before the exchange; the
@@ -1297,7 +1300,11 @@ def n2_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ss") / F.col("n")).alias("_ex2"),
         F.sum(var).alias("_v1"),
         F.sum(var * var).alias("_v2"),
-        F.sum((var < 1e-6).cast("long")).alias("n_dead_dims"),
+        # round the ulp-uncertain double variance to fixed precision
+        # BEFORE the threshold compare (ADVICE r9): partial-agg ordering
+        # can move var by ±ulps across engines, and an unrounded compare
+        # against 1e-6 could count a knife-edge dimension differently
+        F.sum((F.round(var, 9) < 1e-6).cast("long")).alias("n_dead_dims"),
     )
     return agg.select(
         "n_vecs",
@@ -1338,7 +1345,8 @@ SELECT CAST(max(n) AS BIGINT) AS n_vecs,
        CASE WHEN sum(var * var) > 0
             THEN round(sum(var) * sum(var) / sum(var * var), 6)
        END AS participation_ratio,
-       CAST(sum(CASE WHEN var < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_dims
+       CAST(sum(CASE WHEN round(var, 9) < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dead_dims
 FROM stats
 """
 

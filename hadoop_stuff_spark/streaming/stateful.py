@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -332,7 +333,7 @@ def _watchdog_fn_factory(silence_ms: int):
             if len(pdf):
                 # datetime64[ns] -> epoch ms (tz-aware values are UTC ns)
                 batch_ms.extend(
-                    (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                    (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000).tolist()
                 )
         alerts_last, alerts_n = [], []
         for ms in sorted(batch_ms):
@@ -528,7 +529,7 @@ def _sessionize_fn_factory(gap_s: int):
         for pdf in pdf_iter:
             if len(pdf):
                 batch_ms.extend(
-                    (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                    (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000).tolist()
                 )
         closed = []
         # batch-independence (the stateful-timer rule): a gap wholly
@@ -659,7 +660,7 @@ def _decayed_hh_fn_factory(half_life_ms: int, capacity: int):
         rows: list[tuple[int, str]] = []
         for pdf in pdf_iter:
             if len(pdf):
-                ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                ms = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000).tolist()
                 rows.extend(zip(ms, pdf["item"].tolist()))
         if not rows:
             return
@@ -759,7 +760,7 @@ def _ewma_anomaly_fn_factory(alpha: float, k: float, min_obs: int):
                 # so this IS the batch twin's full-resolution ts order (an
                 # ms truncation would reorder sub-ms event pairs vs the
                 # batch fold — r9 review finding)
-                us = (pdf["ts"].astype("int64") // 1_000).tolist()
+                us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000).tolist()
                 eids = pdf["event_id"].tolist()
                 vals = pdf["value"].tolist()
                 rows.extend(zip(us, eids, vals))
@@ -867,50 +868,46 @@ def _psi_drift_fn_factory(
     edges: tuple, baseline_n: int, threshold: float, min_batch_n: int
 ):
     n_bins = len(edges) + 1
-
-    def _bin(x: float) -> int:
-        # linear scan is fine: n_bins is a config constant (~20); the
-        # per-batch cost is the pandas iteration, not the comparisons
-        for i, e in enumerate(edges):
-            if x < e:
-                return i
-        return n_bins - 1
+    # bin i = count of edges <= x, i.e. searchsorted(edges, x, "right"):
+    # identical to the scalar "first edge with x < e, else last bin" rule
+    # (pinned by the batch-split equivalence test)
+    edges_arr = np.asarray(edges, dtype="float64")
 
     def fn(
         key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import math
-
         if state.exists:
             ref_counts, n_ref = state.get
-            ref = list(ref_counts)
+            ref = np.asarray(ref_counts, dtype="int64")
         else:
-            ref, n_ref = [0] * n_bins, 0
-        batch_bins: list[int] = []
+            ref, n_ref = np.zeros(n_bins, dtype="int64"), 0
+        # vectorized binning (VERDICT r9 #3): the whole batch goes through
+        # searchsorted + bincount — no per-value Python loop. None/NaN
+        # values carry no signal and are dropped before binning (NaN would
+        # otherwise searchsorted into the last bin).
+        parts = []
         for pdf in pdf_iter:
-            for x in pdf["value"].tolist():
-                if x is None or (isinstance(x, float) and math.isnan(x)):
-                    continue
-                batch_bins.append(_bin(x))
+            v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+            v = v[~np.isnan(v)]
+            if len(v):
+                parts.append(np.searchsorted(edges_arr, v, side="right"))
+        batch_bins = (
+            np.concatenate(parts) if parts else np.empty(0, dtype="int64")
+        )
         # events fill the frozen reference FIRST (in arrival order),
         # then the remainder of the batch is the comparison window —
         # one event is never counted on both sides
         fill = min(len(batch_bins), baseline_n - n_ref)
-        for b in batch_bins[:fill]:
-            ref[b] += 1
+        ref = ref + np.bincount(batch_bins[:fill], minlength=n_bins)
         n_ref += fill
         window = batch_bins[fill:]
-        state.update((ref, int(n_ref)))
+        state.update(([int(c) for c in ref], int(n_ref)))
         if n_ref < baseline_n or len(window) < min_batch_n:
             return
-        cur = [0] * n_bins
-        for b in window:
-            cur[b] += 1
-        psi = 0.0
-        for rb, cb in zip(ref, cur):
-            pr = max(rb / n_ref, 1e-6)
-            pc = max(cb / len(window), 1e-6)
-            psi += (pc - pr) * math.log(pc / pr)
+        cur = np.bincount(window, minlength=n_bins)
+        pr = np.maximum(ref / n_ref, 1e-6)
+        pc = np.maximum(cur / len(window), 1e-6)
+        psi = float(np.sum((pc - pr) * np.log(pc / pr)))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
