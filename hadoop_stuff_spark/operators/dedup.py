@@ -1481,3 +1481,92 @@ ORDER BY source
 
 
 DEDUP_WEIGHTED_SAMPLE_SQL = _dedup_weighted_sample_sql()
+
+
+def per_source_near_dup_rate(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Per-source NEAR-duplicate exposure: for every source, the share of
+    its documents that have at least one n-gram-Jaccard near-duplicate
+    partner ANYWHERE in the corpus (VERDICT r9 #7 — the near-dup twin of
+    the exact :func:`n1_dedup_rate_by_batch`): exact dedup rates say how
+    much is copied verbatim; this says which source's content is
+    paraphrase-/boilerplate-duplicated, the number that decides which
+    ingest feed gets the aggressive near-dedup pass.
+
+    Pairs come from the ONE certified pair machinery
+    (:func:`_pair_counts` via :func:`ngram_jaccard_pairs` — shingle
+    width, df-cut and threshold-on-rounded-value semantics all live
+    there); a doc counts as near-dup if it appears on either side of a
+    qualifying pair. Every source is reported — zero-cell rule: sources
+    with no near-dups carry an explicit 0, never a missing row (the
+    length-PSI lesson).
+
+    Scale shape: the pair join is the guarded inverted-index self-join
+    (hot shingles df-cut BEFORE the join); the flagged-id set collapses
+    to distinct doc_ids (ids only — text never reenters), one semi-join
+    back to documents, and a |sources|-row aggregate joined to the
+    |sources|-row totals."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n, threshold, max_doc_freq)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    flagged = (
+        docs.join(dup_ids, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_near_dup"))
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(flagged, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_near_dup"), F.lit(0).cast("long")).alias(
+                "n_near_dup"
+            ),
+            F.round(
+                F.coalesce(F.col("n_near_dup"), F.lit(0).cast("long"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("near_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+PER_SOURCE_NEAR_DUP_SQL = (
+    _SHINGLE_PAIRS_CTE
+    + """
+, pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.4
+), dup_ids AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION
+  SELECT doc_b FROM pairs
+), flagged AS (
+  SELECT d.source, count(*) AS n_near_dup
+  FROM documents d JOIN dup_ids u ON u.doc_id = d.doc_id
+  GROUP BY 1
+), totals AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT t.source, t.n_docs,
+       COALESCE(f.n_near_dup, 0) AS n_near_dup,
+       round(COALESCE(f.n_near_dup, 0) / CAST(t.n_docs AS DOUBLE), 6)
+         AS near_dup_rate
+FROM totals t LEFT JOIN flagged f ON f.source = t.source
+ORDER BY t.source
+"""
+)

@@ -600,6 +600,252 @@ ORDER BY event_type
 """
 
 
+_BOOT_B = 64  # bootstrap replicates
+_BOOT_MAX_W = 7  # Poisson(1) tail cap: P(w > 7) ≈ 1e-5 per draw
+
+
+def _pois1_cum_hex() -> tuple:
+    """Cumulative Poisson(1) thresholds as fixed-width lowercase hex —
+    the weight of a (row, replicate) draw is the CASE-bucket its
+    md5-uniform lands in, so both engines read the weight off the SAME
+    exact string compares (the deterministic_keep convention extended
+    from one threshold to the Poisson inverse-CDF ladder)."""
+    import math
+
+    acc, fact, out = 0.0, 1.0, []
+    for k in range(_BOOT_MAX_W):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(format(int(acc * 16**6), "06x"))
+    return tuple(out)
+
+
+_POIS1_HEX = _pois1_cum_hex()
+
+
+def ab_value_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, b_reps: int = _BOOT_B
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the A/B mean-value
+    difference per event_type — the non-parametric companion to
+    :func:`ab_value_ztest` (VERDICT r9 #7): where the z-test assumes
+    the CLT kicked in, the bootstrap reads the 95% CI straight off the
+    resampling distribution, which is what you want for skewed
+    revenue-like metrics. Arms are the same md5-hash assignment as the
+    z-test (salt ``ab1:``), so the two readouts describe the same
+    experiment.
+
+    The bootstrap is the Poisson approximation (each event's weight in
+    replicate b is an independent Poisson(1) draw — the standard
+    resampling scheme when the exact multinomial would need a global
+    count): weights are DETERMINISTIC, md5(salt, event_id, b) mapped
+    through the exact integer inverse-CDF ladder of
+    :func:`_pois1_cum_hex`, so every engine, run, and partitioning
+    draws the identical resample. The tail is capped at w=7 (P ≈ 1e-5
+    per draw — a bias orders below the CI's own resolution, stated
+    rather than hidden).
+
+    Exactness rails: per-replicate arm sums are exact integers
+    (micro-unit decimal values × integer weights, the ab_value_ztest
+    fixed-point convention), each cast to double ONCE, so replicate
+    diffs are bit-identical across engines; the CI bounds are exact
+    order statistics — rank ceil(0.025·R) / ceil(0.975·R) computed as
+    integer arithmetic floor((25R+999)/1000) — over (diff, b)-ordered
+    replicates, never an interpolated percentile (the house
+    approx_percentile rule: order statistics compare exactly,
+    interpolations don't). Replicates where either arm draws total
+    weight 0 are excluded and R counts survivors. Event types with
+    fewer than 2 full-data events per arm are excluded (CI undefined
+    — the z-test's degenerate rule).
+
+    Scale shape: ONE events scan fans out ×B via explode, but map-side
+    partial aggregation folds to |event_type|·B rows before the only
+    exchange; the rank window then orders B-row partitions. B scales
+    the scan's cpu (md5 per (row, replicate)), never the shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.substring(
+        F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 6
+    ) < F.lit("800000")
+    ok = F.col("value").isNotNull()
+    v_fp = F.round(F.col("value") * 1000000.0, 0).cast("decimal(19,0)")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        in_a.alias("in_a"),
+        ok.alias("ok"),
+        F.when(ok, v_fp).otherwise(F.lit(0).cast("decimal(19,0)")).alias("v_fp"),
+    )
+
+    # full-data point estimate (the grain the CI brackets)
+    pt = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("in_a") & F.col("ok"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("in_a"), F.col("v_fp")).otherwise(F.lit(0))).alias("s_a"),
+        F.sum(F.when(~F.col("in_a") & F.col("ok"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~F.col("in_a"), F.col("v_fp")).otherwise(F.lit(0))).alias("s_b"),
+    )
+
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("abboot1:"),
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        6,
+    )
+    w = F.when(h < F.lit(_POIS1_HEX[0]), 0)
+    for k in range(1, _BOOT_MAX_W):
+        w = w.when(h < F.lit(_POIS1_HEX[k]), k)
+    w = w.otherwise(F.lit(_BOOT_MAX_W))
+
+    reps = (
+        base.withColumn(
+            "b", F.explode(F.sequence(F.lit(1), F.lit(int(b_reps))))
+        )
+        .withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(
+                F.when(F.col("in_a") & F.col("ok"), F.col("w")).otherwise(0)
+            ).alias("rn_a"),
+            F.sum(
+                F.when(F.col("in_a"), F.col("w") * F.col("v_fp")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rs_a"),
+            F.sum(
+                F.when(~F.col("in_a") & F.col("ok"), F.col("w")).otherwise(0)
+            ).alias("rn_b"),
+            F.sum(
+                F.when(~F.col("in_a"), F.col("w") * F.col("v_fp")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rs_b"),
+        )
+        .filter((F.col("rn_a") > 0) & (F.col("rn_b") > 0))
+        .select(
+            "event_type",
+            "b",
+            (
+                (F.col("rs_a").cast("double") / 1000000.0) / F.col("rn_a")
+                - (F.col("rs_b").cast("double") / 1000000.0) / F.col("rn_b")
+            ).alias("diff"),
+        )
+    )
+    wnd = Window.partitionBy("event_type")
+    ranked = reps.select(
+        "event_type",
+        "diff",
+        F.row_number().over(wnd.orderBy("diff", "b")).alias("r"),
+        F.count(F.lit(1)).over(wnd).alias("n_reps"),
+    )
+    lo_rank = F.floor((F.lit(25) * F.col("n_reps") + 999) / 1000.0).cast("long")
+    hi_rank = F.floor((F.lit(975) * F.col("n_reps") + 999) / 1000.0).cast("long")
+    ci = ranked.groupBy("event_type").agg(
+        F.max("n_reps").alias("n_reps"),
+        F.min(F.when(F.col("r") == lo_rank, F.col("diff"))).alias("_lo"),
+        F.min(F.when(F.col("r") == hi_rank, F.col("diff"))).alias("_hi"),
+    )
+    lo_r = F.round(F.col("_lo"), 6)
+    hi_r = F.round(F.col("_hi"), 6)
+    return (
+        pt.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .join(ci, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("s_a").cast("double") / 1000000.0) / F.col("n_a")
+                - (F.col("s_b").cast("double") / 1000000.0) / F.col("n_b"),
+                6,
+            ).alias("mean_diff"),
+            lo_r.alias("ci_lo"),
+            hi_r.alias("ci_hi"),
+            "n_reps",
+            ((lo_r > 0) | (hi_r < 0)).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _ab_bootstrap_sql() -> str:
+    w_case = "CASE " + " ".join(
+        f"WHEN h < '{t}' THEN {k}" for k, t in enumerate(_POIS1_HEX)
+    ) + f" ELSE {_BOOT_MAX_W} END"
+    return f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         substring(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 6) < '800000'
+           AS in_a,
+         value IS NOT NULL AS ok,
+         CASE WHEN value IS NOT NULL
+              THEN CAST(round(value * 1000000.0, 0) AS HUGEINT)
+              ELSE 0 END AS v_fp
+  FROM events
+), pt AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN in_a AND ok THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         sum(CASE WHEN in_a THEN v_fp ELSE 0 END) AS s_a,
+         CAST(sum(CASE WHEN NOT in_a AND ok THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN NOT in_a THEN v_fp ELSE 0 END) AS s_b
+  FROM base GROUP BY 1
+), drawn AS (
+  SELECT event_type, reps.b, in_a, ok, v_fp,
+         substring(md5('abboot1:' || CAST(event_id AS VARCHAR) || ':'
+                       || CAST(reps.b AS VARCHAR)), 1, 6) AS h
+  FROM base
+  CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) reps
+), weighted AS (
+  SELECT event_type, b, in_a, ok, v_fp, {w_case} AS w FROM drawn
+), rep_agg AS (
+  SELECT event_type, b,
+         CAST(sum(CASE WHEN in_a AND ok THEN w ELSE 0 END) AS BIGINT) AS rn_a,
+         sum(CASE WHEN in_a THEN w * v_fp ELSE 0 END) AS rs_a,
+         CAST(sum(CASE WHEN NOT in_a AND ok THEN w ELSE 0 END) AS BIGINT) AS rn_b,
+         sum(CASE WHEN NOT in_a THEN w * v_fp ELSE 0 END) AS rs_b
+  FROM weighted GROUP BY 1, 2
+), diffs AS (
+  SELECT event_type, b,
+         (CAST(rs_a AS DOUBLE) / 1000000.0) / rn_a
+           - (CAST(rs_b AS DOUBLE) / 1000000.0) / rn_b AS diff
+  FROM rep_agg WHERE rn_a > 0 AND rn_b > 0
+), ranked AS (
+  SELECT event_type, diff,
+         row_number() OVER (PARTITION BY event_type ORDER BY diff, b) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n_reps
+  FROM diffs
+), ci AS (
+  SELECT event_type,
+         CAST(max(n_reps) AS BIGINT) AS n_reps,
+         min(CASE WHEN r = CAST(floor((25 * n_reps + 999) / 1000.0) AS BIGINT)
+                  THEN diff END) AS lo,
+         min(CASE WHEN r = CAST(floor((975 * n_reps + 999) / 1000.0) AS BIGINT)
+                  THEN diff END) AS hi
+  FROM ranked GROUP BY 1
+)
+SELECT p.event_type, p.n_a, p.n_b,
+       round((CAST(p.s_a AS DOUBLE) / 1000000.0) / p.n_a
+             - (CAST(p.s_b AS DOUBLE) / 1000000.0) / p.n_b, 6) AS mean_diff,
+       round(ci.lo, 6) AS ci_lo,
+       round(ci.hi, 6) AS ci_hi,
+       ci.n_reps,
+       (round(ci.lo, 6) > 0 OR round(ci.hi, 6) < 0) AS significant
+FROM pt p JOIN ci ON ci.event_type = p.event_type
+WHERE p.n_a >= 2 AND p.n_b >= 2
+ORDER BY p.event_type
+"""
+
+
+AB_BOOTSTRAP_SQL = _ab_bootstrap_sql()
+
+
 def _corr_sums(x, y) -> list:
     """The five exact decimal accumulators of a Pearson correlation
     (Σx, Σy, Σxy, Σx², Σy²) over pre-fixed-pointed integer columns —

@@ -2632,3 +2632,101 @@ SELECT week_start, event_type, n_events, p50, p90, p99,
 FROM agg
 ORDER BY week_start, event_type
 """
+
+
+def seasonal_residual_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint scan over the SEASONAL-NAIVE RESIDUALS of the daily
+    order-count series (VERDICT r9 #7 — the composition of two certified
+    r9 ops): residual r_t = n_t − n_{t−7} over the calendar-densified
+    series strips the weekly cycle that
+    :func:`forecast_backtest_daily_orders` certified as the best
+    baseline, and the binary-segmentation first split of
+    :func:`changepoint_daily_orders` then runs on what REMAINS — so a
+    level shift in the de-seasonalized process is localized without the
+    weekly pattern masquerading as the change. The "did the process
+    change, or is it just Tuesday" monitor.
+
+    Exactness across engines: residuals are exact int64 differences over
+    the shared dense calendar (:func:`_daily_orders_dense` — missing days
+    are real 0-count rows, so lag-7 is a true calendar week); the split
+    statistic D_i = S_i·m − i·S_m is exact integer prefix-sum arithmetic,
+    its score D_i²/(i·(m−i)) ONE IEEE division of exact int64 operands,
+    and the argmax breaks ties by (score desc, date asc). Same int64
+    headroom note as the parent op: D_i² is safe to ~3·10⁹ total
+    residual mass × ~10⁴ days.
+
+    Scale shape: one orders scan → day-cardinality hash aggregate; every
+    window (lag, prefix sum, rank) runs over the TINY daily series, fact
+    rows never enter a sort."""
+    dense, _ = _daily_orders_dense(spark, sf_dir)
+    w = Window.orderBy("d")
+    res = (
+        dense.withColumn("rn", F.row_number().over(w))
+        .withColumn("lag7", F.lag("n", 7).over(w))
+        .filter(F.col("rn") > 7)
+        .select("d", (F.col("n") - F.col("lag7")).alias("r"))
+    )
+    wg = Window.partitionBy()
+    w_ord = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = (
+        res.withColumn("s_i", F.sum("r").over(w_ord))
+        .withColumn("i", F.row_number().over(Window.orderBy("d")))
+        .withColumn("m", F.count(F.lit(1)).over(wg))
+        .withColumn("s_m", F.sum("r").over(wg))
+        .filter(F.col("i") < F.col("m"))
+        .withColumn("d_i", F.col("s_i") * F.col("m") - F.col("i") * F.col("s_m"))
+        .withColumn(
+            "score",
+            (F.col("d_i") * F.col("d_i")).cast("double")
+            / (F.col("i") * (F.col("m") - F.col("i"))).cast("double"),
+        )
+    )
+    best = scored.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("d")))
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("d").alias("split_date"),
+        F.col("i").alias("n_left"),
+        (F.col("m") - F.col("i")).alias("n_right"),
+        F.round(F.col("s_i") / F.col("i"), 6).alias("mean_resid_left"),
+        F.round((F.col("s_m") - F.col("s_i")) / (F.col("m") - F.col("i")), 6).alias(
+            "mean_resid_right"
+        ),
+        F.round(F.sqrt(F.col("score") / F.col("m").cast("double")), 6).alias(
+            "shift_tstat"
+        ),
+    )
+
+
+SEASONAL_RESIDUAL_CHANGEPOINT_SQL = f"""
+WITH {_DAILY_DENSE_CTES}, res AS (
+  SELECT d, r FROM (
+    SELECT d,
+           row_number() OVER (ORDER BY d) AS rn,
+           n - lag(n, 7) OVER (ORDER BY d) AS r
+    FROM dense
+  ) WHERE rn > 7
+), scored AS (
+  SELECT d, r,
+         sum(r) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+         row_number() OVER (ORDER BY d) AS i,
+         count(*) OVER () AS m,
+         sum(r) OVER () AS s_m
+  FROM res
+), interior AS (
+  SELECT *, s_i * m - i * s_m AS d_i,
+         CAST((s_i * m - i * s_m) * (s_i * m - i * s_m) AS DOUBLE)
+           / CAST(i * (m - i) AS DOUBLE) AS score
+  FROM scored WHERE i < m
+), best AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, d) AS rk FROM interior
+)
+SELECT d AS split_date,
+       i AS n_left,
+       m - i AS n_right,
+       round(s_i / i, 6) AS mean_resid_left,
+       round((s_m - s_i) / (m - i), 6) AS mean_resid_right,
+       round(sqrt(score / CAST(m AS DOUBLE)), 6) AS shift_tstat
+FROM best WHERE rk = 1
+"""

@@ -791,6 +791,19 @@ _CATALOG_B: dict[str, QuerySpec] = {
         relational.customer_revenue_concentration,
         relational.REVENUE_CONCENTRATION_SQL,
     ),
+    # ---- r10 wave (beyond the pinned cohort-D slice: these certify via
+    # EXTRA_QUERIES/test_oracle_parity this round and queue for the r11
+    # round-robin window) ----
+    "ab_value_bootstrap_ci": QuerySpec(
+        profile.ab_value_bootstrap_ci, profile.AB_BOOTSTRAP_SQL
+    ),
+    "seasonal_residual_changepoint": QuerySpec(
+        temporal.seasonal_residual_changepoint,
+        temporal.SEASONAL_RESIDUAL_CHANGEPOINT_SQL,
+    ),
+    "per_source_near_dup_rate": QuerySpec(
+        dedup.per_source_near_dup_rate, dedup.PER_SOURCE_NEAR_DUP_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------
