@@ -1570,3 +1570,85 @@ FROM totals t LEFT JOIN flagged f ON f.source = t.source
 ORDER BY t.source
 """
 )
+
+
+def n3_effective_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EFFECTIVE token yield after exact dedup — the number a
+    token-budget planner actually needs: raw token counts over-state a
+    source exactly by its duplicated mass, so budgeting from raw counts
+    (as :func:`sampling.n3_token_budget_epochs` does from `n_tokens`)
+    over-allocates to stale, self-copying feeds. For each source: raw
+    docs/tokens, the docs/tokens surviving canonical-pick exact dedup
+    (corpus-wide min-doc_id rule — the ONE canonical convention of
+    :func:`_canonical_first`), and the doc/token yield ratios.
+
+    A source whose token_yield is far below its doc_yield duplicates its
+    LONG documents preferentially — the pattern a doc-count dedup report
+    hides and a token-budget allocator most needs to see.
+
+    Exactness: token counts are exact integers (the explode-free
+    size(split()) house convention shared with the token-budget
+    allocator); yields are one double division of exact int64 operands,
+    rounded 6 dp; a source whose every doc is a copy of another source's
+    canonical reports an explicit 0 yield (conditional sums keep the
+    group — no vanishing rows).
+
+    Scale shape: one documents scan → map-side md5 fingerprint + token
+    count → one fp hash agg for canonical ids → one fp join-back →
+    |sources|-row aggregate. Text never shuffles (fp and n_tok only)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        fingerprint_md5("text").alias("fp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    first = docs.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    j = docs.join(first, "fp")
+    canon = F.col("doc_id") == F.col("canonical_id")
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(canon.cast("long")).alias("n_canonical_docs"),
+        F.sum(F.when(canon, F.col("n_tok")).otherwise(F.lit(0))).alias(
+            "canonical_tokens"
+        ),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_canonical_docs",
+        "canonical_tokens",
+        F.round(
+            F.col("n_canonical_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("doc_yield"),
+        F.round(
+            F.col("canonical_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("token_yield"),
+    ).orderBy("source")
+
+
+EFFECTIVE_TOKEN_YIELD_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), fir AS (
+  SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_canonical_docs,
+       CAST(sum(CASE WHEN doc_id = canonical_id THEN n_tok ELSE 0 END)
+            AS BIGINT) AS canonical_tokens,
+       round(CAST(sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS doc_yield,
+       round(CAST(sum(CASE WHEN doc_id = canonical_id THEN n_tok ELSE 0 END)
+                  AS DOUBLE) / sum(n_tok), 6) AS token_yield
+FROM f JOIN fir USING (fp)
+GROUP BY source
+ORDER BY source
+"""

@@ -2730,3 +2730,218 @@ SELECT d AS split_date,
        round(sqrt(score / CAST(m AS DOUBLE)), 6) AS shift_tstat
 FROM best WHERE rk = 1
 """
+
+
+def seasonality_strength_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly-seasonality strength of daily order volume per priority
+    class: the share of daily-count variance explained by a
+    day-of-week-means fit — eta² = (Σ_g S_g²/n_g − S²/n) / (SS − S²/n)
+    over the 7 day-of-week groups g. The readout that justifies (or
+    kills) weekly-seasonal models per segment: strength ≈ 0 says the
+    seasonal-naive baseline of :func:`forecast_backtest_daily_orders`
+    buys nothing for that priority; ≈ 1 says day-of-week IS the signal.
+
+    The calendar is densified PER PRIORITY over that priority's own
+    active range (missing days are real 0-count rows — omitting them
+    would overstate strength whenever inactivity clusters on weekends,
+    the zero-cell lesson applied to time). Day-of-week is engine-free
+    integer arithmetic: days-since-1970-01-01 mod 7 (never an engine
+    dayofweek builtin — Spark counts Sunday=1, DuckDB Sunday=0).
+
+    Exactness: per-(priority, dow) accumulators (n_g, S_g, Σn²) are
+    exact int64; each S_g²/n_g is one double division of exact operands
+    and the 7-term sum's ordering ulps are erased by the 6 dp round
+    (house float-agg rule). Degenerate series (SS_total = 0: constant
+    daily counts) report NULL strength, never NaN.
+
+    Scale shape: one orders scan → (priority, day) hash agg; the
+    densify/window work runs on the tiny daily relation (|priorities| ×
+    days rows); output is |priorities| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = daily.groupBy("o_orderpriority").agg(
+        F.min("d").alias("t0"), F.max("d").alias("t1")
+    )
+    cal = b.select(
+        "o_orderpriority",
+        F.explode(F.expr("sequence(t0, t1, interval 1 day)")).alias("d"),
+    )
+    dense = cal.join(daily, ["o_orderpriority", "d"], "left").select(
+        "o_orderpriority",
+        "d",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )
+    dow = F.expr("datediff(CAST(d AS DATE), DATE '1970-01-01') % 7")
+    per_dow = dense.groupBy("o_orderpriority", dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("n").alias("s_g"),
+        F.sum(F.col("n") * F.col("n")).alias("ss_g"),
+    )
+    per = per_dow.groupBy("o_orderpriority").agg(
+        F.sum("n_g").alias("n_days"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("fit_ss"),
+    )
+    grand = (
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n_days").cast("double")
+    )
+    ss_total = F.col("ss").cast("double") - grand
+    between = F.col("fit_ss") - grand
+    return per.select(
+        "o_orderpriority",
+        "n_days",
+        F.round(F.col("s").cast("double") / F.col("n_days"), 6).alias(
+            "mean_daily"
+        ),
+        F.when(ss_total > 0, F.round(between / ss_total, 6)).alias(
+            "seasonality_strength"
+        ),
+    ).orderBy("o_orderpriority")
+
+
+SEASONALITY_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate AS d, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), b AS (
+  SELECT o_orderpriority, min(d) AS t0, max(d) AS t1 FROM daily GROUP BY 1
+), cal AS (
+  SELECT o_orderpriority,
+         unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS d
+  FROM b
+), dense AS (
+  SELECT cal.o_orderpriority, cal.d, COALESCE(daily.n, 0) AS n
+  FROM cal LEFT JOIN daily
+    ON daily.o_orderpriority = cal.o_orderpriority AND daily.d = cal.d
+), per_dow AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) % 7 AS dow,
+         count(*) AS n_g,
+         CAST(sum(n) AS BIGINT) AS s_g,
+         CAST(sum(n * n) AS BIGINT) AS ss_g
+  FROM dense GROUP BY 1, 2
+), per AS (
+  SELECT o_orderpriority,
+         CAST(sum(n_g) AS BIGINT) AS n_days,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(ss_g) AS BIGINT) AS ss,
+         sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+           AS fit_ss
+  FROM per_dow GROUP BY 1
+)
+SELECT o_orderpriority, n_days,
+       round(CAST(s AS DOUBLE) / n_days, 6) AS mean_daily,
+       CASE WHEN CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days > 0
+            THEN round(
+              (fit_ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days)
+              / (CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days), 6)
+       END AS seasonality_strength
+FROM per
+ORDER BY o_orderpriority
+"""
+
+
+def weekly_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention triangle over events: users are cohorted
+    by their FIRST active week; for every (cohort_week, week_offset)
+    cell, the share of the cohort active that many weeks later. THE
+    growth-accounting table — a product change shows as a vertical
+    stripe, cohort-quality drift as rows that start lower.
+
+    Weeks are engine-free integers (days-since-1970-01-01 div 7 — never
+    date_trunc('week', …), whose return TYPE differs across engines, the
+    r9 trap). The triangle is materialized COMPLETE per cohort out to
+    the corpus max week (zero-cell rule): a week where a cohort went
+    fully silent is an explicit 0-retention row — exactly the cells a
+    churn alarm reads, and exactly the ones a groupBy would drop.
+
+    Exactness: counts are exact distinct-(user, week) integers;
+    retention is one double division rounded 6 dp; offset-0 retention
+    is 1.0 by construction (cohort = first active week).
+
+    Scale shape: one events scan → distinct (user, week) — the only
+    user-grain shuffle; cohorts collapse to a weeks-sized relation
+    before the explode, so the triangle (≈ weeks²/2 rows) never touches
+    event rows. The max-week anchor is the allowlisted 1-row scalar
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    grid = sizes.join(F.broadcast(mx)).select(
+        "cohort_week",
+        "n_cohort",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("max_wk") - F.col("cohort_week"))
+        ).alias("week_offset"),
+    )
+    return (
+        grid.join(
+            act.withColumnRenamed("k", "week_offset"),
+            ["cohort_week", "week_offset"],
+            "left",
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort",
+            F.coalesce("n_active", F.lit(0).cast("long")).alias("n_active"),
+            F.round(
+                F.coalesce("n_active", F.lit(0).cast("long")).cast("double")
+                / F.col("n_cohort"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+WEEKLY_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1
+), act AS (
+  SELECT c.cohort_week, uw.wk - c.cohort_week AS week_offset,
+         count(*) AS n_active
+  FROM uw JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, count(*) AS n_cohort FROM cohort GROUP BY 1
+), mx AS (SELECT max(wk) AS max_wk FROM uw),
+grid AS (
+  SELECT s.cohort_week, s.n_cohort,
+         unnest(generate_series(0, mx.max_wk - s.cohort_week)) AS week_offset
+  FROM sizes s CROSS JOIN mx
+)
+SELECT g.cohort_week, g.week_offset, g.n_cohort,
+       COALESCE(a.n_active, 0) AS n_active,
+       round(CAST(COALESCE(a.n_active, 0) AS DOUBLE) / g.n_cohort, 6)
+         AS retention
+FROM grid g
+LEFT JOIN act a
+  ON a.cohort_week = g.cohort_week AND a.week_offset = g.week_offset
+ORDER BY g.cohort_week, g.week_offset
+"""

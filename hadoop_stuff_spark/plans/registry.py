@@ -804,6 +804,16 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "per_source_near_dup_rate": QuerySpec(
         dedup.per_source_near_dup_rate, dedup.PER_SOURCE_NEAR_DUP_SQL
     ),
+    "n3_effective_token_yield": QuerySpec(
+        dedup.n3_effective_token_yield, dedup.EFFECTIVE_TOKEN_YIELD_SQL
+    ),
+    "seasonality_strength_by_priority": QuerySpec(
+        temporal.seasonality_strength_by_priority,
+        temporal.SEASONALITY_STRENGTH_SQL,
+    ),
+    "weekly_retention_matrix": QuerySpec(
+        temporal.weekly_retention_matrix, temporal.WEEKLY_RETENTION_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

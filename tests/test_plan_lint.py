@@ -122,6 +122,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "acf_daily_orders",            # 1-row bounds + max_lag-row lag-grid broadcasts
         "n2_label_silhouette",         # |labels|-row centroid frame broadcast (scalar shape)
         "n3_length_psi_by_source",     # 1-row length-bounds frame broadcast
+        "weekly_retention_matrix",     # 1-row corpus-max-week frame broadcast
     }
     sf = "/root/testdata/sf0.001"
     bad = []

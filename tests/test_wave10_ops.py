@@ -159,3 +159,97 @@ def test_per_source_near_dup_rate_grid_and_rates(spark, tmp_path):
     assert rows["srcA"]["n_docs"] == 3 and rows["srcA"]["n_near_dup"] == 2
     assert rows["srcA"]["near_dup_rate"] == round(2 / 3, 6)
     assert rows["srcB"]["n_near_dup"] == 0 and rows["srcB"]["near_dup_rate"] == 0.0
+
+
+def test_effective_token_yield_flags_long_doc_copier(spark, tmp_path):
+    """srcB copies srcA's LONG doc: doc_yield 1/2 but token_yield far
+    lower — the pattern the operator exists to expose. srcA (all
+    canonical) reports yield 1.0."""
+    from hadoop_stuff_spark.operators.dedup import n3_effective_token_yield
+
+    long_text = " ".join(["tok"] * 99) + " end"  # 100 tokens
+    docs = [
+        (1, "srcA", long_text),
+        (2, "srcB", long_text),  # copy of the canonical (doc_id 1 wins)
+        (3, "srcB", "short unique two"),  # 3 tokens, canonical
+    ]
+    sf = _docs_fixture(tmp_path, docs, name="sf_ty")
+    rows = {r["source"]: r for r in n3_effective_token_yield(spark, sf).collect()}
+    a, b = rows["srcA"], rows["srcB"]
+    assert a["doc_yield"] == 1.0 and a["token_yield"] == 1.0
+    assert b["n_docs"] == 2 and b["n_canonical_docs"] == 1
+    assert b["n_tokens"] == 103 and b["canonical_tokens"] == 3
+    assert b["doc_yield"] == 0.5
+    assert b["token_yield"] == round(3 / 103, 6)
+
+
+def test_seasonality_strength_extremes(spark, tmp_path):
+    """A perfectly weekly series has strength 1; a constant series has
+    NULL (zero total variance — the guard, not NaN)."""
+    from hadoop_stuff_spark.operators.temporal import (
+        seasonality_strength_by_priority,
+    )
+
+    pattern = [9, 1, 1, 1, 1, 1, 4]
+    counts = [pattern[t % 7] for t in range(70)]
+    sf = _orders_fixture(tmp_path, counts, name="sf_seas")
+    row = seasonality_strength_by_priority(spark, sf).collect()[0]
+    assert row["n_days"] == 70
+    assert row["seasonality_strength"] == 1.0
+
+    flat = [5] * 35
+    sf2 = _orders_fixture(tmp_path, flat, name="sf_flat")
+    row2 = seasonality_strength_by_priority(spark, sf2).collect()[0]
+    assert row2["seasonality_strength"] is None
+
+
+def test_weekly_retention_matrix_planted_churn(spark, tmp_path):
+    """Cohort of 4 users in week 0: 2 return in week 1, 1 in week 2, and
+    week 3 is fully silent — which must still be an explicit 0 row out
+    to the corpus max week (set by a later cohort's activity)."""
+    from hadoop_stuff_spark.operators.temporal import weekly_retention_matrix
+
+    wk = 7 * 86_400
+    rows = []
+    eid = 0
+
+    def ev(uid, week):
+        nonlocal eid
+        rows.append((uid, "view", 1.0))
+        secs.append(week * wk)
+        eid += 1
+
+    secs = []
+    for uid in (1, 2, 3, 4):
+        ev(uid, 0)
+    ev(1, 1)
+    ev(2, 1)
+    ev(1, 2)
+    ev(9, 3)  # later cohort keeps the triangle open through offset 3
+    n = len(rows)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [_EPOCH_US + s * 1_000_000 for s in secs], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf = tmp_path / "sf_ret"
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(table, str(sf / "events.parquet"))
+    out = weekly_retention_matrix(spark, str(sf)).collect()
+    first = [r for r in out if r["cohort_week"] == min(x["cohort_week"] for x in out)]
+    by_k = {r["week_offset"]: r for r in first}
+    assert set(by_k) == {0, 1, 2, 3}  # complete triangle incl. silent wk3
+    assert by_k[0]["n_cohort"] == 4 and by_k[0]["retention"] == 1.0
+    assert by_k[1]["n_active"] == 2 and by_k[1]["retention"] == 0.5
+    assert by_k[2]["n_active"] == 1 and by_k[2]["retention"] == 0.25
+    assert by_k[3]["n_active"] == 0 and by_k[3]["retention"] == 0.0
