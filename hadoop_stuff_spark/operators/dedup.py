@@ -1602,7 +1602,7 @@ def n3_effective_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5("text").alias("fp"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
-    first = docs.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    first = _canonical_first(docs).select("fp", "canonical_id")
     j = docs.join(first, "fp")
     canon = F.col("doc_id") == F.col("canonical_id")
     per = j.groupBy("source").agg(

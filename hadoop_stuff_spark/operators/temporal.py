@@ -2260,12 +2260,13 @@ def changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest monitor answers before diffing upstream configs.
 
     Exactness across engines: D_i is exact integer arithmetic on prefix
-    sums (no means until the very end), the score D_i²/(i·(n−i)) is one
-    IEEE double division of exact int64 operands (identically rounded on
-    both engines), and the argmax orders by (score desc, date asc) so ties
-    break deterministically. D_i² stays within int64 up to ~3·10⁹ total
-    orders per priority × ~10⁴ days; past that, promote D to double before
-    squaring (the score is a ranking key, not a reported value).
+    sums (no means until the very end); D_i itself grows as
+    total_orders·days, so an int64 SQUARE would overflow at ~3·10⁹
+    order-days (r10 review — the gini n²-class bound): D_i is cast to
+    double BEFORE squaring on both engines — the score is a ranking
+    key needing ~15 significant digits, and both engines square the
+    identical double, so the argmax (score desc, date asc) still breaks
+    ties deterministically.
 
     Scale shape: one orders scan → hash aggregate to (priority, day)
     cardinality, then ordered windows over the TINY daily series — the
@@ -2289,7 +2290,7 @@ def changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d_i", F.col("s_i") * F.col("n_days") - F.col("i") * F.col("s_n"))
         .withColumn(
             "score",
-            (F.col("d_i") * F.col("d_i")).cast("double")
+            F.col("d_i").cast("double") * F.col("d_i").cast("double")
             / (F.col("i") * (F.col("n_days") - F.col("i"))).cast("double"),
         )
     )
@@ -2326,7 +2327,8 @@ WITH daily AS (
   FROM daily
 ), interior AS (
   SELECT *, s_i * n_days - i * s_n AS d_i,
-         CAST(d_i * d_i AS DOUBLE) / CAST(i * (n_days - i) AS DOUBLE) AS score
+         CAST(d_i AS DOUBLE) * CAST(d_i AS DOUBLE)
+           / CAST(i * (n_days - i) AS DOUBLE) AS score
   FROM scored WHERE i < n_days
 ), best AS (
   SELECT *, row_number() OVER (PARTITION BY o_orderpriority
@@ -2649,11 +2651,11 @@ def seasonal_residual_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame
     Exactness across engines: residuals are exact int64 differences over
     the shared dense calendar (:func:`_daily_orders_dense` — missing days
     are real 0-count rows, so lag-7 is a true calendar week); the split
-    statistic D_i = S_i·m − i·S_m is exact integer prefix-sum arithmetic,
-    its score D_i²/(i·(m−i)) ONE IEEE division of exact int64 operands,
-    and the argmax breaks ties by (score desc, date asc). Same int64
-    headroom note as the parent op: D_i² is safe to ~3·10⁹ total
-    residual mass × ~10⁴ days.
+    statistic D_i = S_i·m − i·S_m is exact integer prefix-sum arithmetic;
+    D_i is cast to double BEFORE squaring on both engines (an int64
+    square overflows at ~3·10⁹ residual-mass·days — the parent op's r10
+    review fix, same n²-class bound as the ginis), and the argmax breaks
+    ties by (score desc, date asc) over the identically-computed double.
 
     Scale shape: one orders scan → day-cardinality hash aggregate; every
     window (lag, prefix sum, rank) runs over the TINY daily series, fact
@@ -2677,7 +2679,7 @@ def seasonal_residual_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("d_i", F.col("s_i") * F.col("m") - F.col("i") * F.col("s_m"))
         .withColumn(
             "score",
-            (F.col("d_i") * F.col("d_i")).cast("double")
+            F.col("d_i").cast("double") * F.col("d_i").cast("double")
             / (F.col("i") * (F.col("m") - F.col("i"))).cast("double"),
         )
     )
@@ -2716,7 +2718,7 @@ WITH {_DAILY_DENSE_CTES}, res AS (
   FROM res
 ), interior AS (
   SELECT *, s_i * m - i * s_m AS d_i,
-         CAST((s_i * m - i * s_m) * (s_i * m - i * s_m) AS DOUBLE)
+         CAST(s_i * m - i * s_m AS DOUBLE) * CAST(s_i * m - i * s_m AS DOUBLE)
            / CAST(i * (m - i) AS DOUBLE) AS score
   FROM scored WHERE i < m
 ), best AS (

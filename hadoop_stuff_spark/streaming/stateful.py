@@ -114,6 +114,18 @@ def running_counts(stream: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _epoch_int64(ts: pd.Series, divisor: int) -> list:
+    """Arrow-delivered timestamp series → epoch int64 // divisor (ms for
+    1_000_000, us for 1_000). Normalizes BOTH axes the raw int64 view got
+    wrong (ADVICE r9 + r10 review): a non-ns unit (pandas 2/Arrow may hand
+    back us- or ms-unit datetimes — astype ns fixes the scale) and a
+    tz-aware dtype (astype ns on tz-aware raises TypeError under pandas 2
+    — tz values are UTC instants, so dropping the tz preserves the epoch)."""
+    if getattr(ts.dtype, "tz", None) is not None:
+        ts = ts.dt.tz_localize(None)
+    return (ts.astype("datetime64[ns]").astype("int64") // divisor).tolist()
+
+
 def exactly_once_parquet_sink(out_dir: str):
     """Idempotent foreachBatch writer: each micro-batch lands in its own
     ``batch_id=<n>`` partition directory with overwrite mode, so a REPLAYED
@@ -333,7 +345,7 @@ def _watchdog_fn_factory(silence_ms: int):
             if len(pdf):
                 # datetime64[ns] -> epoch ms (tz-aware values are UTC ns)
                 batch_ms.extend(
-                    (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000).tolist()
+                    _epoch_int64(pdf["ts"], 1_000_000)
                 )
         alerts_last, alerts_n = [], []
         for ms in sorted(batch_ms):
@@ -529,7 +541,7 @@ def _sessionize_fn_factory(gap_s: int):
         for pdf in pdf_iter:
             if len(pdf):
                 batch_ms.extend(
-                    (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000).tolist()
+                    _epoch_int64(pdf["ts"], 1_000_000)
                 )
         closed = []
         # batch-independence (the stateful-timer rule): a gap wholly
@@ -660,7 +672,7 @@ def _decayed_hh_fn_factory(half_life_ms: int, capacity: int):
         rows: list[tuple[int, str]] = []
         for pdf in pdf_iter:
             if len(pdf):
-                ms = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000).tolist()
+                ms = _epoch_int64(pdf["ts"], 1_000_000)
                 rows.extend(zip(ms, pdf["item"].tolist()))
         if not rows:
             return
@@ -760,7 +772,7 @@ def _ewma_anomaly_fn_factory(alpha: float, k: float, min_obs: int):
                 # so this IS the batch twin's full-resolution ts order (an
                 # ms truncation would reorder sub-ms event pairs vs the
                 # batch fold — r9 review finding)
-                us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000).tolist()
+                us = _epoch_int64(pdf["ts"], 1_000)
                 eids = pdf["event_id"].tolist()
                 vals = pdf["value"].tolist()
                 rows.extend(zip(us, eids, vals))

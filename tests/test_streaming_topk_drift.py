@@ -65,7 +65,7 @@ def _run_stream(spark, tmp_path, tag, batches, capacity):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "availableNow run did not finish"
     out = spark.read.parquet(outdir)
     last = out.agg(F.max("batch_id")).collect()[0][0]
     return {
