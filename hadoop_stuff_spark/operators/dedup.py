@@ -30,6 +30,7 @@ from pyspark.sql.types import ArrayType, LongType
 from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions import text as T
 from hadoop_stuff_spark.functions.text import fingerprint_md5
+from hadoop_stuff_spark.operators.sampling import _BUDGET_TAU
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -1652,3 +1653,149 @@ FROM f JOIN fir USING (fp)
 GROUP BY source
 ORDER BY source
 """
+
+
+def n3_dedup_aware_mixture_shift(
+    spark: SparkSession, sf_dir: str, tau: float = _BUDGET_TAU
+) -> DataFrame:
+    """How much each source's temperature-τ mixture share MOVES when the
+    token mass is counted after exact dedup instead of raw — the
+    correction :func:`n3_effective_token_yield` implies and a budget
+    planner should apply: a self-copying source inflates its raw token
+    count and therefore its raw mixture share; recomputing the share
+    over canonical tokens (corpus-wide min-doc_id rule,
+    :func:`_canonical_first`) reallocates exactly that inflation to the
+    cleaner sources. `share_shift` is the per-source delta (negative =
+    the source was over-weighted by duplication).
+
+    Exactness: token counts are exact int64 (the size(split()) house
+    convention); both share chains are the mixture-table pow/sum
+    expression (same τ as the certified allocator — imported, never a
+    re-typed constant) whose libm/partial-agg ulps are erased by the
+    6 dp output round; the shift is computed from the RAW doubles and
+    rounded once.
+
+    Scale shape: one documents scan → md5 fingerprint + token count
+    map-side → one fp hash agg + join-back → |sources|-row aggregate;
+    the two share windows run over the |sources|-row relation."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        fingerprint_md5("text").alias("fp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    first = _canonical_first(docs).select("fp", "canonical_id")
+    canon = F.col("doc_id") == F.col("canonical_id")
+    per = (
+        docs.join(first, "fp")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(canon, F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "canonical_tokens"
+            ),
+        )
+    )
+    w = Window.partitionBy()
+
+    def _share(tokens):
+        p = tokens.cast("double") / F.sum(tokens).over(w).cast("double")
+        powed = F.pow(p, 1.0 / tau)
+        return powed / F.sum(powed).over(w)
+
+    raw_share = _share(F.col("n_tokens"))
+    dedup_share = _share(F.col("canonical_tokens"))
+    return per.select(
+        "source",
+        "n_tokens",
+        "canonical_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(dedup_share, 6).alias("dedup_share"),
+        F.round(dedup_share - raw_share, 6).alias("share_shift"),
+    ).orderBy("source")
+
+
+def _dedup_mixture_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), fir AS (
+  SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY 1
+), per AS (
+  SELECT source,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN doc_id = canonical_id THEN n_tok ELSE 0 END)
+              AS BIGINT) AS canonical_tokens
+  FROM f JOIN fir USING (fp)
+  GROUP BY source
+), powed AS (
+  SELECT source, n_tokens, canonical_tokens,
+         pow(CAST(n_tokens AS DOUBLE)
+             / CAST(sum(n_tokens) OVER () AS DOUBLE),
+             1.0 / {_BUDGET_TAU}) AS pr,
+         pow(CAST(canonical_tokens AS DOUBLE)
+             / CAST(sum(canonical_tokens) OVER () AS DOUBLE),
+             1.0 / {_BUDGET_TAU}) AS pd
+  FROM per
+)
+SELECT source, n_tokens, canonical_tokens,
+       round(pr / sum(pr) OVER (), 6) AS raw_share,
+       round(pd / sum(pd) OVER (), 6) AS dedup_share,
+       round(pd / sum(pd) OVER () - pr / sum(pr) OVER (), 6) AS share_shift
+FROM powed
+ORDER BY source
+"""
+
+
+DEDUP_MIXTURE_SHIFT_SQL = _dedup_mixture_sql()
+
+
+def per_source_near_dup_rate_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """LSH-scale twin of :func:`per_source_near_dup_rate`: the same
+    per-source near-dup exposure readout, but candidate pairs come from
+    banded MinHash (signature collisions) instead of the exact
+    inverted-index self-join — the path that survives when the corpus is
+    too large for exact shingle-set pair enumeration. Candidates are
+    verified at the stated Jaccard threshold on their MinHash estimate
+    (matching :func:`minhash_near_dups` semantics), so the rate is the
+    LSH recall-bounded ESTIMATE of the exact operator's rate —
+    rows-only certified (signatures are xxhash64, not SQL-expressible),
+    with the agreement-vs-exact bound pinned by test.
+
+    Scale shape: signatures are one map-side pass; pairs form only
+    through band-bucket collisions (ids-only explode); the flagged-id
+    set collapses to distinct doc_ids before the one semi-join back."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_near_dups(spark, sf_dir, threshold=threshold)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    flagged = (
+        docs.join(dup_ids, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_near_dup"))
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(flagged, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_near_dup"), F.lit(0).cast("long")).alias(
+                "n_near_dup"
+            ),
+            F.round(
+                F.coalesce(F.col("n_near_dup"), F.lit(0).cast("long"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("near_dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -421,6 +421,12 @@ _CATALOG_A: dict[str, QuerySpec] = {
     # canonical): murmur3-backed, rows-only; coarsening-consistency and
     # determinism pinned by the wave-8 tests
     "n1_near_dup_clusters": QuerySpec(clusters.n1_near_dup_clusters, None),
+    # LSH-scale per-source near-dup exposure (r10): the banded-MinHash
+    # twin of the exact per_source_near_dup_rate; rows-only (xxhash64
+    # signatures), planted-fixture agreement pinned in test_wave10_ops
+    "n1_per_source_near_dup_rate_lsh": QuerySpec(
+        dedup.per_source_near_dup_rate_lsh, None
+    ),
 }
 
 # Catalog half B: every oracle-backed query added after the r1 window froze
@@ -813,6 +819,9 @@ _CATALOG_B: dict[str, QuerySpec] = {
     ),
     "weekly_retention_matrix": QuerySpec(
         temporal.weekly_retention_matrix, temporal.WEEKLY_RETENTION_SQL
+    ),
+    "n3_dedup_aware_mixture_shift": QuerySpec(
+        dedup.n3_dedup_aware_mixture_shift, dedup.DEDUP_MIXTURE_SHIFT_SQL
     ),
 }
 

@@ -977,3 +977,79 @@ def streaming_psi_drift(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming cohort-activity tracker per user
+
+_COHORT_OUT = "user_id LONG, cohort_week LONG, week_offset LONG"
+_COHORT_STATE = StructType(
+    [
+        StructField("cohort_week", LongType()),
+        StructField("weeks_seen", ArrayType(LongType())),
+    ]
+)
+
+_WEEK_MS = 7 * 86_400_000
+
+
+def _cohort_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        cohort_wk, weeks_s = state.get
+        seen = set(weeks_s or [])
+    else:
+        cohort_wk, seen = None, set()
+    batch_weeks: set[int] = set()
+    for pdf in pdf_iter:
+        if len(pdf):
+            batch_weeks.update(
+                ms // _WEEK_MS for ms in _epoch_int64(pdf["ts"], 1_000_000)
+            )
+    new = sorted(batch_weeks - seen)
+    if not new:
+        return
+    if cohort_wk is None:
+        cohort_wk = new[0]
+    seen.update(new)
+    state.update((int(cohort_wk), sorted(seen)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(new),
+            "cohort_week": [cohort_wk] * len(new),
+            "week_offset": [w - cohort_wk for w in new],
+        }
+    )
+
+
+def streaming_cohort_activity(
+    stream: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming twin of :func:`operators.temporal.weekly_retention_matrix`'s
+    numerators: per user, emit exactly one (cohort_week, week_offset) row
+    the FIRST time that user is active in a calendar week — downstream,
+    `groupBy(cohort_week, week_offset).count()` IS the retention
+    triangle's n_active, maintained on arrival instead of recomputed
+    from history. Weeks are the same engine-free integers as the batch
+    op (epoch-ms div week-ms ≡ days-since-1970 div 7 for positive
+    epochs).
+
+    Cohort = first week SEEN for the user (arrival order). For an
+    in-event-time-order stream this equals the batch operator's
+    min-week cohort exactly (the equivalence test feeds ordered
+    batches); an out-of-order arrival EARLIER than the recorded cohort
+    is counted as activity but cannot retroactively re-cohort rows
+    already emitted (append semantics — bound lateness upstream with a
+    watermark if re-cohorting matters).
+
+    State per user: one long + the set of distinct active weeks —
+    bounded by the stream's lifetime in weeks, not by event volume."""
+    renamed = stream.selectExpr(f"{user_col} AS user_id", f"{ts_col} AS ts")
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        _cohort_fn,
+        outputStructType=_COHORT_OUT,
+        stateStructType=_COHORT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -253,3 +253,45 @@ def test_weekly_retention_matrix_planted_churn(spark, tmp_path):
     assert by_k[1]["n_active"] == 2 and by_k[1]["retention"] == 0.5
     assert by_k[2]["n_active"] == 1 and by_k[2]["retention"] == 0.25
     assert by_k[3]["n_active"] == 0 and by_k[3]["retention"] == 0.0
+def test_dedup_aware_mixture_shift_reallocates(spark, tmp_path):
+    """srcB's tokens are mostly copies of srcA's canonical doc: its
+    dedup-aware share must DROP (negative shift) and srcA's must rise;
+    both share columns sum to 1 within rounding."""
+    from hadoop_stuff_spark.operators.dedup import n3_dedup_aware_mixture_shift
+
+    long_text = " ".join(f"w{i}" for i in range(200))
+    docs = [
+        (1, "srcA", long_text),
+        (2, "srcB", long_text),   # duplicate mass inflates srcB's raw count
+        (3, "srcB", "tiny unique doc"),
+        (4, "srcA", "another unique doc entirely"),
+    ]
+    sf = _docs_fixture(tmp_path, docs, name="sf_mix")
+    rows = {r["source"]: r for r in n3_dedup_aware_mixture_shift(spark, sf).collect()}
+    assert rows["srcB"]["share_shift"] < 0 < rows["srcA"]["share_shift"]
+    for col in ("raw_share", "dedup_share"):
+        assert abs(sum(r[col] for r in rows.values()) - 1.0) < 1e-5
+    # canonical mass: srcB keeps only its unique doc's tokens
+    assert rows["srcB"]["canonical_tokens"] == 3
+
+
+def test_per_source_near_dup_rate_lsh_agrees_on_planted(spark, tmp_path):
+    """On the planted near-dup fixture the LSH-scale rate must flag the
+    same source the exact operator flags, and keep srcB's explicit 0."""
+    from hadoop_stuff_spark.operators.dedup import per_source_near_dup_rate_lsh
+
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = "the quick brown fox jumps over the lazy dog again and once"
+    docs = [
+        (1, "srcA", near_a),
+        (2, "srcA", near_b),
+        (3, "srcB", "structured streaming watermarks drop late arrivals"),
+        (4, "srcB", "broadcast joins avoid shuffling the large fact side"),
+    ]
+    sf = _docs_fixture(tmp_path, docs, name="sf_lshr")
+    rows = {
+        r["source"]: r for r in per_source_near_dup_rate_lsh(spark, sf).collect()
+    }
+    assert set(rows) == {"srcA", "srcB"}
+    assert rows["srcA"]["n_near_dup"] == 2 and rows["srcA"]["near_dup_rate"] == 1.0
+    assert rows["srcB"]["n_near_dup"] == 0 and rows["srcB"]["near_dup_rate"] == 0.0
