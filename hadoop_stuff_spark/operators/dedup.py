@@ -1514,6 +1514,15 @@ def per_source_near_dup_rate(
     |sources|-row totals."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(spark, sf_dir, n, threshold, max_doc_freq)
+    return _per_source_rate_from_pairs(docs, pairs)
+
+
+def _per_source_rate_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of the exact and LSH per-source near-dup rates: pair
+    sides → distinct flagged doc_ids → one semi-join back → full source
+    grid with explicit zeros (the zero-cell rule) and the 6 dp rate. ONE
+    definition so the grid/rounding semantics cannot drift between the
+    twins (r10 review)."""
     dup_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1573,6 +1582,36 @@ ORDER BY t.source
 )
 
 
+def _fp_token_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, fp, n_tok, canonical_id) — the ONE per-doc
+    relation the token-mass dedup reports build on: the shared md5
+    normalization (:func:`fingerprint_md5`), the explode-free
+    size(split()) token count, and the corpus-wide canonical pick
+    (:func:`_canonical_first`). One definition so the fingerprint/token
+    conventions cannot drift between the yield report and the mixture
+    shift (r10 review)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        fingerprint_md5("text").alias("fp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    first = _canonical_first(docs).select("fp", "canonical_id")
+    return docs.join(first, "fp")
+
+
+# SQL mirror of _fp_token_relation, shared verbatim by
+# EFFECTIVE_TOKEN_YIELD_SQL and DEDUP_MIXTURE_SHIFT_SQL
+_FP_TOKEN_CTES = """f AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), fir AS (
+  SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY 1
+)"""
+
+
 def n3_effective_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source EFFECTIVE token yield after exact dedup — the number a
     token-budget planner actually needs: raw token counts over-state a
@@ -1597,14 +1636,7 @@ def n3_effective_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one documents scan → map-side md5 fingerprint + token
     count → one fp hash agg for canonical ids → one fp join-back →
     |sources|-row aggregate. Text never shuffles (fp and n_tok only)."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "source",
-        fingerprint_md5("text").alias("fp"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
-    )
-    first = _canonical_first(docs).select("fp", "canonical_id")
-    j = docs.join(first, "fp")
+    j = _fp_token_relation(spark, sf_dir)
     canon = F.col("doc_id") == F.col("canonical_id")
     per = j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1629,15 +1661,8 @@ def n3_effective_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-EFFECTIVE_TOKEN_YIELD_SQL = """
-WITH f AS (
-  SELECT doc_id, source,
-         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-  FROM documents
-), fir AS (
-  SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY 1
-)
+EFFECTIVE_TOKEN_YIELD_SQL = f"""
+WITH {_FP_TOKEN_CTES}
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -1678,16 +1703,9 @@ def n3_dedup_aware_mixture_shift(
     Scale shape: one documents scan → md5 fingerprint + token count
     map-side → one fp hash agg + join-back → |sources|-row aggregate;
     the two share windows run over the |sources|-row relation."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "source",
-        fingerprint_md5("text").alias("fp"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
-    )
-    first = _canonical_first(docs).select("fp", "canonical_id")
     canon = F.col("doc_id") == F.col("canonical_id")
     per = (
-        docs.join(first, "fp")
+        _fp_token_relation(spark, sf_dir)
         .groupBy("source")
         .agg(
             F.sum("n_tok").alias("n_tokens"),
@@ -1717,14 +1735,7 @@ def n3_dedup_aware_mixture_shift(
 
 def _dedup_mixture_sql() -> str:
     return f"""
-WITH f AS (
-  SELECT doc_id, source,
-         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-  FROM documents
-), fir AS (
-  SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY 1
-), per AS (
+WITH {_FP_TOKEN_CTES}, per AS (
   SELECT source,
          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          CAST(sum(CASE WHEN doc_id = canonical_id THEN n_tok ELSE 0 END)
@@ -1772,30 +1783,4 @@ def per_source_near_dup_rate_lsh(
     set collapses to distinct doc_ids before the one semi-join back."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = minhash_near_dups(spark, sf_dir, threshold=threshold)
-    dup_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    flagged = (
-        docs.join(dup_ids, "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_near_dup"))
-    )
-    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        totals.join(flagged, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce(F.col("n_near_dup"), F.lit(0).cast("long")).alias(
-                "n_near_dup"
-            ),
-            F.round(
-                F.coalesce(F.col("n_near_dup"), F.lit(0).cast("long"))
-                / F.col("n_docs").cast("double"),
-                6,
-            ).alias("near_dup_rate"),
-        )
-        .orderBy("source")
-    )
+    return _per_source_rate_from_pairs(docs, pairs)

@@ -1003,9 +1003,14 @@ def _cohort_fn(
         cohort_wk, seen = None, set()
     batch_weeks: set[int] = set()
     for pdf in pdf_iter:
-        if len(pdf):
+        # NaT MUST drop before the epoch view: pandas converts NaT to
+        # int64 min (week ~-15251), and here that garbage would persist
+        # as the user's cohort FOREVER (keyed state, not a transient
+        # emission — r10 review finding); dropna is the null filter
+        ts = pdf["ts"].dropna()
+        if len(ts):
             batch_weeks.update(
-                ms // _WEEK_MS for ms in _epoch_int64(pdf["ts"], 1_000_000)
+                ms // _WEEK_MS for ms in _epoch_int64(ts, 1_000_000)
             )
     new = sorted(batch_weeks - seen)
     if not new:

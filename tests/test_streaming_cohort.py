@@ -110,7 +110,57 @@ def test_stream_reproduces_batch_retention_numerators(spark, tmp_path):
 
 def test_stream_cohort_batch_split_invariant(spark, tmp_path):
     one = _run(spark, tmp_path, "one", [_EVENTS])
+    # the middle batch REPEATS (1, 0) from batch one: the cross-batch
+    # (user, week) dedup — the whole reason weeks_seen is keyed state —
+    # must swallow it (r10 review: in-batch dedup alone would pass the
+    # plain split)
     three = _run(
-        spark, tmp_path, "three", [_EVENTS[:4], _EVENTS[4:7], _EVENTS[7:]]
+        spark,
+        tmp_path,
+        "three",
+        [_EVENTS[:4], [(1, 0)] + _EVENTS[4:7], _EVENTS[7:]],
     )
     assert one == three
+
+
+def test_stream_cohort_null_ts_does_not_poison_state(spark, tmp_path):
+    """A malformed line (unparseable ts → NaT) must produce NO emission
+    and leave NO state: the user's cohort is set by their first REAL
+    event, not by int64-min garbage (the NaT→week -15251 trap)."""
+    logdir = str(tmp_path / "logs_nat")
+    ckpt = str(tmp_path / "ckpt_nat")
+    outdir = str(tmp_path / "out_nat")
+    os.makedirs(logdir)
+    base = _EPOCH_US // 1_000_000
+
+    def _typed_lenient(stream):
+        # a production parser NULLs malformed rows instead of crashing
+        # (ANSI cast would throw on the junk string before NaT exists)
+        p = F.split(F.col("value"), " ")
+        return stream.select(
+            p[0].cast("long").alias("user_id"),
+            F.to_timestamp(F.expr("try_cast(split(value, ' ')[1] AS LONG)")).alias(
+                "ts"
+            ),
+        )
+
+    for i, lines in enumerate(
+        [["5 not_a_ts"], [f"5 {base + 2 * _WK_S}"]]
+    ):
+        with open(os.path.join(logdir, f"b{i}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        q = (
+            streaming_cohort_activity(_typed_lenient(tail_stream(spark, logdir)))
+            .writeStream.outputMode("append")
+            .foreachBatch(exactly_once_parquet_sink(outdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    rows = [
+        (r["user_id"], r["cohort_week"], r["week_offset"])
+        for r in spark.read.parquet(outdir).collect()
+    ]
+    wk = (base * 1000 + 2 * _WK_S * 1000) // (7 * 86_400_000)
+    assert rows == [(5, wk, 0)]

@@ -253,6 +253,8 @@ def test_weekly_retention_matrix_planted_churn(spark, tmp_path):
     assert by_k[1]["n_active"] == 2 and by_k[1]["retention"] == 0.5
     assert by_k[2]["n_active"] == 1 and by_k[2]["retention"] == 0.25
     assert by_k[3]["n_active"] == 0 and by_k[3]["retention"] == 0.0
+
+
 def test_dedup_aware_mixture_shift_reallocates(spark, tmp_path):
     """srcB's tokens are mostly copies of srcA's canonical doc: its
     dedup-aware share must DROP (negative shift) and srcA's must rise;
