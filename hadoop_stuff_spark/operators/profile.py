@@ -1566,3 +1566,99 @@ FROM terms
 GROUP BY source
 ORDER BY source
 """
+
+
+def priority_mix_drift_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of each calendar month's order-PRIORITY mix against the
+    corpus-lifetime mix — the categorical drift monitor for a workload's
+    composition (a month where urgent orders spike shows as a PSI spike
+    long before anyone reads the raw mix table). The categorical sibling
+    of :func:`n3_length_psi_by_source` with months as the monitored
+    slices and priorities as the cells, read on the standard PSI scale
+    (<0.1 stable, 0.1-0.25 moderate, >0.25 investigate).
+
+    The (month × priority) grid is materialized COMPLETE before any
+    share forms (zero-cell rule: a priority absent in a month is exactly
+    the drift signal PSI must see, and a groupBy would drop it); months
+    are engine-free integers year·100+month (yyyymm — never
+    date_trunc('month'), whose return type differs across engines).
+
+    Exactness: counts exact int64; shares floored at 1e-6 (the PSI
+    smoothing convention); per-cell terms 9 dp fixed-point-summed so
+    both engines add identical integers (the value_drift_psi rail).
+
+    Scale shape: one orders scan → (month, priority) hash aggregate;
+    the grid crossJoin multiplies two TINY distinct frames (months ×
+    |priorities|) and every window runs over grid-sized cells."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+            "order_month"
+        ),
+        "o_orderpriority",
+    )
+    cells = o.groupBy("order_month", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = cells.select("order_month").distinct().crossJoin(
+        F.broadcast(cells.select("o_orderpriority").distinct())
+    )
+    g = grid.join(cells, ["order_month", "o_orderpriority"], "left").select(
+        "order_month",
+        "o_orderpriority",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )
+    w_m = Window.partitionBy("order_month")
+    w_p = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    q = F.greatest(
+        F.col("n").cast("double") / F.sum("n").over(w_m), F.lit(1e-6)
+    )
+    p = F.greatest(
+        F.sum("n").over(w_p).cast("double") / F.sum("n").over(w_all),
+        F.lit(1e-6),
+    )
+    term_fp = F.round((q - p) * F.log(q / p) * 1000000000, 0).cast("long")
+    return (
+        g.select("order_month", "n", term_fp.alias("_t"))
+        .groupBy("order_month")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.round(F.sum("_t") / 1000000000.0, 6).alias("psi"),
+        )
+        .orderBy("order_month")
+    )
+
+
+PRIORITY_MIX_DRIFT_SQL = """
+WITH o AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS order_month,
+         o_orderpriority
+  FROM orders
+), cells AS (
+  SELECT order_month, o_orderpriority, count(*) AS n FROM o GROUP BY 1, 2
+), grid AS (
+  SELECT m.order_month, p.o_orderpriority
+  FROM (SELECT DISTINCT order_month FROM cells) m
+  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM cells) p
+), g AS (
+  SELECT grid.order_month, grid.o_orderpriority, COALESCE(cells.n, 0) AS n
+  FROM grid LEFT JOIN cells USING (order_month, o_orderpriority)
+), shares AS (
+  SELECT order_month, n,
+         greatest(CAST(n AS DOUBLE)
+                  / sum(n) OVER (PARTITION BY order_month), 1e-6) AS q,
+         greatest(CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                  / sum(n) OVER (), 1e-6) AS p
+  FROM g
+), terms AS (
+  SELECT order_month, n,
+         CAST(round((q - p) * ln(q / p) * 1000000000, 0) AS BIGINT) AS t
+  FROM shares
+)
+SELECT CAST(order_month AS BIGINT) AS order_month,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       round(sum(t) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY 1 ORDER BY 1
+"""

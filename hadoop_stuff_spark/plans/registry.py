@@ -823,6 +823,9 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n3_dedup_aware_mixture_shift": QuerySpec(
         dedup.n3_dedup_aware_mixture_shift, dedup.DEDUP_MIXTURE_SHIFT_SQL
     ),
+    "priority_mix_drift_by_month": QuerySpec(
+        profile.priority_mix_drift_by_month, profile.PRIORITY_MIX_DRIFT_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

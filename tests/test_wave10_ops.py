@@ -297,3 +297,47 @@ def test_per_source_near_dup_rate_lsh_agrees_on_planted(spark, tmp_path):
     assert set(rows) == {"srcA", "srcB"}
     assert rows["srcA"]["n_near_dup"] == 2 and rows["srcA"]["near_dup_rate"] == 1.0
     assert rows["srcB"]["n_near_dup"] == 0 and rows["srcB"]["near_dup_rate"] == 0.0
+
+
+def test_priority_mix_drift_planted_month(spark, tmp_path):
+    """Eleven months share one stable mix; month 12 flips entirely to a
+    priority the rest of the corpus barely uses — its PSI must dominate
+    every stable month's, and absent (month, priority) cells must count
+    (the zero-cell rule: the drifted month has ZERO of the common
+    priority)."""
+    from hadoop_stuff_spark.operators.profile import priority_mix_drift_by_month
+
+    from datetime import datetime, timezone
+
+    dates, prios = [], []
+    for m in range(12):
+        for i in range(30):
+            dt = datetime(2001, m + 1, (i % 28) + 1, tzinfo=timezone.utc)
+            dates.append(int(dt.timestamp()) * 1_000_000)
+            prios.append("5-LOW" if m == 11 else "1-URGENT")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(dates)
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array([1] * n, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n),
+            "o_totalprice": pa.array([10.0] * n, pa.float64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(prios),
+        }
+    )
+    sf = tmp_path / "sf_pmix"
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(table, str(sf / "orders.parquet"))
+    out = priority_mix_drift_by_month(spark, str(sf)).collect()
+    assert len(out) == 12
+    psis = {r["order_month"]: r["psi"] for r in out}
+    # the flipped month (2001-12) carries by far the largest PSI; the
+    # stable months all share ONE value (their mix differs from the
+    # corpus only by the drifted month's mass in the corpus marginal)
+    rest = [v for k, v in psis.items() if k != 200112]
+    assert psis[200112] > 4 * max(rest)
+    assert len(set(rest)) == 1
