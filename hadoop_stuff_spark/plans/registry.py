@@ -882,10 +882,18 @@ _ANCHORS = [
     "u3_expression_predicate",
 ]
 
-# r10 window = cohort D: _CATALOG_B entries 105..end in declaration order
-# (the final never-driver-certified cohort — after this round every
-# oracle-backed entry has an independent driver row).
-_WINDOW_ROTATION = list(_CATALOG_B)[105:140]
+# r11 window = steady-state round-robin (schedule comment above): the
+# never-certified oracle entries added after the r10 pin (the r10 in-round
+# waves, _CATALOG_B[140:]) jump the queue; the remaining slots start the
+# re-certification round-robin oldest-driver-row-first — the displaced
+# _CATALOG_A oracle entries (driver rows date to r1-r6), taken in
+# declaration order. Both pieces are COMPUTED from the catalog so the slice
+# stays honest as waves land; r11 in-round additions therefore go to
+# EXTRA_QUERIES. The A-entries not taken here (declaration-order tail) head
+# the r12 queue, followed by cohort A (_CATALOG_B[0:35]).
+_NEVER_CERTIFIED = list(_CATALOG_B)[140:]
+_A_DISPLACED = [n for n, s in _CATALOG_A.items() if s.oracle and n not in _ANCHORS]
+_WINDOW_ROTATION = _NEVER_CERTIFIED + _A_DISPLACED[: 35 - len(_NEVER_CERTIFIED)]
 
 _ORACLE_CATALOG: dict[str, QuerySpec] = {
     **{n: s for n, s in _CATALOG_A.items() if s.oracle},
