@@ -101,6 +101,20 @@ HEADLINE = [
         "part_neighbor_jaccard",
         "n2_label_silhouette",
     ]),
+    # round-11 widening (VERDICT r10 #2): the round-10 operator waves get
+    # wall-time accountability, added at ROUND START so the committed
+    # detail and the driver's BENCH_r11 describe the same set. The detail
+    # JSON carries a shared_51_total subtotal (total minus these) that
+    # compares against BENCH_r10's 51-query value — quoting r10
+    # queries_min as the base per the sustained environment-shift verdict.
+    *(_R11_WIDENING := [
+        "ab_value_bootstrap_ci",
+        "seasonal_residual_changepoint",
+        "per_source_near_dup_rate",
+        "n3_effective_token_yield",
+        "seasonality_strength_by_priority",
+        "weekly_retention_matrix",
+    ]),
 ]
 
 
@@ -208,14 +222,24 @@ def main() -> None:
     # minus this round's additions) is what compares against the prior
     # BENCH_r{N}; the r8-era 41-query subtotal is kept for the longer
     # series.
+    shared_51 = round(
+        sum(t for n, t in timings.items() if n not in _R11_WIDENING), 3
+    )
     shared_45 = round(
-        sum(t for n, t in timings.items() if n not in _R10_WIDENING), 3
+        sum(
+            t
+            for n, t in timings.items()
+            if n not in _R10_WIDENING and n not in _R11_WIDENING
+        ),
+        3,
     )
     shared_prev = round(
         sum(
             t
             for n, t in timings.items()
-            if n not in _R9_WIDENING and n not in _R10_WIDENING
+            if n not in _R9_WIDENING
+            and n not in _R10_WIDENING
+            and n not in _R11_WIDENING
         ),
         3,
     )
@@ -238,8 +262,10 @@ def main() -> None:
         "unit": "sec",
         "shared_41_total": shared_prev,
         "shared_45_total": shared_45,
+        "shared_51_total": shared_51,
         "r9_widening": _R9_WIDENING,
         "r10_widening": _R10_WIDENING,
+        "r11_widening": _R11_WIDENING,
         "queries": timings,
         "queries_min": t_min,
         "queries_max": t_max,
@@ -662,21 +688,26 @@ def _ingest_benchmarks(spark):
 # real regression from co-tenant load (unchanged-code queries drifted up
 # to +24% in r7) — the median of 5 keeps one hot and one cold outlier
 # out, and queries_min is recorded alongside for the adjudication
-# min-of-5 adjudication for every query that crossed ~2 s in the r9
-# DRIVER run (VERDICT r9 "what's wrong" #4: recompute the >=2 s set at
-# round start instead of pinning r7's). Set = BENCH_DETAIL_r09.json
-# (driver session) queries median >= 2.0 s, plus referential_integrity
-# at 1.93 s min — the r9 environment shift pushed it to the boundary.
+# min-of-5 adjudication for every query that crossed ~2 s in the r10
+# DRIVER run (standing gate per VERDICT r10 "what's wrong" #1: recompute
+# this set at EVERY round start from the previous driver run, never carry
+# the prior round's set). Set = BENCH_r10.json (driver session) queries
+# median >= 2.0 s — adds part_neighbor_jaccard (8.14 s, new r10 headline
+# entry), n3_skipgram_cooccurrence (2.76) and n2_hybrid_rrf_fusion (3.09)
+# to the carried-over eight.
 _EXTRA_RUNS = {
     "n2_kmeans_lloyd": 2,
+    "part_neighbor_jaccard": 2,
     "n1_curate_pipeline": 2,
     "pagerank_copurchase_parts": 2,
-    "n1_semantic_dedup_pairs": 2,
-    "basket_affinity_lift": 2,
     "n1_containment_pairs": 2,
-    "source_js_divergence_matrix": 2,
-    "copurchase_pairs": 2,
+    "n1_semantic_dedup_pairs": 2,
     "referential_integrity_report": 2,
+    "n2_hybrid_rrf_fusion": 2,
+    "source_js_divergence_matrix": 2,
+    "n3_skipgram_cooccurrence": 2,
+    "basket_affinity_lift": 2,
+    "copurchase_pairs": 2,
 }
 
 # queries whose result is the deliverable (collect it); others just count
