@@ -887,11 +887,14 @@ _ANCHORS = [
 # waves, _CATALOG_B[140:]) jump the queue; the remaining slots start the
 # re-certification round-robin oldest-driver-row-first — the displaced
 # _CATALOG_A oracle entries (driver rows date to r1-r6), taken in
-# declaration order. Both pieces are COMPUTED from the catalog so the slice
-# stays honest as waves land; r11 in-round additions therefore go to
-# EXTRA_QUERIES. The A-entries not taken here (declaration-order tail) head
-# the r12 queue, followed by cohort A (_CATALOG_B[0:35]).
-_NEVER_CERTIFIED = list(_CATALOG_B)[140:]
+# declaration order. The never-certified slice is PINNED at the r11
+# round-start catalog boundary (148) — same reason as the r10 pin at 140:
+# r11 in-round waves extend _CATALOG_B past it and must land in
+# EXTRA_QUERIES (locally certified), never grow the window mid-round. The
+# A-entries not taken here (declaration-order tail) head the r12 queue,
+# followed by the r11-wave entries (_CATALOG_B[148:]), then cohort A
+# (_CATALOG_B[0:35]).
+_NEVER_CERTIFIED = list(_CATALOG_B)[140:148]
 _A_DISPLACED = [n for n, s in _CATALOG_A.items() if s.oracle and n not in _ANCHORS]
 _WINDOW_ROTATION = _NEVER_CERTIFIED + _A_DISPLACED[: 35 - len(_NEVER_CERTIFIED)]
 
@@ -915,6 +918,10 @@ assert len(set(_CATALOG_A) & set(_CATALOG_B)) == 0, "catalog halves must not ove
 assert len(_CATALOG_B) >= 105, (
     f"cohort schedule assumes three full 35-slot cohorts; _CATALOG_B has "
     f"{len(_CATALOG_B)} entries — cohort D would be {len(_CATALOG_B) - 105}"
+)
+assert len(_CATALOG_B) >= 148, (
+    f"r11 never-certified slice is pinned at [140:148]; _CATALOG_B has "
+    f"{len(_CATALOG_B)} entries — the pin no longer covers the r10 waves"
 )
 assert all(
     s.oracle for s in EXTRA_QUERIES.values()
