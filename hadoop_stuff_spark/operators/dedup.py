@@ -30,7 +30,11 @@ from pyspark.sql.types import ArrayType, LongType
 from hadoop_stuff_spark.catalog import load_table, spread
 from hadoop_stuff_spark.functions import text as T
 from hadoop_stuff_spark.functions.text import fingerprint_md5
-from hadoop_stuff_spark.operators.sampling import _BUDGET_TAU
+from hadoop_stuff_spark.operators.sampling import (
+    _BUDGET_MAX_EPOCHS,
+    _BUDGET_TAU,
+    _BUDGET_TOKENS,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -1762,6 +1766,178 @@ ORDER BY source
 
 
 DEDUP_MIXTURE_SHIFT_SQL = _dedup_mixture_sql()
+
+
+def n3_dedup_aware_token_budget(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = _BUDGET_TOKENS,
+    tau: float = _BUDGET_TAU,
+    max_epochs: float = _BUDGET_MAX_EPOCHS,
+) -> DataFrame:
+    """The full token-budget allocator run over DEDUPLICATED token mass —
+    the compose :func:`n3_dedup_aware_mixture_shift` implies: temperature-τ
+    shares are recomputed over canonical tokens (corpus-wide min-doc_id
+    rule, :func:`_canonical_first`), then the certified allocation stage of
+    :func:`sampling.n3_token_budget_epochs` (floor of the milli-token-
+    rounded product, epoch cap, clip-and-return) runs on those shares with
+    epochs counted against the tokens a training run can actually draw
+    WITHOUT re-reading duplicates. ``raw_allocated_tokens`` is what the
+    raw-count allocator would have granted (same budget, same τ, shares
+    over raw tokens), so ``budget_correction`` is the per-source token
+    transfer that exact dedup forces — negative for self-copying sources.
+
+    Note the epoch denominators differ by design: the raw allocator counts
+    an epoch against raw tokens (re-reading duplicates "fills" budget),
+    this one against canonical tokens — so a duplicate-heavy source hits
+    the ``max_epochs`` cap SOONER here, and the cap returns the budget its
+    duplication was hiding.
+
+    Exactness across engines: token counts are exact int64 (the
+    explode-free size(split()) house convention via
+    :func:`_fp_token_relation`); both share chains are the mixture-table
+    pow/sum expression with τ imported from the certified allocator;
+    allocations floor the 3 dp-ROUNDED product (round erases partial-agg
+    ulps BEFORE the floor; explicit floor(), never a bare cast — DuckDB
+    rounds, Spark truncates); a source whose every doc is a copy of
+    another source's canonical carries canonical_tokens = 0 and is guarded
+    to 0 epochs / 0 drawn (no NULL-vs-NaN divergence); every reported
+    ratio rounds to 6 dp.
+
+    Scale shape: one documents scan → map-side md5 fingerprint + token
+    count → one fp hash agg + join-back → |sources|-row aggregate; both
+    share windows and all allocation arithmetic run on the |sources|-row
+    relation. Text never shuffles (fp and n_tok only).
+
+    Reference scope note: the reference engine (olegz/hadoop-stuff) has no
+    budgeting surface; this extends the LLM-pipeline family
+    (SURVEY.md §2.7 N3)."""
+    canon = F.col("doc_id") == F.col("canonical_id")
+    per = (
+        _fp_token_relation(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(canon, F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "canonical_tokens"
+            ),
+        )
+    )
+    w = Window.partitionBy()
+
+    def _share(tokens):
+        p = tokens.cast("double") / F.sum(tokens).over(w).cast("double")
+        powed = F.pow(p, 1.0 / tau)
+        return powed / F.sum(powed).over(w)
+
+    def _alloc(share):
+        return F.floor(F.round(share * float(budget_tokens), 3)).cast("long")
+
+    dedup_share = _share(F.col("canonical_tokens"))
+    raw_share = _share(F.col("n_tokens"))
+    staged = (
+        per.withColumn("target_share", dedup_share)
+        .withColumn("allocated_tokens", _alloc(dedup_share))
+        .withColumn("raw_allocated_tokens", _alloc(raw_share))
+        .withColumn(
+            "epochs_raw",
+            F.when(F.col("canonical_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("allocated_tokens").cast("double")
+                / F.col("canonical_tokens").cast("double")
+            ),
+        )
+        .withColumn("clipped", F.col("epochs_raw") > F.lit(float(max_epochs)))
+        .withColumn(
+            "tokens_drawn",
+            F.when(
+                F.col("clipped"),
+                F.floor(F.lit(float(max_epochs)) * F.col("canonical_tokens")).cast(
+                    "long"
+                ),
+            ).otherwise(F.col("allocated_tokens")),
+        )
+    )
+    return staged.select(
+        "source",
+        "n_tokens",
+        "canonical_tokens",
+        F.round("target_share", 6).alias("target_share"),
+        "allocated_tokens",
+        "raw_allocated_tokens",
+        (F.col("allocated_tokens") - F.col("raw_allocated_tokens")).alias(
+            "budget_correction"
+        ),
+        F.round(
+            F.when(F.col("clipped"), F.lit(float(max_epochs))).otherwise(
+                F.col("epochs_raw")
+            ),
+            6,
+        ).alias("epochs"),
+        "clipped",
+        "tokens_drawn",
+        F.round(
+            F.col("tokens_drawn").cast("double")
+            / F.sum("tokens_drawn").over(w).cast("double"),
+            6,
+        ).alias("realized_share"),
+    ).orderBy("source")
+
+
+DEDUP_TOKEN_BUDGET_SQL = f"""
+WITH {_FP_TOKEN_CTES}, per AS (
+  SELECT source,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN doc_id = canonical_id THEN n_tok ELSE 0 END)
+              AS BIGINT) AS canonical_tokens
+  FROM f JOIN fir USING (fp)
+  GROUP BY source
+), powed AS (
+  SELECT source, n_tokens, canonical_tokens,
+         pow(CAST(n_tokens AS DOUBLE)
+             / CAST(sum(n_tokens) OVER () AS DOUBLE),
+             1.0 / {_BUDGET_TAU}) AS pr,
+         pow(CAST(canonical_tokens AS DOUBLE)
+             / CAST(sum(canonical_tokens) OVER () AS DOUBLE),
+             1.0 / {_BUDGET_TAU}) AS pd
+  FROM per
+), shares AS (
+  SELECT source, n_tokens, canonical_tokens,
+         pd / sum(pd) OVER () AS target_share,
+         CAST(floor(round(pd / sum(pd) OVER ()
+                          * {float(_BUDGET_TOKENS)}, 3)) AS BIGINT)
+           AS allocated_tokens,
+         CAST(floor(round(pr / sum(pr) OVER ()
+                          * {float(_BUDGET_TOKENS)}, 3)) AS BIGINT)
+           AS raw_allocated_tokens
+  FROM powed
+), staged AS (
+  SELECT *,
+         CASE WHEN canonical_tokens = 0 THEN 0.0
+              ELSE allocated_tokens / CAST(canonical_tokens AS DOUBLE)
+              END AS epochs_raw
+  FROM shares
+), capped AS (
+  SELECT *,
+         epochs_raw > {_BUDGET_MAX_EPOCHS} AS clipped,
+         CASE WHEN epochs_raw > {_BUDGET_MAX_EPOCHS}
+              THEN CAST(floor({_BUDGET_MAX_EPOCHS} * canonical_tokens)
+                        AS BIGINT)
+              ELSE allocated_tokens END AS tokens_drawn
+  FROM staged
+)
+SELECT source, n_tokens, canonical_tokens,
+       round(target_share, 6) AS target_share,
+       allocated_tokens, raw_allocated_tokens,
+       allocated_tokens - raw_allocated_tokens AS budget_correction,
+       round(CASE WHEN clipped THEN {_BUDGET_MAX_EPOCHS} ELSE epochs_raw END, 6)
+         AS epochs,
+       clipped,
+       tokens_drawn,
+       round(CAST(tokens_drawn AS DOUBLE)
+             / CAST(sum(tokens_drawn) OVER () AS DOUBLE), 6) AS realized_share
+FROM capped
+ORDER BY source
+"""
 
 
 def per_source_near_dup_rate_lsh(

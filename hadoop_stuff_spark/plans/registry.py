@@ -826,6 +826,12 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "priority_mix_drift_by_month": QuerySpec(
         profile.priority_mix_drift_by_month, profile.PRIORITY_MIX_DRIFT_SQL
     ),
+    # ---- r11 wave (beyond the pinned [140:148] slice: these certify via
+    # EXTRA_QUERIES/test_oracle_parity this round and queue for the r12
+    # round-robin window) ----
+    "n3_dedup_aware_token_budget": QuerySpec(
+        dedup.n3_dedup_aware_token_budget, dedup.DEDUP_TOKEN_BUDGET_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------
