@@ -980,6 +980,139 @@ def streaming_psi_drift(
 
 
 # ---------------------------------------------------------------------------
+# streaming categorical-mix PSI drift detector per key
+
+_CATPSI_OUT = (
+    "user_id LONG, n_ref LONG, n_batch LONG, n_cells LONG, "
+    "psi DOUBLE, drifted BOOLEAN"
+)
+_CATPSI_STATE = StructType(
+    [
+        StructField("categories", ArrayType(StringType())),
+        StructField("ref_counts", ArrayType(LongType())),
+        StructField("n_ref", LongType()),
+    ]
+)
+
+
+def _category_psi(
+    ref: dict, n_ref: int, cur: dict, n_win: int
+) -> tuple[float, int]:
+    """PSI(window ‖ reference) over the UNION cell set with the house
+    1e-6 share floor — the categorical-cell core shared by the stateful
+    fn and the batch-equivalence tests (one definition, so the smoothing
+    and cell-union conventions cannot drift between them)."""
+    cells = sorted(set(ref) | set(cur))
+    psi = 0.0
+    for c in cells:
+        pr = max(ref.get(c, 0) / n_ref, 1e-6)
+        pc = max(cur.get(c, 0) / n_win, 1e-6)
+        psi += (pc - pr) * np.log(pc / pr)
+    return float(psi), len(cells)
+
+
+def _cat_psi_fn_factory(baseline_n: int, threshold: float, min_batch_n: int):
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cats, counts, n_ref = state.get
+            ref = dict(zip(cats, (int(c) for c in counts)))
+        else:
+            ref, n_ref = {}, 0
+        # vectorized: the batch collapses to per-category counts via
+        # np.unique — the only Python loop is over the tiny CELL set,
+        # never per event. NULL categories carry no signal (dropna).
+        parts = []
+        for pdf in pdf_iter:
+            c = pdf["category"].dropna()
+            if len(c):
+                parts.append(c.to_numpy(dtype=object))
+        arr = np.concatenate(parts) if parts else np.empty(0, dtype=object)
+        # events fill the frozen reference FIRST (arrival order), then the
+        # remainder of the batch is the comparison window — one event is
+        # never counted on both sides (the streaming_psi_drift convention)
+        fill = min(len(arr), baseline_n - n_ref)
+        if fill:
+            fc, fn_counts = np.unique(arr[:fill], return_counts=True)
+            for c, n in zip(fc, fn_counts):
+                ref[str(c)] = ref.get(str(c), 0) + int(n)
+            n_ref += fill
+        window = arr[fill:]
+        ref_cats = sorted(ref)
+        state.update(
+            (ref_cats, [int(ref[c]) for c in ref_cats], int(n_ref))
+        )
+        if n_ref < baseline_n or len(window) < min_batch_n:
+            return
+        wc, wn = np.unique(window, return_counts=True)
+        cur = {str(c): int(n) for c, n in zip(wc, wn)}
+        psi, n_cells = _category_psi(ref, n_ref, cur, len(window))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_ref": [n_ref],
+                "n_batch": [len(window)],
+                "n_cells": [n_cells],
+                "psi": [round(psi, 6)],
+                "drifted": [psi > threshold],
+            }
+        )
+
+    return fn
+
+
+def streaming_category_mix_psi(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    category_col: str = "category",
+    baseline_n: int = 100,
+    threshold: float = 0.25,
+    min_batch_n: int = 20,
+) -> DataFrame:
+    """Per-key CATEGORICAL-mix drift monitor — the categorical twin of
+    :func:`streaming_psi_drift` and the streaming twin of
+    :func:`operators.profile.priority_mix_drift_by_month`: each key's
+    first ``baseline_n`` category labels freeze a reference mix; every
+    subsequent micro-batch with at least ``min_batch_n`` labels is scored
+    as PSI(batch ‖ reference) over the UNION of reference and batch
+    cells, smoothed with the house 1e-6 share floor, and emitted with a
+    ``drifted`` flag at the standard 0.25 investigate line. A category
+    NEVER seen in the reference is exactly the signal PSI must see — the
+    union cell set is the streaming form of the batch operator's
+    zero-cell grid rule (a missing cell still contributes its term
+    through the floored share, it never silently vanishes).
+
+    Unlike the value detector there are no caller-provided bin edges:
+    the cells ARE the labels, so the reference vocabulary is learned
+    from the first ``baseline_n`` arrivals and frozen with the counts.
+
+    The comparison window IS the micro-batch (each emission scores fresh
+    data only; an event is never counted on both sides and never scored
+    twice); the reference fill is arrival-order deterministic, so any
+    in-order split of the stream into micro-batches freezes the
+    identical reference (pinned by the batch-split invariance test).
+
+    100 TB posture: state per key is the reference vocabulary + one
+    int64 count per cell + one counter — O(|categories|), bounded by the
+    label domain (priorities, languages, sources — small by nature),
+    sharded by the state store, no timers; per-batch work is one
+    np.unique pass over the key's new rows (the only Python loop runs
+    over the tiny cell set)."""
+    renamed = stream.selectExpr(
+        f"{user_col} AS user_id",
+        f"CAST({category_col} AS STRING) AS category",
+    )
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        _cat_psi_fn_factory(baseline_n, threshold, min_batch_n),
+        outputStructType=_CATPSI_OUT,
+        stateStructType=_CATPSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming cohort-activity tracker per user
 
 _COHORT_OUT = "user_id LONG, cohort_week LONG, week_offset LONG"
