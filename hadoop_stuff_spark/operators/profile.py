@@ -624,6 +624,113 @@ def _pois1_cum_hex() -> tuple:
 _POIS1_HEX = _pois1_cum_hex()
 
 
+def _poisson_boot_ci(base: DataFrame, keys: list, salt_col, b_reps: int) -> DataFrame:
+    """The Poisson-bootstrap CI chain shared by the event-type and
+    per-nation (stratified) readouts — full-data point estimate,
+    ×B replicate explode with the md5 inverse-CDF Poisson(1) ladder,
+    and exact order-statistic bounds — parameterized by the grouping
+    ``keys`` and the ladder ``salt_col`` (the stratified variant salts
+    per stratum so strata draw independent resamples). One definition so
+    the weight ladder, the degenerate rules and the rank arithmetic
+    cannot drift between the two operators (the r10 factoring rule).
+
+    ``base`` must carry: the key columns, event_id, in_a, ok, v_fp."""
+    from pyspark.sql import Window
+
+    pt = base.groupBy(*keys).agg(
+        F.sum(F.when(F.col("in_a") & F.col("ok"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("in_a"), F.col("v_fp")).otherwise(F.lit(0))).alias("s_a"),
+        F.sum(F.when(~F.col("in_a") & F.col("ok"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~F.col("in_a"), F.col("v_fp")).otherwise(F.lit(0))).alias("s_b"),
+    )
+
+    h = F.substring(
+        F.md5(
+            F.concat(
+                salt_col,
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        6,
+    )
+    w = F.when(h < F.lit(_POIS1_HEX[0]), 0)
+    for k in range(1, _BOOT_MAX_W):
+        w = w.when(h < F.lit(_POIS1_HEX[k]), k)
+    w = w.otherwise(F.lit(_BOOT_MAX_W))
+
+    reps = (
+        base.withColumn(
+            "b", F.explode(F.sequence(F.lit(1), F.lit(int(b_reps))))
+        )
+        .withColumn("w", w)
+        .groupBy(*keys, "b")
+        .agg(
+            F.sum(
+                F.when(F.col("in_a") & F.col("ok"), F.col("w")).otherwise(0)
+            ).alias("rn_a"),
+            F.sum(
+                F.when(F.col("in_a"), F.col("w") * F.col("v_fp")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rs_a"),
+            F.sum(
+                F.when(~F.col("in_a") & F.col("ok"), F.col("w")).otherwise(0)
+            ).alias("rn_b"),
+            F.sum(
+                F.when(~F.col("in_a"), F.col("w") * F.col("v_fp")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rs_b"),
+        )
+        .filter((F.col("rn_a") > 0) & (F.col("rn_b") > 0))
+        .select(
+            *keys,
+            "b",
+            (
+                (F.col("rs_a").cast("double") / 1000000.0) / F.col("rn_a")
+                - (F.col("rs_b").cast("double") / 1000000.0) / F.col("rn_b")
+            ).alias("diff"),
+        )
+    )
+    wnd = Window.partitionBy(*keys)
+    ranked = reps.select(
+        *keys,
+        "diff",
+        F.row_number().over(wnd.orderBy("diff", "b")).alias("r"),
+        F.count(F.lit(1)).over(wnd).alias("n_reps"),
+    )
+    lo_rank = F.floor((F.lit(25) * F.col("n_reps") + 999) / 1000.0).cast("long")
+    hi_rank = F.floor((F.lit(975) * F.col("n_reps") + 999) / 1000.0).cast("long")
+    ci = ranked.groupBy(*keys).agg(
+        F.max("n_reps").alias("n_reps"),
+        F.min(F.when(F.col("r") == lo_rank, F.col("diff"))).alias("_lo"),
+        F.min(F.when(F.col("r") == hi_rank, F.col("diff"))).alias("_hi"),
+    )
+    lo_r = F.round(F.col("_lo"), 6)
+    hi_r = F.round(F.col("_hi"), 6)
+    return (
+        pt.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .join(ci, keys)
+        .select(
+            *keys,
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("s_a").cast("double") / 1000000.0) / F.col("n_a")
+                - (F.col("s_b").cast("double") / 1000000.0) / F.col("n_b"),
+                6,
+            ).alias("mean_diff"),
+            lo_r.alias("ci_lo"),
+            hi_r.alias("ci_hi"),
+            "n_reps",
+            ((lo_r > 0) | (hi_r < 0)).alias("significant"),
+        )
+    )
+
+
 def ab_value_bootstrap_ci(
     spark: SparkSession, sf_dir: str, b_reps: int = _BOOT_B
 ) -> DataFrame:
@@ -679,108 +786,80 @@ def ab_value_bootstrap_ci(
         F.when(ok, v_fp).otherwise(F.lit(0).cast("decimal(19,0)")).alias("v_fp"),
     )
 
-    # full-data point estimate (the grain the CI brackets)
-    pt = base.groupBy("event_type").agg(
-        F.sum(F.when(F.col("in_a") & F.col("ok"), 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("in_a"), F.col("v_fp")).otherwise(F.lit(0))).alias("s_a"),
-        F.sum(F.when(~F.col("in_a") & F.col("ok"), 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(~F.col("in_a"), F.col("v_fp")).otherwise(F.lit(0))).alias("s_b"),
-    )
-
-    h = F.substring(
-        F.md5(
-            F.concat(
-                F.lit("abboot1:"),
-                F.col("event_id").cast("string"),
-                F.lit(":"),
-                F.col("b").cast("string"),
-            )
-        ),
-        1,
-        6,
-    )
-    w = F.when(h < F.lit(_POIS1_HEX[0]), 0)
-    for k in range(1, _BOOT_MAX_W):
-        w = w.when(h < F.lit(_POIS1_HEX[k]), k)
-    w = w.otherwise(F.lit(_BOOT_MAX_W))
-
-    reps = (
-        base.withColumn(
-            "b", F.explode(F.sequence(F.lit(1), F.lit(int(b_reps))))
-        )
-        .withColumn("w", w)
-        .groupBy("event_type", "b")
-        .agg(
-            F.sum(
-                F.when(F.col("in_a") & F.col("ok"), F.col("w")).otherwise(0)
-            ).alias("rn_a"),
-            F.sum(
-                F.when(F.col("in_a"), F.col("w") * F.col("v_fp")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("rs_a"),
-            F.sum(
-                F.when(~F.col("in_a") & F.col("ok"), F.col("w")).otherwise(0)
-            ).alias("rn_b"),
-            F.sum(
-                F.when(~F.col("in_a"), F.col("w") * F.col("v_fp")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("rs_b"),
-        )
-        .filter((F.col("rn_a") > 0) & (F.col("rn_b") > 0))
-        .select(
-            "event_type",
-            "b",
-            (
-                (F.col("rs_a").cast("double") / 1000000.0) / F.col("rn_a")
-                - (F.col("rs_b").cast("double") / 1000000.0) / F.col("rn_b")
-            ).alias("diff"),
-        )
-    )
-    wnd = Window.partitionBy("event_type")
-    ranked = reps.select(
-        "event_type",
-        "diff",
-        F.row_number().over(wnd.orderBy("diff", "b")).alias("r"),
-        F.count(F.lit(1)).over(wnd).alias("n_reps"),
-    )
-    lo_rank = F.floor((F.lit(25) * F.col("n_reps") + 999) / 1000.0).cast("long")
-    hi_rank = F.floor((F.lit(975) * F.col("n_reps") + 999) / 1000.0).cast("long")
-    ci = ranked.groupBy("event_type").agg(
-        F.max("n_reps").alias("n_reps"),
-        F.min(F.when(F.col("r") == lo_rank, F.col("diff"))).alias("_lo"),
-        F.min(F.when(F.col("r") == hi_rank, F.col("diff"))).alias("_hi"),
-    )
-    lo_r = F.round(F.col("_lo"), 6)
-    hi_r = F.round(F.col("_hi"), 6)
-    return (
-        pt.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
-        .join(ci, "event_type")
-        .select(
-            "event_type",
-            "n_a",
-            "n_b",
-            F.round(
-                (F.col("s_a").cast("double") / 1000000.0) / F.col("n_a")
-                - (F.col("s_b").cast("double") / 1000000.0) / F.col("n_b"),
-                6,
-            ).alias("mean_diff"),
-            lo_r.alias("ci_lo"),
-            hi_r.alias("ci_hi"),
-            "n_reps",
-            ((lo_r > 0) | (hi_r < 0)).alias("significant"),
-        )
-        .orderBy("event_type")
-    )
+    return _poisson_boot_ci(
+        base, ["event_type"], F.lit("abboot1:"), b_reps
+    ).orderBy("event_type")
 
 
-def _ab_bootstrap_sql() -> str:
+def _boot_ci_sql(base_cte: str, keys: list, salt_sql: str) -> str:
+    """SQL mirror of :func:`_poisson_boot_ci`, parameterized the same way
+    (grouping keys + ladder salt) so the oracle chain for every bootstrap
+    readout is ONE definition: the Poisson CASE ladder, the replicate
+    aggregation, and the integer rank arithmetic for the exact
+    order-statistic bounds. ``base_cte`` must yield the key columns plus
+    event_id, in_a, ok, v_fp (v_fp as HUGEINT micro-units)."""
     w_case = "CASE " + " ".join(
         f"WHEN h < '{t}' THEN {k}" for k, t in enumerate(_POIS1_HEX)
     ) + f" ELSE {_BOOT_MAX_W} END"
+    k = ", ".join(keys)
+    pk = ", ".join(f"p.{c}" for c in keys)
+    join_on = " AND ".join(f"ci.{c} = p.{c}" for c in keys)
     return f"""
-WITH base AS (
+WITH base AS ({base_cte}), pt AS (
+  SELECT {k},
+         CAST(sum(CASE WHEN in_a AND ok THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         sum(CASE WHEN in_a THEN v_fp ELSE 0 END) AS s_a,
+         CAST(sum(CASE WHEN NOT in_a AND ok THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN NOT in_a THEN v_fp ELSE 0 END) AS s_b
+  FROM base GROUP BY {k}
+), drawn AS (
+  SELECT {k}, reps.b, in_a, ok, v_fp,
+         substring(md5({salt_sql} || CAST(event_id AS VARCHAR) || ':'
+                       || CAST(reps.b AS VARCHAR)), 1, 6) AS h
+  FROM base
+  CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) reps
+), weighted AS (
+  SELECT {k}, b, in_a, ok, v_fp, {w_case} AS w FROM drawn
+), rep_agg AS (
+  SELECT {k}, b,
+         CAST(sum(CASE WHEN in_a AND ok THEN w ELSE 0 END) AS BIGINT) AS rn_a,
+         sum(CASE WHEN in_a THEN w * v_fp ELSE 0 END) AS rs_a,
+         CAST(sum(CASE WHEN NOT in_a AND ok THEN w ELSE 0 END) AS BIGINT) AS rn_b,
+         sum(CASE WHEN NOT in_a THEN w * v_fp ELSE 0 END) AS rs_b
+  FROM weighted GROUP BY {k}, b
+), diffs AS (
+  SELECT {k}, b,
+         (CAST(rs_a AS DOUBLE) / 1000000.0) / rn_a
+           - (CAST(rs_b AS DOUBLE) / 1000000.0) / rn_b AS diff
+  FROM rep_agg WHERE rn_a > 0 AND rn_b > 0
+), ranked AS (
+  SELECT {k}, diff,
+         row_number() OVER (PARTITION BY {k} ORDER BY diff, b) AS r,
+         count(*) OVER (PARTITION BY {k}) AS n_reps
+  FROM diffs
+), ci AS (
+  SELECT {k},
+         CAST(max(n_reps) AS BIGINT) AS n_reps,
+         min(CASE WHEN r = CAST(floor((25 * n_reps + 999) / 1000.0) AS BIGINT)
+                  THEN diff END) AS lo,
+         min(CASE WHEN r = CAST(floor((975 * n_reps + 999) / 1000.0) AS BIGINT)
+                  THEN diff END) AS hi
+  FROM ranked GROUP BY {k}
+)
+SELECT {pk}, p.n_a, p.n_b,
+       round((CAST(p.s_a AS DOUBLE) / 1000000.0) / p.n_a
+             - (CAST(p.s_b AS DOUBLE) / 1000000.0) / p.n_b, 6) AS mean_diff,
+       round(ci.lo, 6) AS ci_lo,
+       round(ci.hi, 6) AS ci_hi,
+       ci.n_reps,
+       (round(ci.lo, 6) > 0 OR round(ci.hi, 6) < 0) AS significant
+FROM pt p JOIN ci ON {join_on}
+WHERE p.n_a >= 2 AND p.n_b >= 2
+ORDER BY {pk}
+"""
+
+
+_AB_BASE_CTE = """
   SELECT event_type, event_id,
          substring(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 6) < '800000'
            AS in_a,
@@ -789,61 +868,86 @@ WITH base AS (
               THEN CAST(round(value * 1000000.0, 0) AS HUGEINT)
               ELSE 0 END AS v_fp
   FROM events
-), pt AS (
-  SELECT event_type,
-         CAST(sum(CASE WHEN in_a AND ok THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         sum(CASE WHEN in_a THEN v_fp ELSE 0 END) AS s_a,
-         CAST(sum(CASE WHEN NOT in_a AND ok THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         sum(CASE WHEN NOT in_a THEN v_fp ELSE 0 END) AS s_b
-  FROM base GROUP BY 1
-), drawn AS (
-  SELECT event_type, reps.b, in_a, ok, v_fp,
-         substring(md5('abboot1:' || CAST(event_id AS VARCHAR) || ':'
-                       || CAST(reps.b AS VARCHAR)), 1, 6) AS h
-  FROM base
-  CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) reps
-), weighted AS (
-  SELECT event_type, b, in_a, ok, v_fp, {w_case} AS w FROM drawn
-), rep_agg AS (
-  SELECT event_type, b,
-         CAST(sum(CASE WHEN in_a AND ok THEN w ELSE 0 END) AS BIGINT) AS rn_a,
-         sum(CASE WHEN in_a THEN w * v_fp ELSE 0 END) AS rs_a,
-         CAST(sum(CASE WHEN NOT in_a AND ok THEN w ELSE 0 END) AS BIGINT) AS rn_b,
-         sum(CASE WHEN NOT in_a THEN w * v_fp ELSE 0 END) AS rs_b
-  FROM weighted GROUP BY 1, 2
-), diffs AS (
-  SELECT event_type, b,
-         (CAST(rs_a AS DOUBLE) / 1000000.0) / rn_a
-           - (CAST(rs_b AS DOUBLE) / 1000000.0) / rn_b AS diff
-  FROM rep_agg WHERE rn_a > 0 AND rn_b > 0
-), ranked AS (
-  SELECT event_type, diff,
-         row_number() OVER (PARTITION BY event_type ORDER BY diff, b) AS r,
-         count(*) OVER (PARTITION BY event_type) AS n_reps
-  FROM diffs
-), ci AS (
-  SELECT event_type,
-         CAST(max(n_reps) AS BIGINT) AS n_reps,
-         min(CASE WHEN r = CAST(floor((25 * n_reps + 999) / 1000.0) AS BIGINT)
-                  THEN diff END) AS lo,
-         min(CASE WHEN r = CAST(floor((975 * n_reps + 999) / 1000.0) AS BIGINT)
-                  THEN diff END) AS hi
-  FROM ranked GROUP BY 1
-)
-SELECT p.event_type, p.n_a, p.n_b,
-       round((CAST(p.s_a AS DOUBLE) / 1000000.0) / p.n_a
-             - (CAST(p.s_b AS DOUBLE) / 1000000.0) / p.n_b, 6) AS mean_diff,
-       round(ci.lo, 6) AS ci_lo,
-       round(ci.hi, 6) AS ci_hi,
-       ci.n_reps,
-       (round(ci.lo, 6) > 0 OR round(ci.hi, 6) < 0) AS significant
-FROM pt p JOIN ci ON ci.event_type = p.event_type
-WHERE p.n_a >= 2 AND p.n_b >= 2
-ORDER BY p.event_type
 """
 
+AB_BOOTSTRAP_SQL = _boot_ci_sql(_AB_BASE_CTE, ["event_type"], "'abboot1:'")
 
-AB_BOOTSTRAP_SQL = _ab_bootstrap_sql()
+
+def ab_value_bootstrap_ci_by_nation(
+    spark: SparkSession, sf_dir: str, b_reps: int = _BOOT_B
+) -> DataFrame:
+    """Stratified (per-nation) Poisson-bootstrap CI for the A/B
+    mean-value difference — the heterogeneous-treatment-effect readout
+    of :func:`ab_value_bootstrap_ci` (VERDICT r10 #5): arms are the SAME
+    md5 assignment (salt ``ab1:``) so every readout describes the same
+    experiment, but events are stratified by the user's nation
+    (events.user_id → customer → nation) and each stratum gets its own
+    resampling distribution and exact order-statistic bounds. A nation
+    whose CI excludes 0 while the pooled CI straddles it is exactly the
+    effect heterogeneity a pooled readout averages away.
+
+    The Poisson ladder salts PER STRATUM (``abstrat1:<nationkey>:``), so
+    strata draw independent resamples — replicate b in one nation shares
+    no randomness with replicate b in another (a shared salt would
+    correlate the per-stratum CIs through common draws on shared event
+    positions; per-stratum salting is the stratified-bootstrap
+    convention and makes each stratum's distribution exactly what a
+    standalone bootstrap on that stratum would produce).
+
+    Exactness rails: identical to the pooled operator by construction —
+    both run the ONE :func:`_poisson_boot_ci` / :func:`_boot_ci_sql`
+    chain (integer micro-unit sums cast to double once, exact
+    order-statistic ranks floor((25R+999)/1000), degenerate strata with
+    <2 full-data events per arm excluded).
+
+    Scale shape: events join the customer dim broadcast (nation is two
+    tiny dim hops), then ONE scan fans out ×B with map-side partial
+    aggregation folding to |nations|·B rows before the only exchange;
+    the rank windows order B-row partitions per stratum."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    dim = F.broadcast(cust.join(F.broadcast(nat), "c_nationkey"))
+    in_a = F.substring(
+        F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 6
+    ) < F.lit("800000")
+    ok = F.col("value").isNotNull()
+    v_fp = F.round(F.col("value") * 1000000.0, 0).cast("decimal(19,0)")
+    base = ev.join(dim, "user_id").select(
+        "n_name",
+        "event_id",
+        in_a.alias("in_a"),
+        ok.alias("ok"),
+        F.when(ok, v_fp).otherwise(F.lit(0).cast("decimal(19,0)")).alias("v_fp"),
+    )
+    salt = F.concat(
+        F.lit("abstrat1:"), F.col("n_name").cast("string"), F.lit(":")
+    )
+    return _poisson_boot_ci(base, ["n_name"], salt, b_reps).orderBy("n_name")
+
+
+_STRAT_BASE_CTE = """
+  SELECT n.n_name, e.event_id,
+         substring(md5('ab1:' || CAST(e.user_id AS VARCHAR)), 1, 6) < '800000'
+           AS in_a,
+         e.value IS NOT NULL AS ok,
+         CASE WHEN e.value IS NOT NULL
+              THEN CAST(round(e.value * 1000000.0, 0) AS HUGEINT)
+              ELSE 0 END AS v_fp
+  FROM events e
+  JOIN customer c ON c.c_custkey = e.user_id
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+STRATIFIED_BOOTSTRAP_SQL = _boot_ci_sql(
+    _STRAT_BASE_CTE,
+    ["n_name"],
+    "'abstrat1:' || CAST(n_name AS VARCHAR) || ':'",
+)
 
 
 def _corr_sums(x, y) -> list:

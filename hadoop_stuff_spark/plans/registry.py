@@ -832,6 +832,9 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n3_dedup_aware_token_budget": QuerySpec(
         dedup.n3_dedup_aware_token_budget, dedup.DEDUP_TOKEN_BUDGET_SQL
     ),
+    "ab_bootstrap_ci_by_nation": QuerySpec(
+        profile.ab_value_bootstrap_ci_by_nation, profile.STRATIFIED_BOOTSTRAP_SQL
+    ),
 }
 
 # --------------------------------------------------------------------------

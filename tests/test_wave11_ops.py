@@ -1,8 +1,10 @@
 """Round-11 wave operators: planted-fixture certification beyond the
 registry-wide oracle parity sweep (which runs on the real testdata, where
 the 1M default budget clips EVERY source uniformly — these fixtures force
-the unclipped, clipped and zero-canonical-mass paths to diverge)."""
+the unclipped, clipped and zero-canonical-mass paths to diverge), plus the
+stratified-bootstrap branch rules the real data never isolates."""
 
+import hashlib
 import os
 
 import duckdb
@@ -13,6 +15,7 @@ from hadoop_stuff_spark.operators.dedup import (
     DEDUP_TOKEN_BUDGET_SQL,
     n3_dedup_aware_token_budget,
 )
+from hadoop_stuff_spark.operators.profile import ab_value_bootstrap_ci_by_nation
 
 
 def _docs_fixture(tmp_path, docs, name="sf_w11"):
@@ -77,6 +80,92 @@ def test_dedup_token_budget_clip_and_zero_canonical(spark, tmp_path):
     # realized shares renormalize over what was actually drawn (116)
     assert abs(sum(r["realized_share"] for r in rows.values()) - 1.0) < 1e-5
     assert a["realized_share"] == round(100 / 116, 6)
+
+
+def _in_arm_a(uid):
+    return hashlib.md5(f"ab1:{uid}".encode()).hexdigest()[:6] < "800000"
+
+
+def test_stratified_bootstrap_planted_effects(spark, tmp_path):
+    """Three planted nations: EFFECT has constant values 100 (arm A) vs 1
+    (arm B) — every replicate diff is exactly 99, so the CI degenerates to
+    [99, 99] and flags significant; FLAT has identical values in both arms
+    — every replicate diff is exactly 0, CI [0, 0], not significant;
+    THIN has one ok event per arm — excluded by the degenerate rule."""
+    users = list(range(40))
+    armA = [u for u in users if _in_arm_a(u)]
+    armB = [u for u in users if not _in_arm_a(u)]
+    # EFFECT: 5 users per arm; FLAT: 5 per arm; THIN: 1 per arm
+    nation_of = {}
+    for u in armA[:5] + armB[:5]:
+        nation_of[u] = 0
+    for u in armA[5:10] + armB[5:10]:
+        nation_of[u] = 1
+    nation_of[armA[10]] = 2
+    nation_of[armB[10]] = 2
+
+    eid, rows = 0, []
+    for u, nk in nation_of.items():
+        n_events = 1 if nk == 2 else 10
+        for _ in range(n_events):
+            if nk == 0:
+                v = 100.0 if _in_arm_a(u) else 1.0
+            else:
+                v = 5.0
+            rows.append((eid, 1_000_000 * eid, u, "click", v, "{}"))
+            eid += 1
+
+    sf = tmp_path / "sf_strat"
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(sf / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(list(nation_of), pa.int64()),
+                "c_nationkey": pa.array(
+                    [nation_of[u] for u in nation_of], pa.int64()
+                ),
+            }
+        ),
+        str(sf / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+                "n_name": pa.array(["EFFECT", "FLAT", "THIN"]),
+            }
+        ),
+        str(sf / "nation.parquet"),
+    )
+
+    rows = {
+        r["n_name"]: r
+        for r in ab_value_bootstrap_ci_by_nation(spark, str(sf)).collect()
+    }
+    assert set(rows) == {"EFFECT", "FLAT"}  # THIN excluded (<2 per arm)
+    eff, flat = rows["EFFECT"], rows["FLAT"]
+    assert eff["mean_diff"] == 99.0
+    assert eff["ci_lo"] == 99.0 and eff["ci_hi"] == 99.0
+    assert eff["significant"] is True
+    assert flat["mean_diff"] == 0.0
+    assert flat["ci_lo"] == 0.0 and flat["ci_hi"] == 0.0
+    assert flat["significant"] is False
+    # constant-value arms make surviving replicates exact; with 50 draws
+    # per arm the zero-total-weight drop is ~e^-50 — all 64 must survive
+    assert eff["n_reps"] == 64 and flat["n_reps"] == 64
 
 
 def test_dedup_token_budget_matches_duckdb_on_planted(spark, tmp_path):
