@@ -1469,3 +1469,91 @@ FROM pv
 GROUP BY label
 ORDER BY label
 """
+
+
+def n2_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-SOURCE embedding centroids — the
+    source-level semantic-redundancy matrix a mixture planner reads next
+    to :func:`operators.dedup.n3_dedup_aware_mixture_shift`: two sources
+    whose centroids are near-parallel contribute overlapping semantic
+    mass, so their combined mixture weight over-represents one region of
+    embedding space even when no individual documents are near-dups
+    (which is why :func:`operators.dedup.n1_cross_source_dup_matrix`
+    cannot see it). Embeddings map to sources through the vec_id ↔
+    doc_id identity (the corpus convention of the hybrid/BM25 ops).
+
+    Exactness: centroids are exact per-dimension component means over
+    int64 counts; each pair's cosine is formed from the tiny aggregate
+    relation and rounded 6 dp (the float-aggregate convention — partial
+    agg ordering ulps are erased by the round); zero-norm centroids are
+    filtered on BOTH engines (the ANSI zero-division rule).
+
+    Scale shape: one embeddings⋈documents join (doc-grain, the only
+    data shuffle) → posexplode → hash agg to |sources|·dim component
+    sums; the pair join runs on that control-plane-sized relation
+    (|sources|²·dim), never on document rows."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", F.posexplode(as_double("embedding")).alias("i", "v")
+    )
+    per = e.groupBy("source", "i").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a, b = per.alias("a"), per.alias("b")
+    ma = F.col("a.s") / F.col("a.n")
+    mb = F.col("b.s") / F.col("b.n")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.max("a.n").alias("n_a"),
+            F.max("b.n").alias("n_b"),
+            F.sqrt(F.sum(ma * ma)).alias("_na"),
+            F.sqrt(F.sum(mb * mb)).alias("_nb"),
+            F.sum(ma * mb).alias("_dot"),
+        )
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias(
+            "cos_centroids"
+        ),
+    ).orderBy("source_a", "source_b")
+
+
+SOURCE_CENTROID_SIMILARITY_SQL = """
+WITH e AS (
+  SELECT d.source,
+         unnest(range(1, 65)) AS i,
+         unnest(em.embedding::DOUBLE[]) AS v
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+), per AS (
+  SELECT source, i, sum(v) AS s, count(*) AS n FROM e GROUP BY 1, 2
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(max(a.n) AS BIGINT) AS n_a,
+         CAST(max(b.n) AS BIGINT) AS n_b,
+         sqrt(sum((a.s / a.n) * (a.s / a.n))) AS na,
+         sqrt(sum((b.s / b.n) * (b.s / b.n))) AS nb,
+         sum((a.s / a.n) * (b.s / b.n)) AS dt
+  FROM per a JOIN per b ON a.i = b.i AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_a, n_b,
+       round(dt / (na * nb), 6) AS cos_centroids
+FROM pairs
+WHERE na > 0 AND nb > 0
+ORDER BY source_a, source_b
+"""

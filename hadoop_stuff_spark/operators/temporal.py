@@ -2947,3 +2947,219 @@ LEFT JOIN act a
   ON a.cohort_week = g.cohort_week AND a.week_offset = g.week_offset
 ORDER BY g.cohort_week, g.week_offset
 """
+
+
+def user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth-accounting matrix over events — the state-machine
+    companion to :func:`weekly_retention_matrix`: every active (user,
+    week) is classified NEW (first week ever), RETAINED (active the
+    immediately previous week) or RESURRECTED (active before, but not
+    last week), and every (user active in w, silent in w+1) contributes
+    a CHURNED count to week w+1. The four columns are the standard
+    growth-accounting identity — n_active(w) = n_active(w−1) + n_new +
+    n_resurrected − n_churned — which a health dashboard reads as "is
+    growth new users or resurrection, and is churn eating it".
+
+    Weeks are engine-free integers (days-since-1970-01-01 div 7, the
+    house convention — never date_trunc/weekofyear). The week grid is
+    dense from the corpus min to max week (zero-cell rule: a fully
+    silent week is an explicit all-zero row — with its churn count from
+    the week before — never a missing row). Churn past the corpus max
+    week is unknowable and excluded by the grid.
+
+    Exactness: pure exact integer counts over distinct (user, week) —
+    no floats anywhere.
+
+    Scale shape: one events scan → distinct (user, week) — the only
+    user-grain shuffle; the lag/lead window runs per user on that
+    deduplicated relation; everything after collapses to |weeks| rows.
+    The min/max anchor is the allowlisted 1-row scalar broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    st = uw.select(
+        "wk",
+        F.lag("wk").over(w).alias("lag_wk"),
+        F.lead("wk").over(w).alias("lead_wk"),
+    )
+    per = st.groupBy("wk").agg(
+        F.sum(F.when(F.col("lag_wk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("lag_wk") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("lag_wk").isNotNull()
+                & (F.col("lag_wk") < F.col("wk") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        st.filter(
+            F.col("lead_wk").isNull() | (F.col("lead_wk") > F.col("wk") + 1)
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    grid = (
+        uw.agg(F.min("wk").alias("mn"), F.max("wk").alias("mx"))
+        .select(F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("wk"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        grid.join(per, "wk", "left")
+        .join(churn, "wk", "left")
+        .select(
+            "wk",
+            F.coalesce("n_new", z).alias("n_new"),
+            F.coalesce("n_retained", z).alias("n_retained"),
+            F.coalesce("n_resurrected", z).alias("n_resurrected"),
+            (
+                F.coalesce("n_new", z)
+                + F.coalesce("n_retained", z)
+                + F.coalesce("n_resurrected", z)
+            ).alias("n_active"),
+            F.coalesce("n_churned", z).alias("n_churned"),
+        )
+        .orderBy("wk")
+    )
+
+
+USER_LIFECYCLE_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events
+), st AS (
+  SELECT wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS lag_wk,
+         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS lead_wk
+  FROM uw
+), per AS (
+  SELECT wk,
+         CAST(sum(CASE WHEN lag_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN lag_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN lag_wk IS NOT NULL AND lag_wk < wk - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM st GROUP BY 1
+), churn AS (
+  SELECT wk + 1 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+  FROM st WHERE lead_wk IS NULL OR lead_wk > wk + 1
+  GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series(mn, mx)) AS wk
+  FROM (SELECT min(wk) AS mn, max(wk) AS mx FROM uw)
+)
+SELECT g.wk,
+       COALESCE(p.n_new, 0) AS n_new,
+       COALESCE(p.n_retained, 0) AS n_retained,
+       COALESCE(p.n_resurrected, 0) AS n_resurrected,
+       COALESCE(p.n_new, 0) + COALESCE(p.n_retained, 0)
+         + COALESCE(p.n_resurrected, 0) AS n_active,
+       COALESCE(c.n_churned, 0) AS n_churned
+FROM grid g
+LEFT JOIN per p USING (wk)
+LEFT JOIN churn c USING (wk)
+ORDER BY g.wk
+"""
+
+
+def priority_share_control_chart(
+    spark: SparkSession, sf_dir: str, priority: str = "1-URGENT", k_sigma: float = 3.0
+) -> DataFrame:
+    """Shewhart p-chart over the weekly share of ``priority`` orders —
+    the control-chart member of the drift family: where
+    :func:`operators.profile.priority_mix_drift_by_month` scores a whole
+    mix against the corpus, the p-chart answers the operational question
+    "is THIS week's urgent share outside common-cause variation?" with
+    the classic binomial 3σ limits around the corpus share p̄:
+    UCL/LCL = p̄ ± k·√(p̄(1−p̄)/n_w), clamped to [0, 1], where n_w is the
+    week's own order count (limits widen exactly where weeks are thin).
+
+    Weeks are engine-free integers (days-since-1970-01-01 div 7).
+
+    Exactness: counts exact int64, each cast to double once; the
+    out-of-control flag compares 9 dp-ROUNDED share and limits (the
+    house ulp rule — a share sitting ON a limit must flag identically
+    in both engines); reported ratios round 6 dp.
+
+    Scale shape: one orders scan → |weeks|-row hash aggregate; p̄ is the
+    allowlisted 1-row scalar broadcast; everything after runs on the
+    |weeks|-row relation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7"
+        ).alias("wk"),
+        (F.col("o_orderpriority") == priority).cast("long").alias("hit"),
+    )
+    per = o.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("hit").alias("n_hit")
+    )
+    tot = per.agg(
+        (
+            F.sum("n_hit").cast("double") / F.sum("n_orders").cast("double")
+        ).alias("pbar")
+    )
+    j = per.join(F.broadcast(tot))
+    share = F.col("n_hit").cast("double") / F.col("n_orders").cast("double")
+    sigma = F.sqrt(
+        F.col("pbar") * (1.0 - F.col("pbar")) / F.col("n_orders").cast("double")
+    )
+    ucl = F.least(F.col("pbar") + k_sigma * sigma, F.lit(1.0))
+    lcl = F.greatest(F.col("pbar") - k_sigma * sigma, F.lit(0.0))
+    flag = (F.round(share, 9) > F.round(ucl, 9)) | (
+        F.round(share, 9) < F.round(lcl, 9)
+    )
+    return j.select(
+        "wk",
+        "n_orders",
+        "n_hit",
+        F.round(share, 6).alias("share"),
+        F.round("pbar", 6).alias("center"),
+        F.round(lcl, 6).alias("lcl"),
+        F.round(ucl, 6).alias("ucl"),
+        flag.alias("out_of_control"),
+    ).orderBy("wk")
+
+
+PRIORITY_PCHART_SQL = """
+WITH o AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+           AS wk,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS hit
+  FROM orders
+), per AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(hit) AS BIGINT) AS n_hit
+  FROM o GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_orders) AS DOUBLE) AS pbar
+  FROM per
+), j AS (
+  SELECT wk, n_orders, n_hit,
+         CAST(n_hit AS DOUBLE) / CAST(n_orders AS DOUBLE) AS share,
+         pbar,
+         least(pbar + 3.0 * sqrt(pbar * (1.0 - pbar)
+                                 / CAST(n_orders AS DOUBLE)), 1.0) AS ucl,
+         greatest(pbar - 3.0 * sqrt(pbar * (1.0 - pbar)
+                                    / CAST(n_orders AS DOUBLE)), 0.0) AS lcl
+  FROM per CROSS JOIN tot
+)
+SELECT wk, n_orders, n_hit,
+       round(share, 6) AS share,
+       round(pbar, 6) AS center,
+       round(lcl, 6) AS lcl,
+       round(ucl, 6) AS ucl,
+       (round(share, 9) > round(ucl, 9) OR round(share, 9) < round(lcl, 9))
+         AS out_of_control
+FROM j
+ORDER BY wk
+"""

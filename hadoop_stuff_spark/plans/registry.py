@@ -835,6 +835,16 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "ab_bootstrap_ci_by_nation": QuerySpec(
         profile.ab_value_bootstrap_ci_by_nation, profile.STRATIFIED_BOOTSTRAP_SQL
     ),
+    "user_lifecycle_weekly": QuerySpec(
+        temporal.user_lifecycle_weekly, temporal.USER_LIFECYCLE_SQL
+    ),
+    "priority_share_control_chart": QuerySpec(
+        temporal.priority_share_control_chart, temporal.PRIORITY_PCHART_SQL
+    ),
+    "n2_source_centroid_similarity": QuerySpec(
+        similarity.n2_source_centroid_similarity,
+        similarity.SOURCE_CENTROID_SIMILARITY_SQL,
+    ),
 }
 
 # --------------------------------------------------------------------------

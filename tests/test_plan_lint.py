@@ -124,6 +124,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "n3_length_psi_by_source",     # 1-row length-bounds frame broadcast
         "weekly_retention_matrix",     # 1-row corpus-max-week frame broadcast
         "priority_mix_drift_by_month",  # months x |priorities| zero-cell grid (two tiny distinct frames)
+        "priority_share_control_chart",  # 1-row corpus-share (p-bar) frame broadcast
     }
     sf = "/root/testdata/sf0.001"
     bad = []

@@ -189,3 +189,147 @@ def test_dedup_token_budget_matches_duckdb_on_planted(spark, tmp_path):
         mine = got[row["source"]]
         for col, val in row.items():
             assert mine[col] == val, (row["source"], col, mine[col], val)
+
+
+def test_user_lifecycle_weekly_planted_states(spark, tmp_path):
+    """Three planted users: gaps produce resurrections and churn lands in
+    the FIRST silent week; the growth-accounting identity holds row over
+    row; churn past the corpus max week is excluded by the grid."""
+    from hadoop_stuff_spark.operators.temporal import user_lifecycle_weekly
+
+    US_WEEK = 7 * 86_400 * 1_000_000
+    act = [(1, 0), (1, 1), (1, 3), (2, 0), (2, 1), (2, 2), (2, 3), (3, 2)]
+    sf = tmp_path / "sf_life"
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(act)), pa.int64()),
+                "ts": pa.array(
+                    [w * US_WEEK + 1 for _, w in act], pa.timestamp("us")
+                ),
+                "user_id": pa.array([u for u, _ in act], pa.int64()),
+            }
+        ),
+        str(sf / "events.parquet"),
+    )
+    rows = {r["wk"]: r for r in user_lifecycle_weekly(spark, str(sf)).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+
+    def cell(w):
+        r = rows[w]
+        return (
+            r["n_new"],
+            r["n_retained"],
+            r["n_resurrected"],
+            r["n_active"],
+            r["n_churned"],
+        )
+
+    assert cell(0) == (2, 0, 0, 2, 0)
+    assert cell(1) == (0, 2, 0, 2, 0)
+    assert cell(2) == (1, 1, 0, 2, 1)  # user 1 churned into wk2
+    assert cell(3) == (0, 1, 1, 2, 1)  # user 1 resurrected; user 3 churned
+    for w in (1, 2, 3):  # growth-accounting identity
+        assert rows[w]["n_active"] == (
+            rows[w - 1]["n_active"]
+            + rows[w]["n_new"]
+            + rows[w]["n_resurrected"]
+            - rows[w]["n_churned"]
+        )
+
+
+def test_priority_pchart_planted_spike_and_clamp(spark, tmp_path):
+    """Four 100-order weeks at 20% urgent, one at 60% (out of control),
+    and one 2-order week whose binomial limits must clamp to [0, 1] and
+    therefore never flag."""
+    from hadoop_stuff_spark.operators.temporal import (
+        priority_share_control_chart,
+    )
+
+    US_DAY = 86_400 * 1_000_000
+    rows = []
+    for w in range(4):
+        rows += [(w * 7, "1-URGENT")] * 20 + [(w * 7, "5-LOW")] * 80
+    rows += [(4 * 7, "1-URGENT")] * 60 + [(4 * 7, "5-LOW")] * 40
+    rows += [(5 * 7, "1-URGENT"), (5 * 7, "5-LOW")]
+    sf = tmp_path / "sf_pchart"
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_orderdate": pa.array(
+                    [d * US_DAY for d, _ in rows], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array([p for _, p in rows]),
+            }
+        ),
+        str(sf / "orders.parquet"),
+    )
+    out = {
+        r["wk"]: r
+        for r in priority_share_control_chart(spark, str(sf)).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4, 5]
+    assert all(out[w]["out_of_control"] is False for w in range(4))
+    assert out[4]["out_of_control"] is True and out[4]["share"] == 0.6
+    thin = out[5]
+    assert thin["ucl"] == 1.0 and thin["lcl"] == 0.0
+    assert thin["out_of_control"] is False
+    assert all(out[w]["center"] == round(141 / 502, 6) for w in out)
+
+
+def test_source_centroid_similarity_planted_directions(spark, tmp_path):
+    """Sources along the same axis read cosine 1, orthogonal axes read 0,
+    and a zero-norm source is filtered from every pair (ANSI rule)."""
+    from hadoop_stuff_spark.operators.similarity import (
+        n2_source_centroid_similarity,
+    )
+
+    def vec(axis, scale):
+        v = [0.0] * 64
+        if axis is not None:
+            v[axis] = scale
+        return v
+
+    emb = [
+        (0, vec(0, 1.0)),
+        (1, vec(0, 3.0)),  # srcA: centroid along e0
+        (2, vec(0, 2.0)),  # srcB: same direction
+        (3, vec(1, 5.0)),  # srcC: orthogonal
+        (4, vec(None, 0.0)),  # srcD: zero-norm, must be filtered
+    ]
+    src = {0: "srcA", 1: "srcA", 2: "srcB", 3: "srcC", 4: "srcD"}
+    sf = tmp_path / "sf_cent"
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in emb], pa.int64()),
+                "embedding": pa.array(
+                    [v for _, v in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(emb), pa.int32()),
+            }
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(src), pa.int64()),
+                "source": pa.array([src[i] for i in src]),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["cos_centroids"]
+        for r in n2_source_centroid_similarity(spark, str(sf)).collect()
+    }
+    assert got == {
+        ("srcA", "srcB"): 1.0,
+        ("srcA", "srcC"): 0.0,
+        ("srcB", "srcC"): 0.0,
+    }
