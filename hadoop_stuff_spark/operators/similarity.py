@@ -1557,3 +1557,256 @@ FROM pairs
 WHERE na > 0 AND nb > 0
 ORDER BY source_a, source_b
 """
+
+
+def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign-projection distortion report — the
+    certification a retrieval stack wants BEFORE swapping 64-dim cosine
+    for a cheaper 16-dim projected cosine (the standard dimensionality
+    cut ahead of LSH/IVF at corpus scale): over a deterministic ~20%
+    vector sample (the :func:`n2_cosine_pair_histogram` convention),
+    every pair is scored in BOTH spaces and the absolute cosine
+    distortion |cos₆₄ − cos₁₆| is histogrammed in 0.05-wide bins. Mass
+    piling up in the high bins = the projection is too narrow for the
+    corpus' spectrum (read next to :func:`n2_pca_spectrum`).
+
+    The projection is a DETERMINISTIC Rademacher (±1) sign matrix —
+    sign(i, j) = +1 iff the first hex digit of md5('jl:i:j') < '8' — so
+    both engines, every run and every partitioning build the identical
+    matrix from the identical string compares (the deterministic_keep
+    convention applied to a matrix); the 1/√d scaling cancels in cosine
+    and is omitted.
+
+    Exactness: projected components are 64-term sums whose partial-agg
+    ordering ulps are erased by the 6 dp cosine round (the centroid
+    convention); zero-norm vectors are filtered in BOTH spaces on BOTH
+    engines (ANSI rule — a projection can null a nonzero vector);
+    binning floors identical doubles, capped into the top bin.
+
+    Scale shape: the sample bounds everything — one embeddings scan
+    keeps ~20% of rows, the projection is a broadcast 1024-row grid
+    join folding to |sample|·16 components, and the pair join is the
+    allowlisted all-pairs-over-a-sample diagnostic shape (at corpus
+    scale, tighten the sample fraction — the histogram is an estimate
+    of the distortion DISTRIBUTION, not a per-vector report)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    s = emb.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("jlpairs"), F.col("vec_id").cast("string"))),
+            1,
+            6,
+        )
+        < "333333"
+    ).select("vec_id", as_double("embedding").alias("v"))
+    s = s.filter(l2_norm("v") > 0)
+
+    grid = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"))
+        .select("i", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("jl:"),
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sg"),
+        )
+    )
+    e = s.select("vec_id", F.posexplode("v").alias("i", "vv"))
+    proj = (
+        e.join(F.broadcast(grid), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("vv") * F.col("sg")).alias("pv"))
+    )
+    parr = proj.groupBy("vec_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("j", "pv"))).alias("m")
+    )
+    sp = (
+        s.join(parr, "vec_id")
+        .select(
+            "vec_id",
+            "v",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.element_at(F.col("m"), j),
+            ).alias("p"),
+        )
+        .filter(l2_norm("p") > 0)
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    sims = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.round(
+            dot("a.v", "b.v") / (l2_norm("a.v") * l2_norm("b.v")), 6
+        ).alias("c_orig"),
+        F.round(
+            dot("a.p", "b.p") / (l2_norm("a.p") * l2_norm("b.p")), 6
+        ).alias("c_proj"),
+    )
+    binned = sims.select(
+        F.least(
+            F.floor(F.abs(F.col("c_orig") - F.col("c_proj")) / 0.05), F.lit(19)
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") * 0.05, 2).cast("double").alias("bin_lo"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )
+
+
+JL_DISTORTION_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+  WHERE substring(md5('jlpairs' || CAST(vec_id AS VARCHAR)), 1, 6) < '333333'
+    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+), e AS (
+  SELECT vec_id, unnest(range(0, 64)) AS i, unnest(v) AS vv FROM s
+), grid AS (
+  SELECT i.i, j.j,
+         CASE WHEN substring(md5('jl:' || CAST(i.i AS VARCHAR) || ':'
+                                  || CAST(j.j AS VARCHAR)), 1, 1) < '8'
+              THEN 1.0 ELSE -1.0 END AS sg
+  FROM (SELECT unnest(range(0, 64)) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+), proj AS (
+  SELECT vec_id, j, sum(vv * sg) AS pv FROM e JOIN grid USING (i) GROUP BY 1, 2
+), parr AS (
+  SELECT vec_id, list(pv ORDER BY j) AS p FROM proj GROUP BY 1
+), sp AS (
+  SELECT s.vec_id, s.v, parr.p
+  FROM s JOIN parr USING (vec_id)
+  WHERE list_sum(list_transform(parr.p, x -> x * x)) > 0
+), sims AS (
+  SELECT round(list_cosine_similarity(a.v, b.v), 6) AS c_orig,
+         round(list_cosine_similarity(a.p, b.p), 6) AS c_proj
+  FROM sp a JOIN sp b ON a.vec_id < b.vec_id
+), binned AS (
+  SELECT least(CAST(floor(abs(c_orig - c_proj) / 0.05) AS BIGINT), 19) AS bin
+  FROM sims
+)
+SELECT bin,
+       CAST(round(bin * 0.05, 2) AS DOUBLE) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+_PCA_SCHEMA = "i INT, j INT, val DOUBLE"
+
+
+def _gram_partials(iterator):
+    """Arrow-batched Gram/sum/count partials: per partition, fold every
+    batch into G += VᵀV, s += ΣV, n += rows (numpy, no per-row Python),
+    then emit the upper-triangle Gram entries as (i, j, val), the
+    component sums as (i, -1, s_i) and the count as (-1, -1, n) — a
+    fixed ~2.1k-row partial per partition regardless of data size."""
+    import numpy as np
+    import pandas as pd
+
+    G = np.zeros((64, 64))
+    s = np.zeros(64)
+    n = 0
+    for pdf in iterator:
+        if not len(pdf):
+            continue
+        V = np.vstack(pdf["v"].to_numpy())
+        G += V.T @ V
+        s += V.sum(axis=0)
+        n += len(V)
+    if not n:
+        return
+    iu, ju = np.triu_indices(64)
+    yield pd.DataFrame(
+        {
+            "i": np.concatenate([iu, np.arange(64), [-1]]).astype("int32"),
+            "j": np.concatenate(
+                [ju, np.full(64, -1), [-1]]
+            ).astype("int32"),
+            "val": np.concatenate([G[iu, ju], s, [float(n)]]),
+        }
+    )
+
+
+def n2_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA eigen-spectrum of the embedding corpus — the full principal
+    spectrum behind :func:`n2_anisotropy_report`'s participation-ratio
+    summary: eigenvalues of the sample covariance with per-component and
+    cumulative explained-variance ratios. The readout that sizes a JL /
+    PQ / IVF dimensionality budget (read next to
+    :func:`n2_jl_projection_distortion`: a spectrum with 95% of the
+    variance in 12 components explains a clean 16-dim projection).
+
+    Not SQL-expressible (eigendecomposition) — rows-only certified, with
+    the numpy cross-check and a planted-spectrum fixture pinned in
+    tests. Deterministic: the covariance is assembled from exact
+    single-pass partials and numpy's symmetric eigh.
+
+    Scale shape: the 100 TB-correct PCA — ONE embeddings scan through an
+    Arrow-batched :func:`_gram_partials` (numpy VᵀV per batch, never
+    per-row Python), folding to a fixed ~2.1k-row partial PER PARTITION
+    before the only exchange; the 64×64 covariance collects driver-side
+    (control-plane-sized, the k-means-centroid convention) and eigh runs
+    there. Embedding rows never shuffle."""
+    import numpy as np
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        as_double("embedding").alias("v")
+    )
+    parts = (
+        emb.mapInPandas(_gram_partials, _PCA_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    G = np.zeros((64, 64))
+    s = np.zeros(64)
+    n = 0
+    for r in parts:
+        if r["i"] == -1:
+            n = int(r["val"])
+        elif r["j"] == -1:
+            s[r["i"]] = r["val"]
+        else:
+            G[r["i"], r["j"]] = r["val"]
+            G[r["j"], r["i"]] = r["val"]
+    out_schema = (
+        "component INT, eigenvalue DOUBLE, explained_ratio DOUBLE, "
+        "cum_ratio DOUBLE"
+    )
+    if n < 2:
+        return spark.createDataFrame([], out_schema)
+    C = (G - np.outer(s, s) / n) / (n - 1)
+    ev = np.linalg.eigvalsh(C)[::-1]  # descending
+    total = float(ev.sum())
+    rows = []
+    cum = 0.0
+    for k, lam in enumerate(ev):
+        ratio = float(lam) / total if total > 0 else 0.0
+        cum += ratio
+        rows.append(
+            (k + 1, round(float(lam), 6), round(ratio, 6), round(cum, 6))
+        )
+    return spark.createDataFrame(rows, out_schema)

@@ -427,6 +427,9 @@ _CATALOG_A: dict[str, QuerySpec] = {
     "n1_per_source_near_dup_rate_lsh": QuerySpec(
         dedup.per_source_near_dup_rate_lsh, None
     ),
+    # eigendecomposition is not SQL-expressible: numpy cross-check +
+    # planted-spectrum fixture in tests/test_wave11_ops.py
+    "n2_pca_spectrum": QuerySpec(similarity.n2_pca_spectrum, None),
 }
 
 # Catalog half B: every oracle-backed query added after the r1 window froze
@@ -844,6 +847,9 @@ _CATALOG_B: dict[str, QuerySpec] = {
     "n2_source_centroid_similarity": QuerySpec(
         similarity.n2_source_centroid_similarity,
         similarity.SOURCE_CENTROID_SIMILARITY_SQL,
+    ),
+    "n2_jl_projection_distortion": QuerySpec(
+        similarity.n2_jl_projection_distortion, similarity.JL_DISTORTION_SQL
     ),
 }
 

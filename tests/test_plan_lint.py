@@ -125,6 +125,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "weekly_retention_matrix",     # 1-row corpus-max-week frame broadcast
         "priority_mix_drift_by_month",  # months x |priorities| zero-cell grid (two tiny distinct frames)
         "priority_share_control_chart",  # 1-row corpus-share (p-bar) frame broadcast
+        "n2_jl_projection_distortion",  # all-pairs over a deterministic SAMPLE (bounded diagnostic)
     }
     sf = "/root/testdata/sf0.001"
     bad = []

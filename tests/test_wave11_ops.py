@@ -333,3 +333,102 @@ def test_source_centroid_similarity_planted_directions(spark, tmp_path):
         ("srcA", "srcC"): 0.0,
         ("srcB", "srcC"): 0.0,
     }
+
+
+def test_pca_spectrum_matches_numpy_on_real_data(spark):
+    """The single-pass Gram-partial path must reproduce numpy's cov+eigh
+    on the collected vectors (rounded 6 dp), descending, summing to 1."""
+    import numpy as np
+
+    from hadoop_stuff_spark.catalog import load_table
+    from hadoop_stuff_spark.operators.similarity import n2_pca_spectrum
+
+    sf = "/root/testdata/sf0.001"
+    got = n2_pca_spectrum(spark, sf).collect()
+    V = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype="float64")
+            for r in load_table(spark, sf, "embeddings").collect()
+        ]
+    )
+    ev = np.linalg.eigvalsh(np.cov(V, rowvar=False))[::-1]
+    assert len(got) == 64
+    for r, lam in zip(got, ev):
+        assert r["eigenvalue"] == round(float(lam), 6), (
+            r["component"],
+            r["eigenvalue"],
+            lam,
+        )
+    assert got[-1]["cum_ratio"] == 1.0
+    assert all(
+        got[k]["eigenvalue"] >= got[k + 1]["eigenvalue"] for k in range(63)
+    )
+
+
+def test_pca_spectrum_planted_two_axis_variance(spark, tmp_path):
+    """Four points with variance only on axes 0 (8/3) and 1 (2/3): the
+    spectrum must be exactly those two eigenvalues then zeros, with
+    explained ratios 0.8 / 0.2."""
+    from hadoop_stuff_spark.operators.similarity import n2_pca_spectrum
+
+    def vec(axis, scale):
+        v = [0.0] * 64
+        v[axis] = scale
+        return v
+
+    pts = [vec(0, 2.0), vec(0, -2.0), vec(1, 1.0), vec(1, -1.0)]
+    sf = tmp_path / "sf_pca"
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array(pts, pa.list_(pa.float32())),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+    got = n2_pca_spectrum(spark, str(sf)).collect()
+    assert got[0]["eigenvalue"] == round(8 / 3, 6)
+    assert got[1]["eigenvalue"] == round(2 / 3, 6)
+    assert all(r["eigenvalue"] == 0.0 for r in got[2:])
+    assert got[0]["explained_ratio"] == 0.8
+    assert got[1]["explained_ratio"] == 0.2
+    assert got[1]["cum_ratio"] == 1.0
+
+
+def test_jl_distortion_identical_vectors_bin_zero(spark, tmp_path):
+    """Pairs of vectors with IDENTICAL direction must land in bin 0 in
+    both spaces (cos 1 before and after any linear projection), and the
+    histogram must cover exactly the sampled-pair count."""
+    from hadoop_stuff_spark.operators.similarity import (
+        n2_jl_projection_distortion,
+    )
+
+    # vec_ids chosen so every one passes the 20% md5 sample gate
+    import hashlib
+
+    ids = [
+        i
+        for i in range(400)
+        if hashlib.md5(f"jlpairs{i}".encode()).hexdigest()[:6] < "333333"
+    ][:3]
+    base = [float(k % 7 - 3) for k in range(64)]
+    pts = [[x * (m + 1) for x in base] for m in range(len(ids))]
+    sf = tmp_path / "sf_jl"
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(pts, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+    got = n2_jl_projection_distortion(spark, str(sf)).collect()
+    n_pairs = len(ids) * (len(ids) - 1) // 2
+    assert sum(r["n_pairs"] for r in got) == n_pairs
+    assert len(got) == 1 and got[0]["bin"] == 0 and got[0]["bin_lo"] == 0.0
