@@ -691,10 +691,13 @@ def _ingest_benchmarks(spark):
 # min-of-5 adjudication for every query that crossed ~2 s in the r10
 # DRIVER run (standing gate per VERDICT r10 "what's wrong" #1: recompute
 # this set at EVERY round start from the previous driver run, never carry
-# the prior round's set). Set = BENCH_r10.json (driver session) queries
-# median >= 2.0 s — adds part_neighbor_jaccard (8.14 s, new r10 headline
-# entry), n3_skipgram_cooccurrence (2.76) and n2_hybrid_rrf_fusion (3.09)
-# to the carried-over eight.
+# the prior round's set). Set = exactly the BENCH_r10.json (driver
+# session) queries with median >= 2.0 s — RE-DERIVED from the artifact,
+# never edited from the prior map (the never-quote-counts rule; the r11
+# review caught a miscounted "adds N to the carried-over M" phrasing
+# here). Verify with:
+#   python -c "import json; print(sorted(k for k, v in json.load(open(
+#       'BENCH_r10.json'))['parsed']['queries'].items() if v >= 2))"
 _EXTRA_RUNS = {
     "n2_kmeans_lloyd": 2,
     "part_neighbor_jaccard": 2,

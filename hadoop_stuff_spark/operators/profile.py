@@ -900,8 +900,11 @@ def ab_value_bootstrap_ci_by_nation(
     order-statistic ranks floor((25R+999)/1000), degenerate strata with
     <2 full-data events per arm excluded).
 
-    Scale shape: events join the customer dim broadcast (nation is two
-    tiny dim hops), then ONE scan fans out ×B with map-side partial
+    Scale shape: nation (25 rows at any SF) broadcasts onto customer;
+    the events⋈customer equi-join on user_id is left to Catalyst/AQE
+    (customer is NOT force-broadcast — it scales with SF and would blow
+    the broadcast limit at cluster scale; a shuffle join is the honest
+    plan there). Then ONE scan fans out ×B with map-side partial
     aggregation folding to |nations|·B rows before the only exchange;
     the rank windows order B-row partitions per stratum."""
     ev = load_table(spark, sf_dir, "events")
@@ -911,7 +914,7 @@ def ab_value_bootstrap_ci_by_nation(
     nat = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nationkey"), "n_name"
     )
-    dim = F.broadcast(cust.join(F.broadcast(nat), "c_nationkey"))
+    dim = cust.join(F.broadcast(nat), "c_nationkey")
     in_a = F.substring(
         F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 6
     ) < F.lit("800000")

@@ -1589,15 +1589,12 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowlisted all-pairs-over-a-sample diagnostic shape (at corpus
     scale, tighten the sample fraction — the histogram is an estimate
     of the distortion DISTRIBUTION, not a per-vector report)."""
+    from hadoop_stuff_spark.operators.sampling import deterministic_keep
+
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    s = emb.filter(
-        F.substring(
-            F.md5(F.concat(F.lit("jlpairs"), F.col("vec_id").cast("string"))),
-            1,
-            6,
-        )
-        < "333333"
-    ).select("vec_id", as_double("embedding").alias("v"))
+    s = emb.filter(deterministic_keep("vec_id", 0.2, "jlpairs")).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
     s = s.filter(l2_norm("v") > 0)
 
     grid = (
