@@ -953,6 +953,60 @@ STRATIFIED_BOOTSTRAP_SQL = _boot_ci_sql(
 )
 
 
+def ab_purchase_rate_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, b_reps: int = _BOOT_B
+) -> DataFrame:
+    """Poisson-bootstrap CI for the A/B difference in PURCHASE RATE — the
+    rate-metric member of the bootstrap family (the most common A/B
+    readout is a conversion proportion, not a mean value): the metric is
+    the indicator `event_type = 'purchase'`, so the
+    :func:`_poisson_boot_ci` chain's per-replicate arm mean IS the
+    resampled purchase rate and ``mean_diff`` reads as the rate
+    difference (rate_a − rate_b). Arms are the same md5 ``ab1:``
+    assignment as every other readout of this experiment; the ladder
+    salt is ``abrate1:`` so the rate CI draws resamples independent of
+    the value CI's.
+
+    A normal-approximation CI on a proportion misbehaves exactly where
+    experiments get decided (rates near 0 or 1, thin arms); the
+    bootstrap's exact order-statistic bounds don't.
+
+    Exactness rails: inherited verbatim from the ONE parameterized
+    chain — the indicator is a micro-unit integer (0 or 1,000,000), so
+    every replicate arm sum stays an exact integer; bounds are exact
+    order statistics at integer-computed ranks.
+
+    Scale shape: identical to the pooled value CI — ONE events scan
+    fans out ×B, map-side partials fold to B rows (single constant key)
+    before the only exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.substring(
+        F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 6
+    ) < F.lit("800000")
+    hit = (F.col("event_type") == "purchase").cast("long")
+    base = ev.select(
+        F.lit("purchase_rate").alias("metric"),
+        "event_id",
+        in_a.alias("in_a"),
+        F.lit(True).alias("ok"),
+        (hit * F.lit(1000000)).cast("decimal(19,0)").alias("v_fp"),
+    )
+    return _poisson_boot_ci(base, ["metric"], F.lit("abrate1:"), b_reps)
+
+
+_RATE_BASE_CTE = """
+  SELECT 'purchase_rate' AS metric, event_id,
+         substring(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 6) < '800000'
+           AS in_a,
+         TRUE AS ok,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END
+              AS HUGEINT) AS v_fp
+  FROM events
+"""
+
+RATE_BOOTSTRAP_SQL = _boot_ci_sql(_RATE_BASE_CTE, ["metric"], "'abrate1:'")
+
+
 def _corr_sums(x, y) -> list:
     """The five exact decimal accumulators of a Pearson correlation
     (Σx, Σy, Σxy, Σx², Σy²) over pre-fixed-pointed integer columns —

@@ -1807,3 +1807,108 @@ def n2_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k + 1, round(float(lam), 6), round(ratio, 6), round(cum, 6))
         )
     return spark.createDataFrame(rows, out_schema)
+
+
+_PCA_SRC_SCHEMA = "source STRING, i INT, j INT, val DOUBLE"
+
+
+def _gram_partials_by_source(iterator):
+    """Per-SOURCE Gram/sum/count partials: the :func:`_gram_partials`
+    fold keyed by the batch's source column (numpy per source slice —
+    the Python loop runs over the few sources present in a batch, never
+    per row), emitting the same (i, j, val) encoding per source."""
+    import numpy as np
+    import pandas as pd
+
+    acc: dict = {}
+    for pdf in iterator:
+        if not len(pdf):
+            continue
+        for src, sub in pdf.groupby("source", sort=False):
+            V = np.vstack(sub["v"].to_numpy())
+            G, s, n = acc.get(src) or (np.zeros((64, 64)), np.zeros(64), 0)
+            acc[src] = (G + V.T @ V, s + V.sum(axis=0), n + len(V))
+    iu, ju = np.triu_indices(64)
+    for src, (G, s, n) in acc.items():
+        yield pd.DataFrame(
+            {
+                "source": src,
+                "i": np.concatenate([iu, np.arange(64), [-1]]).astype("int32"),
+                "j": np.concatenate([ju, np.full(64, -1), [-1]]).astype(
+                    "int32"
+                ),
+                "val": np.concatenate([G[iu, ju], s, [float(n)]]),
+            }
+        )
+
+
+def n2_pca_spectrum_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE PCA eigen-spectra — :func:`n2_pca_spectrum` grouped by
+    the document source (vec_id ↔ doc_id): the readout that tells a
+    mixture planner whether a source's embeddings actually SPAN the
+    space or collapse onto a few directions (a source with a steep
+    spectrum contributes less semantic diversity than its token share
+    suggests — read next to :func:`n2_source_centroid_similarity`, which
+    sees only the first moment).
+
+    Rows-only certified (eigendecomposition), numpy cross-check and a
+    planted per-source spectrum pinned in tests. Sources with fewer than
+    2 vectors have no sample covariance and are excluded.
+
+    Scale shape: the grouped twin of the single-pass Gram fold — one
+    embeddings⋈documents join, then Arrow-batched per-source partials
+    (~2.1k rows per (partition, source)) fold through one hash agg; the
+    |sources|·2.1k aggregate collects driver-side (control-plane-sized
+    for any sane source count) and eigh runs per source there."""
+    import numpy as np
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", as_double("embedding").alias("v")
+    )
+    parts = (
+        e.mapInPandas(_gram_partials_by_source, _PCA_SRC_SCHEMA)
+        .groupBy("source", "i", "j")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    acc: dict = {}
+    for r in parts:
+        G, s, meta = acc.setdefault(
+            r["source"], (np.zeros((64, 64)), np.zeros(64), {"n": 0})
+        )
+        if r["i"] == -1:
+            meta["n"] = int(r["val"])
+        elif r["j"] == -1:
+            s[r["i"]] = r["val"]
+        else:
+            G[r["i"], r["j"]] = r["val"]
+            G[r["j"], r["i"]] = r["val"]
+    out_schema = (
+        "source STRING, component INT, eigenvalue DOUBLE, "
+        "explained_ratio DOUBLE, cum_ratio DOUBLE"
+    )
+    rows = []
+    for src in sorted(acc):
+        G, s, meta = acc[src]
+        n = meta["n"]
+        if n < 2:
+            continue
+        C = (G - np.outer(s, s) / n) / (n - 1)
+        ev = np.linalg.eigvalsh(C)[::-1]
+        total = float(ev.sum())
+        cum = 0.0
+        for k, lam in enumerate(ev):
+            ratio = float(lam) / total if total > 0 else 0.0
+            cum += ratio
+            rows.append(
+                (
+                    src,
+                    k + 1,
+                    round(float(lam), 6),
+                    round(ratio, 6),
+                    round(cum, 6),
+                )
+            )
+    return spark.createDataFrame(rows, out_schema)

@@ -430,6 +430,9 @@ _CATALOG_A: dict[str, QuerySpec] = {
     # eigendecomposition is not SQL-expressible: numpy cross-check +
     # planted-spectrum fixture in tests/test_wave11_ops.py
     "n2_pca_spectrum": QuerySpec(similarity.n2_pca_spectrum, None),
+    "n2_pca_spectrum_by_source": QuerySpec(
+        similarity.n2_pca_spectrum_by_source, None
+    ),
 }
 
 # Catalog half B: every oracle-backed query added after the r1 window froze
@@ -850,6 +853,9 @@ _CATALOG_B: dict[str, QuerySpec] = {
     ),
     "n2_jl_projection_distortion": QuerySpec(
         similarity.n2_jl_projection_distortion, similarity.JL_DISTORTION_SQL
+    ),
+    "ab_purchase_rate_bootstrap_ci": QuerySpec(
+        profile.ab_purchase_rate_bootstrap_ci, profile.RATE_BOOTSTRAP_SQL
     ),
 }
 

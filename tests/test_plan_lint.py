@@ -126,6 +126,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "priority_mix_drift_by_month",  # months x |priorities| zero-cell grid (two tiny distinct frames)
         "priority_share_control_chart",  # 1-row corpus-share (p-bar) frame broadcast
         "n2_jl_projection_distortion",  # all-pairs over a deterministic SAMPLE (bounded diagnostic)
+        "ab_purchase_rate_bootstrap_ci",  # constant metric key folds the pt x ci join to 1-row x 1-row
     }
     sf = "/root/testdata/sf0.001"
     bad = []

@@ -432,3 +432,104 @@ def test_jl_distortion_identical_vectors_bin_zero(spark, tmp_path):
     n_pairs = len(ids) * (len(ids) - 1) // 2
     assert sum(r["n_pairs"] for r in got) == n_pairs
     assert len(got) == 1 and got[0]["bin"] == 0 and got[0]["bin_lo"] == 0.0
+
+
+def test_purchase_rate_bootstrap_planted_certain_effect(spark, tmp_path):
+    """Arm A events are ALL purchases, arm B none: every replicate's rate
+    diff is exactly 1.0 regardless of Poisson weights, so the CI
+    degenerates to [1, 1] and flags significant."""
+    from hadoop_stuff_spark.operators.profile import (
+        ab_purchase_rate_bootstrap_ci,
+    )
+
+    users = list(range(30))
+    armA = [u for u in users if _in_arm_a(u)][:5]
+    armB = [u for u in users if not _in_arm_a(u)][:5]
+    rows = []
+    eid = 0
+    for u in armA + armB:
+        for _ in range(10):
+            et = "purchase" if u in armA else "view"
+            rows.append((eid, 1_000_000 * eid, u, et, 1.0, "{}"))
+            eid += 1
+    sf = tmp_path / "sf_rate"
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(sf / "events.parquet"),
+    )
+    (row,) = ab_purchase_rate_bootstrap_ci(spark, str(sf)).collect()
+    assert row["metric"] == "purchase_rate"
+    assert (row["n_a"], row["n_b"]) == (50, 50)
+    assert row["mean_diff"] == 1.0
+    assert row["ci_lo"] == 1.0 and row["ci_hi"] == 1.0
+    assert row["significant"] is True and row["n_reps"] == 64
+
+
+def test_pca_spectrum_by_source_planted(spark, tmp_path):
+    """Two planted sources with different axis variances: each source's
+    spectrum matches the standalone operator's planted math, and a
+    one-vector source is excluded (no sample covariance)."""
+    from hadoop_stuff_spark.operators.similarity import (
+        n2_pca_spectrum_by_source,
+    )
+
+    def vec(axis, scale):
+        v = [0.0] * 64
+        v[axis] = scale
+        return v
+
+    emb = [
+        (0, vec(0, 2.0)),
+        (1, vec(0, -2.0)),
+        (2, vec(1, 1.0)),
+        (3, vec(1, -1.0)),  # srcA: eigenvalues 8/3, 2/3
+        (4, vec(2, 3.0)),
+        (5, vec(2, -3.0)),  # srcB: single axis, eigenvalue (9+9)/(2-1) = 18
+        (6, vec(0, 9.0)),  # srcC: one vector -> excluded
+    ]
+    src = {i: ("srcA" if i < 4 else "srcB" if i < 6 else "srcC") for i, _ in emb}
+    sf = tmp_path / "sf_pcasrc"
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in emb], pa.int64()),
+                "embedding": pa.array(
+                    [v for _, v in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(emb), pa.int32()),
+            }
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(src), pa.int64()),
+                "source": pa.array([src[i] for i in src]),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    rows = n2_pca_spectrum_by_source(spark, str(sf)).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"srcA", "srcB"}
+    a = sorted(by_src["srcA"], key=lambda r: r["component"])
+    assert a[0]["eigenvalue"] == round(8 / 3, 6)
+    assert a[1]["eigenvalue"] == round(2 / 3, 6)
+    assert a[0]["explained_ratio"] == 0.8 and a[1]["cum_ratio"] == 1.0
+    b = sorted(by_src["srcB"], key=lambda r: r["component"])
+    assert b[0]["eigenvalue"] == 18.0 and b[0]["explained_ratio"] == 1.0
+    assert all(r["eigenvalue"] == 0.0 for r in b[1:])
