@@ -913,21 +913,26 @@ _ANCHORS = [
     "u3_expression_predicate",
 ]
 
-# r11 window = steady-state round-robin (schedule comment above): the
-# never-certified oracle entries added after the r10 pin (the r10 in-round
-# waves, _CATALOG_B[140:]) jump the queue; the remaining slots start the
-# re-certification round-robin oldest-driver-row-first — the displaced
-# _CATALOG_A oracle entries (driver rows date to r1-r6), taken in
-# declaration order. The never-certified slice is PINNED at the r11
-# round-start catalog boundary (148) — same reason as the r10 pin at 140:
-# r11 in-round waves extend _CATALOG_B past it and must land in
-# EXTRA_QUERIES (locally certified), never grow the window mid-round. The
-# A-entries not taken here (declaration-order tail) head the r12 queue,
-# followed by the r11-wave entries (_CATALOG_B[148:]), then cohort A
-# (_CATALOG_B[0:35]).
-_NEVER_CERTIFIED = list(_CATALOG_B)[140:148]
+# r12 window = steady-state round-robin (schedule comment above). Queue
+# per VERDICT r11 #1 / PLAN_r12 #2: (a) the displaced _CATALOG_A oracle
+# entries NOT re-certified in r11 (declaration-order tail; their driver
+# rows date to r1-r6 — oldest first), then (b) the never-certified
+# r11-wave entries, PINNED at the r12 round-start catalog boundary (155)
+# — same reason as the r10/r11 pins: r12 in-round waves extend
+# _CATALOG_B past it and must land in EXTRA_QUERIES (locally certified),
+# never grow the window mid-round — then (c) the head of cohort A
+# (_CATALOG_B[0:...]), restarting the re-certification cycle. The cohort-A
+# entries not taken here head the r13 queue (after any r12-wave
+# never-certified entries, which jump as always).
 _A_DISPLACED = [n for n, s in _CATALOG_A.items() if s.oracle and n not in _ANCHORS]
-_WINDOW_ROTATION = _NEVER_CERTIFIED + _A_DISPLACED[: 35 - len(_NEVER_CERTIFIED)]
+_R11_NEVER = list(_CATALOG_B)[140:148]  # r11's pinned first-cert slice
+_A_TAIL = _A_DISPLACED[35 - len(_R11_NEVER):]  # displaced A entries r11 did not take
+_NEVER_CERTIFIED = list(_CATALOG_B)[148:155]
+_WINDOW_ROTATION = (
+    _A_TAIL
+    + _NEVER_CERTIFIED
+    + list(_CATALOG_B)[: 35 - len(_A_TAIL) - len(_NEVER_CERTIFIED)]
+)
 
 _ORACLE_CATALOG: dict[str, QuerySpec] = {
     **{n: s for n, s in _CATALOG_A.items() if s.oracle},
@@ -950,9 +955,9 @@ assert len(_CATALOG_B) >= 105, (
     f"cohort schedule assumes three full 35-slot cohorts; _CATALOG_B has "
     f"{len(_CATALOG_B)} entries — cohort D would be {len(_CATALOG_B) - 105}"
 )
-assert len(_CATALOG_B) >= 148, (
-    f"r11 never-certified slice is pinned at [140:148]; _CATALOG_B has "
-    f"{len(_CATALOG_B)} entries — the pin no longer covers the r10 waves"
+assert len(_CATALOG_B) >= 155, (
+    f"r12 never-certified slice is pinned at [148:155]; _CATALOG_B has "
+    f"{len(_CATALOG_B)} entries — the pin no longer covers the r11 waves"
 )
 assert all(
     s.oracle for s in EXTRA_QUERIES.values()
