@@ -886,7 +886,7 @@ def ab_value_bootstrap_ci_by_nation(
     whose CI excludes 0 while the pooled CI straddles it is exactly the
     effect heterogeneity a pooled readout averages away.
 
-    The Poisson ladder salts PER STRATUM (``abstrat1:<nationkey>:``), so
+    The Poisson ladder salts PER STRATUM (``abstrat1:<n_name>:``), so
     strata draw independent resamples — replicate b in one nation shares
     no randomness with replicate b in another (a shared salt would
     correlate the per-stratum CIs through common draws on shared event
@@ -991,7 +991,9 @@ def ab_purchase_rate_bootstrap_ci(
         F.lit(True).alias("ok"),
         (hit * F.lit(1000000)).cast("decimal(19,0)").alias("v_fp"),
     )
-    return _poisson_boot_ci(base, ["metric"], F.lit("abrate1:"), b_reps)
+    return _poisson_boot_ci(base, ["metric"], F.lit("abrate1:"), b_reps).orderBy(
+        "metric"
+    )
 
 
 _RATE_BASE_CTE = """

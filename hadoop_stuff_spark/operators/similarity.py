@@ -1231,10 +1231,10 @@ def n2_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
-LABEL_CENTROID_DRIFT_SQL = """
+LABEL_CENTROID_DRIFT_SQL = f"""
 WITH e AS (
   SELECT label,
-         unnest(range(1, 65)) AS i,
+         unnest(range(1, {DIM + 1})) AS i,
          unnest(embedding::DOUBLE[]) AS v
   FROM embeddings
 ), per AS (
@@ -1533,10 +1533,10 @@ def n2_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("source_a", "source_b")
 
 
-SOURCE_CENTROID_SIMILARITY_SQL = """
+SOURCE_CENTROID_SIMILARITY_SQL = f"""
 WITH e AS (
   SELECT d.source,
-         unnest(range(1, 65)) AS i,
+         unnest(range(1, {DIM + 1})) AS i,
          unnest(em.embedding::DOUBLE[]) AS v
   FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
 ), per AS (
@@ -1557,6 +1557,11 @@ FROM pairs
 WHERE na > 0 AND nb > 0
 ORDER BY source_a, source_b
 """
+
+
+# JL target dimensionality, shared by the Spark chain and
+# JL_DISTORTION_SQL (source dimensionality is the module DIM)
+_JL_DIM = 16
 
 
 def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,8 +1604,10 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     grid = (
         spark.range(1)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"))
-        .select("i", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+        .select(F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("i"))
+        .select(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(_JL_DIM - 1))).alias("j")
+        )
         .select(
             "i",
             "j",
@@ -1639,7 +1646,7 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "v",
             F.transform(
-                F.sequence(F.lit(0), F.lit(15)),
+                F.sequence(F.lit(0), F.lit(_JL_DIM - 1)),
                 lambda j: F.element_at(F.col("m"), j),
             ).alias("p"),
         )
@@ -1673,21 +1680,21 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-JL_DISTORTION_SQL = """
+JL_DISTORTION_SQL = f"""
 WITH s AS (
   SELECT vec_id, embedding::DOUBLE[] AS v
   FROM embeddings
   WHERE substring(md5('jlpairs' || CAST(vec_id AS VARCHAR)), 1, 6) < '333333'
     AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ), e AS (
-  SELECT vec_id, unnest(range(0, 64)) AS i, unnest(v) AS vv FROM s
+  SELECT vec_id, unnest(range(0, {DIM})) AS i, unnest(v) AS vv FROM s
 ), grid AS (
   SELECT i.i, j.j,
          CASE WHEN substring(md5('jl:' || CAST(i.i AS VARCHAR) || ':'
                                   || CAST(j.j AS VARCHAR)), 1, 1) < '8'
               THEN 1.0 ELSE -1.0 END AS sg
-  FROM (SELECT unnest(range(0, 64)) AS i) i
-  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+  FROM (SELECT unnest(range(0, {DIM})) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, {_JL_DIM})) AS j) j
 ), proj AS (
   SELECT vec_id, j, sum(vv * sg) AS pv FROM e JOIN grid USING (i) GROUP BY 1, 2
 ), parr AS (
@@ -1723,8 +1730,8 @@ def _gram_partials(iterator):
     import numpy as np
     import pandas as pd
 
-    G = np.zeros((64, 64))
-    s = np.zeros(64)
+    G = np.zeros((DIM, DIM))
+    s = np.zeros(DIM)
     n = 0
     for pdf in iterator:
         if not len(pdf):
@@ -1735,12 +1742,12 @@ def _gram_partials(iterator):
         n += len(V)
     if not n:
         return
-    iu, ju = np.triu_indices(64)
+    iu, ju = np.triu_indices(DIM)
     yield pd.DataFrame(
         {
-            "i": np.concatenate([iu, np.arange(64), [-1]]).astype("int32"),
+            "i": np.concatenate([iu, np.arange(DIM), [-1]]).astype("int32"),
             "j": np.concatenate(
-                [ju, np.full(64, -1), [-1]]
+                [ju, np.full(DIM, -1), [-1]]
             ).astype("int32"),
             "val": np.concatenate([G[iu, ju], s, [float(n)]]),
         }
@@ -1778,8 +1785,8 @@ def n2_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("val").alias("val"))
         .collect()
     )
-    G = np.zeros((64, 64))
-    s = np.zeros(64)
+    G = np.zeros((DIM, DIM))
+    s = np.zeros(DIM)
     n = 0
     for r in parts:
         if r["i"] == -1:
@@ -1826,15 +1833,17 @@ def _gram_partials_by_source(iterator):
             continue
         for src, sub in pdf.groupby("source", sort=False):
             V = np.vstack(sub["v"].to_numpy())
-            G, s, n = acc.get(src) or (np.zeros((64, 64)), np.zeros(64), 0)
+            G, s, n = acc.get(src) or (np.zeros((DIM, DIM)), np.zeros(DIM), 0)
             acc[src] = (G + V.T @ V, s + V.sum(axis=0), n + len(V))
-    iu, ju = np.triu_indices(64)
+    iu, ju = np.triu_indices(DIM)
     for src, (G, s, n) in acc.items():
         yield pd.DataFrame(
             {
                 "source": src,
-                "i": np.concatenate([iu, np.arange(64), [-1]]).astype("int32"),
-                "j": np.concatenate([ju, np.full(64, -1), [-1]]).astype(
+                "i": np.concatenate([iu, np.arange(DIM), [-1]]).astype(
+                    "int32"
+                ),
+                "j": np.concatenate([ju, np.full(DIM, -1), [-1]]).astype(
                     "int32"
                 ),
                 "val": np.concatenate([G[iu, ju], s, [float(n)]]),
@@ -1876,7 +1885,7 @@ def n2_pca_spectrum_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc: dict = {}
     for r in parts:
         G, s, meta = acc.setdefault(
-            r["source"], (np.zeros((64, 64)), np.zeros(64), {"n": 0})
+            r["source"], (np.zeros((DIM, DIM)), np.zeros(DIM), {"n": 0})
         )
         if r["i"] == -1:
             meta["n"] = int(r["val"])

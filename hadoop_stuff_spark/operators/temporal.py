@@ -3072,8 +3072,19 @@ ORDER BY g.wk
 """
 
 
+# the p-chart's monitored class and control width, shared by the Spark
+# chain and PRIORITY_PCHART_SQL below so oracle parity holds at ANY
+# default change (the DEDUP_TOKEN_BUDGET_SQL interpolation convention) —
+# non-default call sites remain uncertified and should say so
+_PCHART_PRIORITY = "1-URGENT"
+_PCHART_K_SIGMA = 3.0
+
+
 def priority_share_control_chart(
-    spark: SparkSession, sf_dir: str, priority: str = "1-URGENT", k_sigma: float = 3.0
+    spark: SparkSession,
+    sf_dir: str,
+    priority: str = _PCHART_PRIORITY,
+    k_sigma: float = _PCHART_K_SIGMA,
 ) -> DataFrame:
     """Shewhart p-chart over the weekly share of ``priority`` orders —
     the control-chart member of the drift family: where
@@ -3130,11 +3141,12 @@ def priority_share_control_chart(
     ).orderBy("wk")
 
 
-PRIORITY_PCHART_SQL = """
+PRIORITY_PCHART_SQL = f"""
 WITH o AS (
   SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
            AS wk,
-         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS hit
+         CASE WHEN o_orderpriority = '{_PCHART_PRIORITY}' THEN 1 ELSE 0 END
+           AS hit
   FROM orders
 ), per AS (
   SELECT wk, CAST(count(*) AS BIGINT) AS n_orders,
@@ -3147,9 +3159,9 @@ WITH o AS (
   SELECT wk, n_orders, n_hit,
          CAST(n_hit AS DOUBLE) / CAST(n_orders AS DOUBLE) AS share,
          pbar,
-         least(pbar + 3.0 * sqrt(pbar * (1.0 - pbar)
+         least(pbar + {_PCHART_K_SIGMA!r} * sqrt(pbar * (1.0 - pbar)
                                  / CAST(n_orders AS DOUBLE)), 1.0) AS ucl,
-         greatest(pbar - 3.0 * sqrt(pbar * (1.0 - pbar)
+         greatest(pbar - {_PCHART_K_SIGMA!r} * sqrt(pbar * (1.0 - pbar)
                                     / CAST(n_orders AS DOUBLE)), 0.0) AS lcl
   FROM per CROSS JOIN tot
 )
