@@ -115,6 +115,19 @@ HEADLINE = [
         "seasonality_strength_by_priority",
         "weekly_retention_matrix",
     ]),
+    # round-12 widening (VERDICT r11 #2): the round-11 operator wave gets
+    # wall-time accountability, added at ROUND START so the committed
+    # detail and the driver's BENCH_r12 describe the same set. The detail
+    # JSON carries a shared_57_total subtotal (total minus these) that
+    # compares against BENCH_r11's 57-query value.
+    *(_R12_WIDENING := [
+        "n3_dedup_aware_token_budget",
+        "ab_bootstrap_ci_by_nation",
+        "user_lifecycle_weekly",
+        "priority_share_control_chart",
+        "n2_source_centroid_similarity",
+        "n2_jl_projection_distortion",
+    ]),
 ]
 
 
@@ -222,14 +235,24 @@ def main() -> None:
     # minus this round's additions) is what compares against the prior
     # BENCH_r{N}; the r8-era 41-query subtotal is kept for the longer
     # series.
+    shared_57 = round(
+        sum(t for n, t in timings.items() if n not in _R12_WIDENING), 3
+    )
     shared_51 = round(
-        sum(t for n, t in timings.items() if n not in _R11_WIDENING), 3
+        sum(
+            t
+            for n, t in timings.items()
+            if n not in _R11_WIDENING and n not in _R12_WIDENING
+        ),
+        3,
     )
     shared_45 = round(
         sum(
             t
             for n, t in timings.items()
-            if n not in _R10_WIDENING and n not in _R11_WIDENING
+            if n not in _R10_WIDENING
+            and n not in _R11_WIDENING
+            and n not in _R12_WIDENING
         ),
         3,
     )
@@ -240,6 +263,7 @@ def main() -> None:
             if n not in _R9_WIDENING
             and n not in _R10_WIDENING
             and n not in _R11_WIDENING
+            and n not in _R12_WIDENING
         ),
         3,
     )
@@ -263,9 +287,11 @@ def main() -> None:
         "shared_41_total": shared_prev,
         "shared_45_total": shared_45,
         "shared_51_total": shared_51,
+        "shared_57_total": shared_57,
         "r9_widening": _R9_WIDENING,
         "r10_widening": _R10_WIDENING,
         "r11_widening": _R11_WIDENING,
+        "r12_widening": _R12_WIDENING,
         "queries": timings,
         "queries_min": t_min,
         "queries_max": t_max,
@@ -688,29 +714,27 @@ def _ingest_benchmarks(spark):
 # real regression from co-tenant load (unchanged-code queries drifted up
 # to +24% in r7) — the median of 5 keeps one hot and one cold outlier
 # out, and queries_min is recorded alongside for the adjudication
-# min-of-5 adjudication for every query that crossed ~2 s in the r10
+# min-of-5 adjudication for every query that crossed ~2 s in the r11
 # DRIVER run (standing gate per VERDICT r10 "what's wrong" #1: recompute
 # this set at EVERY round start from the previous driver run, never carry
-# the prior round's set). Set = exactly the BENCH_r10.json (driver
+# the prior round's set). Set = exactly the BENCH_r11.json (driver
 # session) queries with median >= 2.0 s — RE-DERIVED from the artifact,
 # never edited from the prior map (the never-quote-counts rule; the r11
 # review caught a miscounted "adds N to the carried-over M" phrasing
 # here). Verify with:
 #   python -c "import json; print(sorted(k for k, v in json.load(open(
-#       'BENCH_r10.json'))['parsed']['queries'].items() if v >= 2))"
+#       'BENCH_r11.json'))['parsed']['queries'].items() if v >= 2))"
 _EXTRA_RUNS = {
-    "n2_kmeans_lloyd": 2,
-    "part_neighbor_jaccard": 2,
     "n1_curate_pipeline": 2,
+    "part_neighbor_jaccard": 2,
+    "ab_value_bootstrap_ci": 2,
+    "n2_kmeans_lloyd": 2,
     "pagerank_copurchase_parts": 2,
-    "n1_containment_pairs": 2,
     "n1_semantic_dedup_pairs": 2,
-    "referential_integrity_report": 2,
-    "n2_hybrid_rrf_fusion": 2,
     "source_js_divergence_matrix": 2,
-    "n3_skipgram_cooccurrence": 2,
-    "basket_affinity_lift": 2,
+    "n1_containment_pairs": 2,
     "copurchase_pairs": 2,
+    "basket_affinity_lift": 2,
 }
 
 # queries whose result is the deliverable (collect it); others just count
