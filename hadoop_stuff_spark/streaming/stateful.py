@@ -1191,3 +1191,93 @@ def streaming_cohort_activity(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming growth accounting (VERDICT r11 #4): the keyed-state lifecycle
+# twin of operators/temporal.user_lifecycle_weekly
+
+_LIFECYCLE_OUT = "user_id LONG, wk LONG, status STRING"
+# state = the user's activity frontier (max classified week)
+_LIFECYCLE_STATE = StructType([StructField("last_wk", LongType())])
+
+
+def _lifecycle_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    weeks: set[int] = set()
+    for pdf in pdf_iter:
+        # NaT drops BEFORE the epoch view (the cohort-state rule: int64
+        # min would otherwise become the user's frontier forever)
+        ts = pdf["ts"].dropna()
+        if len(ts):
+            weeks.update(ms // _WEEK_MS for ms in _epoch_int64(ts, 1_000_000))
+    rows: list[tuple[int, str]] = []
+    for w in sorted(weeks):
+        if last is not None and w <= last:
+            # same-week repeat, or an out-of-order arrival behind the
+            # frontier: append semantics cannot retro-classify weeks
+            # already accounted (the cohort-op convention — bound
+            # lateness upstream with a watermark if it matters)
+            continue
+        if last is None:
+            rows.append((w, "new"))
+        elif w == last + 1:
+            rows.append((w, "retained"))
+        else:
+            # the gap teaches us BOTH facts at once: the user churned
+            # into their first silent week (the batch op's churn week,
+            # last+1) and is resurrected in w
+            rows.append((last + 1, "churned"))
+            rows.append((w, "resurrected"))
+        last = w
+    if not rows:
+        return
+    state.update((int(last),))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(rows),
+            "wk": [w for w, _ in rows],
+            "status": [s for _, s in rows],
+        }
+    )
+
+
+def streaming_user_lifecycle(
+    stream: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming growth-accounting lifecycle — the keyed-state twin of
+    :func:`operators.temporal.user_lifecycle_weekly` (and the event-time
+    elevation of the reference's only stateful pattern, the tail
+    pointer, TailF.java:110-149): per user, every newly-seen active week
+    is classified on arrival as ``new`` (no frontier yet), ``retained``
+    (frontier is the immediately previous week) or ``resurrected``
+    (frontier ends at least two weeks back), and a resurrection gap also
+    emits the ``churned`` row for the user's first silent week
+    (frontier+1) — the same churn-week convention as the batch matrix.
+    Downstream, ``groupBy(wk, status).count()`` IS the growth-accounting
+    matrix, maintained on arrival instead of recomputed from history.
+
+    What streaming CANNOT know yet (stated, not hidden): a user's
+    terminal churn — silent-so-far with no later activity — is only
+    decidable at a horizon; the batch operator sees the corpus max week
+    and counts those churns, so stream≡batch equivalence holds exactly
+    on new/retained/resurrected, and on churned restricted to users who
+    later resurrect (the equivalence test pins both, plus the batch
+    identity on the streamed matrix).
+
+    Weeks are the engine-free integers of the batch op (epoch-ms div
+    week-ms ≡ days-since-1970 div 7 for positive epochs). State per
+    user: ONE long (the activity frontier) — smaller than the cohort
+    tracker's week set, because classification only ever looks back one
+    state, never at history. At 100 TB of stream history the state is
+    O(distinct users) longs, hash-sharded by user across executors."""
+    renamed = stream.selectExpr(f"{user_col} AS user_id", f"{ts_col} AS ts")
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        _lifecycle_fn,
+        outputStructType=_LIFECYCLE_OUT,
+        stateStructType=_LIFECYCLE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
