@@ -1921,3 +1921,188 @@ def n2_pca_spectrum_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     return spark.createDataFrame(rows, out_schema)
+
+
+# --------------------------------------------------------------------------
+# IVF build-vs-probe cost table (VERDICT r11 #5)
+
+def n2_ivf_cost_table(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    nlist_values: tuple[int, ...] = (8, 16, 32),
+    probe_widths: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """IVF build-vs-probe cost table (VERDICT r11 #5) — the sizing
+    evidence a deployment needs BEFORE picking an index shape: for each
+    quantizer size ``n_cells`` and probe width ``n_probe`` (plus the
+    full-probe anchor n_probe = n_cells per quantizer), recall@k against
+    the exact top-k and the fraction of the corpus actually scanned per
+    query. Where :func:`n2_ivf_recall_curve` sweeps probe width at ONE
+    quantizer size, this sweeps the build knob too — the two-way table
+    an operator reads diagonally ("do 32 cells probing 4 beat 8 cells
+    probing 1 at the same scan fraction?").
+
+    ONE brute-force-priced pass total (not one per quantizer): every
+    quantizer's cell assignment and every query's cell ranking ride the
+    same scored relation — each (query, candidate) pair is cosine-scored
+    once, carrying one probe-rank column per quantizer; a config then
+    reads as a filter (rank <= n_probe) + per-config top-k window. The
+    scored relation is eagerly localCheckpoint'ed because the truth
+    window and every config's filter consume it (the pandas-UDF
+    double-evaluation rule); truth = the pass's own full-candidate
+    top-k, which IS brute force (same rounding, same tie order).
+
+    probe_fraction = candidate rows scanned / corpus size, averaged over
+    queries; the query's own row is excluded by the self-filter, so the
+    full-probe anchor reads (N-1)/N, not 1.0 (stated, not hidden).
+
+    Rows-only (the quantizers ride numpy argsort over xxhash64-sampled
+    centroids — no SQL oracle); tests pin recall non-decreasing in
+    n_probe per quantizer, recall == 1.0 at the full-probe anchor, and
+    probe_fraction non-decreasing with the (N-1)/N anchor.
+
+    Scale shape: priced as ONE exact pass over corpus × queries — the
+    bounded-query-set diagnostic shape (broadcast queries + their
+    ranked-cell arrays, corpus scanned once); at 100 TB you run it on a
+    sampled corpus slice, and the table's RATIOS are what transfer, not
+    the absolute candidate counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nlists = sorted(set(int(n) for n in nlist_values))
+    quantizers = {nl: _centroids(emb, nl) for nl in nlists}
+
+    corpus = spread(emb).select(
+        "vec_id",
+        "embedding",
+        l2_norm("embedding").alias("nrm"),
+        *[
+            _cell_assign_udf(quantizers[nl])("embedding").alias(f"cell_{nl}")
+            for nl in nlists
+        ],
+    )
+    queries = broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            l2_norm("embedding").alias("qnrm"),
+            *[
+                _ranked_cells_udf(quantizers[nl])("embedding").alias(
+                    f"order_{nl}"
+                )
+                for nl in nlists
+            ],
+        )
+    )
+    scored = (
+        corpus.join(queries, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("qvec", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("sim"),
+            *[
+                F.array_position(
+                    F.col(f"order_{nl}"), F.col(f"cell_{nl}")
+                ).alias(f"rank_{nl}")
+                for nl in nlists
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_corpus = emb.count()
+
+    wt = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id")
+    )
+
+    configs = [
+        (nl, p)
+        for nl in nlists
+        for p in sorted(set(w for w in probe_widths if w < nl) | {nl})
+    ]
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(nl).alias("n_cells"), F.lit(p).alias("n_probe")
+                )
+                for nl, p in configs
+            ]
+        )
+    ).alias("cfg")
+    rank_for_cfg = F.col(f"rank_{nlists[0]}")
+    for nl in nlists[1:]:
+        rank_for_cfg = F.when(
+            F.col("cfg.n_cells") == nl, F.col(f"rank_{nl}")
+        ).otherwise(rank_for_cfg)
+    cand = (
+        scored.select(
+            "query_id",
+            "vec_id",
+            "sim",
+            *[f"rank_{nl}" for nl in nlists],
+            cfg,
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "sim",
+            "cfg.n_cells",
+            "cfg.n_probe",
+            rank_for_cfg.alias("cell_rank"),
+        )
+        .filter(F.col("cell_rank") <= F.col("n_probe"))
+    )
+    wc = Window.partitionBy("n_cells", "n_probe", "query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    hits = (
+        cand.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= k)
+        .select("n_cells", "n_probe", "query_id", "vec_id")
+        .join(truth, ["query_id", "vec_id"])
+        .groupBy("n_cells", "n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    scanned = cand.groupBy("n_cells", "n_probe", "query_id").agg(
+        F.count(F.lit(1)).alias("n_scanned")
+    )
+    # materialize the full (config, query) grid: a config that recalls
+    # (or scans) NOTHING for some query must average as 0, not vanish
+    # (the categorical zero-cell rule)
+    grid = broadcast(
+        spark.range(n_queries)
+        .select(F.col("id").alias("query_id"), cfg)
+        .select("query_id", "cfg.n_cells", "cfg.n_probe")
+    )
+    return (
+        grid.join(hits, ["n_cells", "n_probe", "query_id"], "left")
+        .join(scanned, ["n_cells", "n_probe", "query_id"], "left")
+        .select(
+            "n_cells",
+            "n_probe",
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.coalesce("n_scanned", F.lit(0)).alias("n_scanned"),
+        )
+        .groupBy("n_cells", "n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.avg(F.col("n_hit").cast("double") / F.lit(float(k))), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.avg(
+                    F.col("n_scanned").cast("double")
+                    / F.lit(float(n_corpus))
+                ),
+                6,
+            ).alias("probe_fraction"),
+        )
+        .orderBy("n_cells", "n_probe")
+    )

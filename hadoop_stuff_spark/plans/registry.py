@@ -417,6 +417,10 @@ _CATALOG_A: dict[str, QuerySpec] = {
     # xxhash64-sampled centroids (no SQL oracle); wave-9 tests pin
     # monotonicity and recall == 1.0 at full probe width
     "n2_ivf_recall_curve": QuerySpec(similarity.n2_ivf_recall_curve, None),
+    # IVF build-vs-probe cost table (r12): recall@k AND corpus scan
+    # fraction across quantizer sizes — same no-SQL-oracle quantizer;
+    # tests pin per-quantizer monotonicity and the full-probe anchors
+    "n2_ivf_cost_table": QuerySpec(similarity.n2_ivf_cost_table, None),
     # production near-dup path end to end (LSH pairs -> components ->
     # canonical): murmur3-backed, rows-only; coarsening-consistency and
     # determinism pinned by the wave-8 tests

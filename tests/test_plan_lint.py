@@ -117,6 +117,7 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "rfm_customer_segments",       # 1-row corpus-max-date frame broadcast
         "decayed_event_type_topk",     # 1-row corpus-max-ts frame broadcast
         "n2_ivf_recall_curve",         # diagnostic priced as ONE brute pass (broadcast query set)
+        "n2_ivf_cost_table",           # diagnostic priced as ONE brute pass (broadcast query set)
         "n1_cross_source_dup_matrix",  # |sources|^2 zero-cell grid crossJoin (two tiny frames)
         "forecast_backtest_daily_orders",  # 1-row date-bounds frame broadcast (calendar explode)
         "acf_daily_orders",            # 1-row bounds + max_lag-row lag-grid broadcasts
