@@ -1825,3 +1825,187 @@ SELECT CAST(order_month AS BIGINT) AS order_month,
        round(sum(t) / 1000000000.0, 6) AS psi
 FROM terms GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (r12)
+
+# expected first-digit shares log10(1 + 1/d), precomputed ONCE in Python
+# and injected as identical literals into the Spark grid and the SQL
+# VALUES list so both engines compare against bit-identical constants
+import math as _math
+
+_BENFORD_SHARES = [
+    (d, round(_math.log10(1.0 + 1.0 / d), 12)) for d in range(1, 10)
+]
+
+
+def benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order values — the classic
+    fabricated-or-truncated-data screen a profiling pass runs on any
+    money-like column (organically grown magnitudes follow
+    log10(1 + 1/d); synthetic, capped, or copy-pasted values don't):
+    per leading digit, the observed share against the Benford share,
+    the excess, and the digit's chi-square contribution (sum the column
+    for the test statistic against chi2(8)).
+
+    Exactness: the leading digit is extracted through exact integer/
+    string ops (floor → BIGINT → first character — never float log10,
+    which can misplace a value sitting on a power-of-ten ulp); counts
+    are exact int64; the expected shares are the SAME 12 dp literals on
+    both engines; shares/chi2 are formed in one fixed op order from the
+    exact counts and rounded 6 dp. All nine digits are materialized
+    (zero-cell rule) — a digit that never occurs is an explicit zero
+    row with its full expected-count chi-square term.
+
+    Scale shape: one orders scan → ≤9-row hash aggregate; the digit
+    grid is a 9-row literal frame and the total is a window sum over
+    the 9-row relation — nothing after the aggregate sees data scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = spark.createDataFrame(
+        _BENFORD_SHARES, "digit int, benford_share double"
+    )
+    from pyspark.sql import Window
+
+    j = (
+        grid.join(counts, "digit", "left")
+        .select(
+            "digit",
+            "benford_share",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    share = F.col("n").cast("double") / total
+    excess = share - F.col("benford_share")
+    return (
+        j.select(
+            "digit",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(share, 6).alias("share"),
+            "benford_share",
+            F.round(excess, 6).alias("excess"),
+            F.round(
+                total * excess * excess / F.col("benford_share"), 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_VALUES = ", ".join(f"({d}, {s!r})" for d, s in _BENFORD_SHARES)
+
+BENFORD_SQL = f"""
+WITH c AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+), g AS (
+  SELECT digit, CAST(benford_share AS DOUBLE) AS benford_share
+  FROM (VALUES {_BENFORD_VALUES}) AS t(digit, benford_share)
+), j AS (
+  SELECT g.digit, g.benford_share, COALESCE(c.n, 0) AS n
+  FROM g LEFT JOIN c USING (digit)
+), s AS (
+  SELECT digit, benford_share, n,
+         CAST(n AS DOUBLE) / sum(n) OVER () AS share,
+         CAST(sum(n) OVER () AS DOUBLE) AS total
+  FROM j
+)
+SELECT digit,
+       CAST(n AS BIGINT) AS n_orders,
+       round(share, 6) AS share,
+       benford_share,
+       round(share - benford_share, 6) AS excess,
+       round(total * (share - benford_share) * (share - benford_share)
+             / benford_share, 6) AS chi2_term
+FROM s
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit (r12)
+
+# the audited (table, determinant, dependent) triples — ONE list drives
+# both the Spark chain and FD_AUDIT_SQL (the shared-constant rule): two
+# true dependencies (keys) as clean rows, three plausible-but-false ones
+# as the violation signal a schema-inference pass needs
+_FD_AUDITS = [
+    ("orders", "o_orderkey", "o_orderdate"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+]
+
+
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — does ``lhs → rhs`` actually hold?
+    For each audited (table, determinant, dependent) triple: determinant
+    groups, groups carrying MORE than one distinct dependent (the
+    violations), the violation rate, and the worst group's dependent
+    fan-out. The schema-semantics companion to
+    :func:`referential_integrity_report` (which checks key EXISTENCE,
+    not determination): a real FD with violations means dirty data or a
+    wrong modeling assumption; a hoped-for FD with a high rate means
+    the column pair cannot be collapsed into a dimension.
+
+    Exactness: pure exact integers (per-group COUNT DISTINCT — the
+    point of an FD audit is exactness, so no sketch here) and one
+    division rounded 6 dp.
+
+    Scale shape: one grouped exact-distinct aggregate per audited pair
+    (the determinant-key shuffle each audit inherently needs), each
+    folding to a 1-row frame before the tiny union; nothing joins, and
+    adding audits scales linearly in independent aggregates."""
+    parts = []
+    for table, lhs, rhs in _FD_AUDITS:
+        t = load_table(spark, sf_dir, table)
+        per = t.groupBy(lhs).agg(F.count_distinct(F.col(rhs)).alias("n_rhs"))
+        parts.append(
+            per.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(lhs).alias("determinant"),
+                F.lit(rhs).alias("dependent"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("n_rhs") > 1, 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("violation_rate"),
+                F.max("n_rhs").cast("long").alias("max_rhs_per_group"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "determinant", "dependent")
+
+
+FD_AUDIT_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{table}' AS table_name, '{lhs}' AS determinant,
+       '{rhs}' AS dependent,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       round(CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS violation_rate,
+       CAST(max(n_rhs) AS BIGINT) AS max_rhs_per_group
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+      FROM {table} GROUP BY 1) g"""
+    for table, lhs, rhs in _FD_AUDITS
+) + "\nORDER BY table_name, determinant, dependent"

@@ -2106,3 +2106,125 @@ def n2_ivf_cost_table(
         )
         .orderBy("n_cells", "n_probe")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval (r12)
+
+_MMR_SCHEMA = (
+    "query_id LONG, rank INT, vec_id LONG, relevance DOUBLE, "
+    "mmr_score DOUBLE"
+)
+
+
+def _mmr_greedy_factory(k: int, lam: float):
+    """Per-query greedy MMR over an Arrow-delivered candidate frame:
+    numpy pairwise sims inside the bounded pool (never per-row Python),
+    picks argmax of lam·rel − (1−lam)·max-sim-to-selected with the
+    deterministic (score 9 dp desc, vec_id asc) tie order."""
+    import numpy as np
+    import pandas as pd
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        rel = pdf["sim"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        S = np.round(V @ V.T, 6)
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        out = []
+        for rank in range(1, min(k, n) + 1):
+            if chosen:
+                score = lam * rel - (1.0 - lam) * max_sim
+            else:
+                score = lam * rel
+            score = np.round(score, 9)
+            score[chosen] = -np.inf
+            best = min(
+                (i for i in range(n) if i not in chosen),
+                key=lambda i: (-score[i], ids[i]),
+            )
+            chosen.append(best)
+            max_sim = np.maximum(max_sim, S[:, best])
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(ids[best]),
+                    round(float(rel[best]), 6),
+                    round(float(score[best]), 6),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "rank", "vec_id", "relevance", "mmr_score"],
+        )
+
+    return mmr
+
+
+def n2_mmr_diversified_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k — the retrieval
+    diversifier the ranking family lacks (:func:`n2_hybrid_rrf_fusion`
+    fuses rankers, this DE-DUPLICATES one ranking): greedily pick the
+    candidate maximizing lam·relevance − (1−lam)·max-similarity-to-
+    already-picked, so a result list of near-identical passages spends
+    its k slots on coverage instead. At lam = 1.0 it degenerates to
+    plain cosine top-k EXACTLY (pinned by tests against
+    :func:`topk_cosine_bruteforce`).
+
+    Two-stage shape, which is what makes it scale: stage 1 is any
+    top-``pool`` retrieval (here the exact scorer; at corpus scale the
+    IVF/PQ path) — stage 2's greedy loop runs per query over the
+    BOUNDED pool inside one Arrow batch (numpy pairwise sims over
+    ≤pool vectors; k·pool dot products — control-plane sized), so the
+    O(k·pool) greedy never touches corpus-scale data. Determinism: 6 dp
+    pool sims, 9 dp scores, (score desc, vec_id asc) tie order — same
+    rails as every ranking op.
+
+    Rows-only (greedy argmax has no tractable SQL mirror); tests pin
+    the lam=1.0 degeneration, a plain-Python greedy replay, and a
+    planted near-duplicate fixture where MMR must spend its slots on
+    coverage while plain top-k wastes them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            l2_norm("embedding").alias("qnrm"),
+        )
+    )
+    corpus = spread(emb).select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        l2_norm("embedding").alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    scored = corpus.join(queries, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        "v",
+        F.round(
+            dot("qvec", "v") / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= pool)
+        .select("query_id", "vec_id", "v", "sim")
+    )
+    return (
+        cands.groupBy("query_id")
+        .applyInPandas(_mmr_greedy_factory(k, lam), _MMR_SCHEMA)
+        .orderBy("query_id", "rank")
+    )

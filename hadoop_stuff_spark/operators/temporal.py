@@ -3175,3 +3175,256 @@ SELECT wk, n_orders, n_hit,
 FROM j
 ORDER BY wk
 """
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier inter-order survival (r12)
+
+
+def km_interorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer inter-order gaps — the
+    censoring-correct answer to "how long until a customer orders
+    again": every consecutive-order gap is an observed event, and every
+    customer's open gap (last order → corpus end) is a RIGHT-CENSORED
+    duration — the tail a naive gap histogram silently drops, biasing
+    re-order time low exactly for the loyal-but-slow customers. Per
+    distinct event gap t: the risk set, the event count, and
+    S(t) = Π (1 − dᵢ/nᵢ) over event gaps ≤ t.
+
+    Day indexes are engine-free integers (days-since-1970-01-01, the
+    house convention), so durations are exact int subtractions; order
+    within a same-day pair is pinned by o_orderkey. The KM product runs
+    as exp(cumsum(ln(1 − d/n))) — the cumulative window sum is ORDERED
+    (deterministic fold order on both engines) and the ln/exp ulps sit
+    ~6 orders below the 6 dp round (the KL-divergence precedent). A
+    risk set exhausted by its own events (d = n, only possible at the
+    final gap) would be ln(0): survival pins to exactly 0.0 from that
+    row on via an explicit running d=n flag — Spark's ln(0) is NULL
+    while DuckDB's is -inf, so the guard is correctness, not cosmetics.
+
+    Scale shape: one orders scan → per-customer lag/lead window (the
+    natural customer-key shuffle) → |distinct gaps|-row aggregate; the
+    corpus max date is the allowlisted 1-row scalar broadcast and the
+    cumulative windows run on the tiny gap table."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).alias("day"),
+    )
+    maxd = o.agg(F.max("day").alias("max_day"))
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    seq = o.select(
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    events = seq.filter(F.col("prev_day").isNotNull()).select(
+        (F.col("day") - F.col("prev_day")).alias("dur"),
+        F.lit(1).alias("is_event"),
+    )
+    censored = (
+        seq.filter(F.col("next_day").isNull())
+        .join(F.broadcast(maxd))
+        .select(
+            (F.col("max_day") - F.col("day")).alias("dur"),
+            F.lit(0).alias("is_event"),
+        )
+    )
+    durs = events.unionByName(censored)
+    per = durs.groupBy("dur").agg(
+        F.sum("is_event").alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    wt = Window.orderBy("dur")
+    risk = per.select(
+        "dur",
+        "d",
+        (
+            F.sum("m").over(wt.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        ).alias("n_at_risk"),
+    ).filter(F.col("d") > 0)
+    exhausted = F.max((F.col("d") == F.col("n_at_risk")).cast("int")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lnterm = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    cum = F.sum(lnterm).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        risk.select(
+            F.col("dur").cast("long").alias("t_days"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.round(
+                F.when(exhausted == 1, F.lit(0.0)).otherwise(F.exp(cum)), 6
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+KM_SURVIVAL_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders
+), mx AS (
+  SELECT max(day) AS max_day FROM o
+), seq AS (
+  SELECT day,
+         lag(day) OVER (PARTITION BY o_custkey
+                        ORDER BY day, o_orderkey) AS prev_day,
+         lead(day) OVER (PARTITION BY o_custkey
+                         ORDER BY day, o_orderkey) AS next_day
+  FROM o
+), durs AS (
+  SELECT day - prev_day AS dur, 1 AS is_event
+  FROM seq WHERE prev_day IS NOT NULL
+  UNION ALL
+  SELECT mx.max_day - seq.day AS dur, 0 AS is_event
+  FROM seq CROSS JOIN mx WHERE seq.next_day IS NULL
+), per AS (
+  SELECT dur, sum(is_event) AS d, count(*) AS m FROM durs GROUP BY 1
+), risk AS (
+  SELECT dur, d,
+         sum(m) OVER (ORDER BY dur
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n_at_risk
+  FROM per
+), ev AS (
+  SELECT dur, d, n_at_risk,
+         max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur) AS exhausted,
+         sum(CASE WHEN d < n_at_risk
+                  THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                  ELSE 0.0 END)
+           OVER (ORDER BY dur) AS cum
+  FROM risk WHERE d > 0
+)
+SELECT CAST(dur AS BIGINT) AS t_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(CASE WHEN exhausted = 1 THEN 0.0 ELSE exp(cum) END, 6)
+         AS survival
+FROM ev
+ORDER BY t_days
+"""
+
+
+# --------------------------------------------------------------------------
+# Order-priority transition matrix (r12)
+
+
+def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each customer's
+    consecutive order priorities — the behavioral readout the
+    drift family lacks: :func:`priority_mix_drift_by_month` watches the
+    MARGINAL priority mix; this watches the CONDITIONAL step (does an
+    urgent order predict the next order's urgency?). A transition row
+    far from the marginal mix is exactly the customer-memory signal a
+    mixture model of independent orders misses.
+
+    Order within a customer is pinned by (day, o_orderkey) — the KM
+    convention for same-day pairs. The |P|×|P| grid is materialized
+    from the observed priority set (zero-cell rule: a transition that
+    never happens is an explicit 0 row); ``row_share`` row-normalizes
+    per source priority and is NULL for a priority never observed as a
+    non-terminal order (ANSI zero-division rule, not 0/0).
+
+    Exactness: exact integer counts; one division per cell rounded
+    6 dp.
+
+    Scale shape: one orders scan → per-customer lag window (the same
+    customer-key shuffle KM pays) → |P|²-row hash aggregate; the grid
+    is a crossJoin of two ≤|P|-row distinct frames and every window
+    after the aggregate runs on the |P|²-row relation."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    tr = (
+        o.select(
+            F.lag("o_orderpriority").over(w).alias("from_priority"),
+            F.col("o_orderpriority").alias("to_priority"),
+        )
+        .filter(F.col("from_priority").isNotNull())
+        .groupBy("from_priority", "to_priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prios = o.select(F.col("o_orderpriority").alias("p")).distinct()
+    grid = prios.select(F.col("p").alias("from_priority")).crossJoin(
+        prios.select(F.col("p").alias("to_priority"))
+    )
+    g = grid.join(tr, ["from_priority", "to_priority"], "left").select(
+        "from_priority",
+        "to_priority",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    row_total = F.sum("n").over(Window.partitionBy("from_priority"))
+    return (
+        g.select(
+            "from_priority",
+            "to_priority",
+            F.col("n").cast("long").alias("n_transitions"),
+            F.when(
+                row_total > 0,
+                F.round(F.col("n").cast("double") / row_total, 6),
+            ).alias("row_share"),
+        )
+        .orderBy("from_priority", "to_priority")
+    )
+
+
+PRIORITY_TRANSITION_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders
+), tr AS (
+  SELECT from_priority, to_priority, count(*) AS n
+  FROM (
+    SELECT lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY day, o_orderkey)
+             AS from_priority,
+           o_orderpriority AS to_priority
+    FROM o
+  ) s
+  WHERE from_priority IS NOT NULL
+  GROUP BY 1, 2
+), prios AS (
+  SELECT DISTINCT o_orderpriority AS p FROM o
+), grid AS (
+  SELECT a.p AS from_priority, b.p AS to_priority
+  FROM prios a CROSS JOIN prios b
+), g AS (
+  SELECT grid.from_priority, grid.to_priority, COALESCE(tr.n, 0) AS n
+  FROM grid LEFT JOIN tr USING (from_priority, to_priority)
+)
+SELECT from_priority, to_priority,
+       CAST(n AS BIGINT) AS n_transitions,
+       CASE WHEN sum(n) OVER (PARTITION BY from_priority) > 0
+            THEN round(CAST(n AS DOUBLE)
+                       / sum(n) OVER (PARTITION BY from_priority), 6)
+       END AS row_share
+FROM g
+ORDER BY from_priority, to_priority
+"""

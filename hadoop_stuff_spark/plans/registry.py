@@ -421,6 +421,12 @@ _CATALOG_A: dict[str, QuerySpec] = {
     # fraction across quantizer sizes — same no-SQL-oracle quantizer;
     # tests pin per-quantizer monotonicity and the full-probe anchors
     "n2_ivf_cost_table": QuerySpec(similarity.n2_ivf_cost_table, None),
+    # MMR diversified top-k (r12): greedy argmax has no tractable SQL
+    # mirror; tests pin the lam=1.0 brute-force degeneration, a
+    # plain-Python greedy replay, and a planted near-duplicate fixture
+    "n2_mmr_diversified_topk": QuerySpec(
+        similarity.n2_mmr_diversified_topk, None
+    ),
     # production near-dup path end to end (LSH pairs -> components ->
     # canonical): murmur3-backed, rows-only; coarsening-consistency and
     # determinism pinned by the wave-8 tests
@@ -859,7 +865,22 @@ _CATALOG_B: dict[str, QuerySpec] = {
         similarity.n2_jl_projection_distortion, similarity.JL_DISTORTION_SQL
     ),
     "ab_purchase_rate_bootstrap_ci": QuerySpec(
-        profile.ab_purchase_rate_bootstrap_ci, profile.RATE_BOOTSTRAP_SQL
+        profile.ab_purchase_rate_bootstrap_ci, profile.RATE_BOOTSTRAP_SQL,
+    ),
+    # ---- r12 wave (beyond the pinned [148:155] slice: these certify via
+    # EXTRA_QUERIES/test_oracle_parity this round and queue for the r13
+    # round-robin window) ----
+    "benford_order_values": QuerySpec(
+        profile.benford_order_values, profile.BENFORD_SQL
+    ),
+    "fd_violation_audit": QuerySpec(
+        profile.fd_violation_audit, profile.FD_AUDIT_SQL
+    ),
+    "km_interorder_survival": QuerySpec(
+        temporal.km_interorder_survival, temporal.KM_SURVIVAL_SQL
+    ),
+    "priority_transition_matrix": QuerySpec(
+        temporal.priority_transition_matrix, temporal.PRIORITY_TRANSITION_SQL
     ),
 }
 

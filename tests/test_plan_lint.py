@@ -128,6 +128,9 @@ def test_every_registry_query_free_of_hard_antipatterns(spark):
         "priority_share_control_chart",  # 1-row corpus-share (p-bar) frame broadcast
         "n2_jl_projection_distortion",  # all-pairs over a deterministic SAMPLE (bounded diagnostic)
         "ab_purchase_rate_bootstrap_ci",  # constant metric key folds the pt x ci join to 1-row x 1-row
+        "km_interorder_survival",      # 1-row corpus-max-date frame broadcast
+        "priority_transition_matrix",  # |P|^2 zero-cell grid crossJoin (two tiny distinct frames)
+        "n2_mmr_diversified_topk",     # stage-1 pool is the documented brute pass (broadcast query set)
     }
     sf = "/root/testdata/sf0.001"
     bad = []
