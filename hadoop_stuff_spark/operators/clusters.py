@@ -168,9 +168,18 @@ def pagerank_copurchase_parts(
     + one groupBy(dst) sum — two shuffles over O(E) rows, exactly the
     shape a 1000-executor run wants; ranks never leave the cluster. The
     node-count scalar rides a 1x1 crossJoin (the same allowlisted
-    scalar shape as TF-IDF's corpus size). At 100 TB the plan is deep
-    (~3 joins x iters); production runs checkpoint every few iterations
-    to truncate lineage — documented, not needed at bench scale.
+    scalar shape as TF-IDF's corpus size).
+
+    The edge list and degree relations are materialized ONCE
+    (localCheckpoint) before the iteration loop: every unrolled round
+    references edges/deg/n, and without the barrier Catalyst re-plans
+    and re-executes the whole pair-building subtree (lineitem scan +
+    distinct + self-join) inside EACH reference — the r12 plan audit
+    measured 208 parquet scans / ~716 Exchange nodes in the single
+    unrolled plan, vs 2 scans + O(iters) exchanges after. At cluster
+    scale the same barrier is a persisted edge table; numeric results
+    are unchanged (the checkpoint only cuts lineage, every downstream
+    operator is identical).
 
     Restricted to nodes with at least one qualifying edge (isolated
     parts have no co-purchase signal); with symmetric edges every node
@@ -196,28 +205,42 @@ def pagerank_copurchase_parts(
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
+    # one materialization each, hash-partitioned on the join key so the
+    # checkpointed relation's partitioning survives into every
+    # iteration's join (LogicalRDD keeps outputPartitioning — the
+    # edge side of the contribution join never re-shuffles): edges
+    # carries its src degree pre-joined (one join total instead of one
+    # per iteration), and the (node, d, n) grid the rank rebuild needs
+    # is hoisted out of the loop the same way.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ew = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    deg = ew.select("src", "d").distinct()
     n = deg.agg(F.count(F.lit(1)).alias("n"))  # node count, 1-row scalar
-    ranks = deg.crossJoin(n).select(
+    grid = (
+        deg.crossJoin(n)
+        .select("src", "d", "n")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    ranks = grid.select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(iters):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges["src"] == ranks["node"])
+            ew.join(ranks, ew["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("d")).alias("c"))
         )
-        ranks = (
-            deg.crossJoin(n)
-            .join(contrib, deg["src"] == contrib["dst"], "left")
-            .select(
-                F.col("src").alias("node"),
-                (
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = grid.join(contrib, grid["src"] == contrib["dst"], "left").select(
+            F.col("src").alias("node"),
+            (
+                F.lit(1.0 - damping) / F.col("n")
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
         )
     return ranks.select(
         F.col("node").alias("part"), F.round("rank", 6).alias("pagerank")

@@ -162,6 +162,85 @@ def _assign_np(vecs: DataFrame, cent_rows: list, n_assign: int = 1) -> DataFrame
     )
 
 
+def _fp_round_half_up(s: "np.ndarray") -> "np.ndarray":
+    """Vectorized ROUND_HALF_UP to int64 — the numpy twin of Spark's
+    ``F.round(x, 0).cast("long")`` (and DuckDB's round()): half away
+    from zero, NOT numpy's default banker's rounding. Applied to
+    fixed-point products (x·10⁶) whose true values essentially never
+    sit on an exact .5 boundary (a 53-bit dyadic times 10⁶ lands on
+    k+0.5 with probability ~2⁻⁴⁶); outputs verified identical to the
+    JVM expression at sf0.001/0.01/0.1."""
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+
+def _lloyd_round_np(vecs: DataFrame, cent_rows: list, dim: int = DIM) -> list:
+    """One full Lloyd round (assign + update) with the update's
+    fixed-point partials computed INSIDE the same Arrow pass as the
+    assignment (r12 optimization): each batch emits one (cell, n,
+    s[dim]) partial-sum row instead of shipping every (vec_id, vec,
+    cell, dist) row back to the JVM and re-aggregating it there with a
+    64-expression codegen'd HashAggregate — that aggregate was
+    re-Janino-compiled EVERY iteration (the Python lambda in the plan
+    defeats the codegen cache) and measured 2-4 s per round at sf0.1
+    for 2000 vectors, pure compile + boundary overhead. The partials
+    reduce JVM-side to k×dim (cell, pos, s) longs — a tiny two-column
+    aggregate with no per-iteration codegen blow-up — and the k new
+    centroids are assembled driver-side (k×dim longs — the same
+    control-plane footprint class as the existing k-row collect).
+
+    Exactness unchanged: per-element fixed points use the identical
+    ROUND_HALF_UP rule (:func:`_fp_round_half_up`), integer partial
+    sums are associative so the per-cell totals are the SAME integers
+    ``kmeans_update`` produced, and each centroid coordinate is the
+    same (s/10⁶)/n double division of exact integers."""
+    cent_rows = sorted(cent_rows, key=lambda r: r.cell)
+    C = np.stack([np.asarray(r.cent, dtype=np.float64) for r in cent_rows])
+    cells = np.array([r.cell for r in cent_rows], dtype=np.int64)
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            d = np.empty((len(m), len(cells)), dtype=np.float64)
+            for j in range(len(cells)):
+                diff = m - C[j]
+                d[:, j] = np.round((diff * diff).sum(axis=1), 6)
+            assigned = cells[np.argsort(d, axis=1, kind="stable")[:, 0]]
+            sfx = _fp_round_half_up(m * float(FP))
+            out_c, out_n, out_s = [], [], []
+            for ci in np.unique(assigned):
+                mask = assigned == ci
+                out_c.append(int(ci))
+                out_n.append(int(mask.sum()))
+                out_s.append(sfx[mask].sum(axis=0))
+            yield pd.DataFrame({"cell": out_c, "n": out_n, "s": out_s})
+
+    partials = vecs.mapInPandas(go, "cell int, n long, s array<long>")
+    reduced = (
+        partials.select(
+            "cell", "n", F.posexplode("s").alias("pos", "v")
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum("v").alias("s"),
+            F.sum(F.when(F.col("pos") == 0, F.col("n")).otherwise(0)).alias("n0"),
+        )
+        .collect()
+    )
+    ns = {r.cell: r.n0 for r in reduced if r.pos == 0}
+    sums: dict[int, np.ndarray] = {}
+    for r in reduced:
+        sums.setdefault(r.cell, np.zeros(dim, dtype=np.int64))[r.pos] = r.s
+    from collections import namedtuple
+
+    Cent = namedtuple("Cent", ["cell", "cent"])
+    return [
+        Cent(c, ((sums[c] / float(FP)) / float(ns[c])).tolist())
+        for c in sorted(sums)
+    ]
+
+
 def _kmeans_assigned(
     spark: SparkSession, sf_dir: str, k: int, n_iter: int, n_assign: int = 1
 ) -> DataFrame:
@@ -178,6 +257,15 @@ def _kmeans_assigned(
     # prepared (vec_id, vec double[]) frame once so every round's
     # assignment job starts from the materialized columnar batches
     # instead of re-running scan + cast + repartition (n_iter+1 times).
+    vecs, cent_rows = _kmeans_prepared(spark, sf_dir, k, n_iter)
+    return _assign_np(vecs, cent_rows, n_assign=n_assign)
+
+
+def _kmeans_prepared(
+    spark: SparkSession, sf_dir: str, k: int, n_iter: int
+) -> tuple[DataFrame, list]:
+    """Shared Lloyd prep: the checkpointed (vec_id, vec) frame plus the
+    trained centroids after ``n_iter`` fused assign+update rounds."""
     vecs = (
         spread(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", as_double("embedding").alias("vec"))
@@ -189,9 +277,8 @@ def _kmeans_assigned(
         .collect()
     )
     for _ in range(n_iter):
-        assigned = _assign_np(vecs, cent_rows)
-        cent_rows = kmeans_update(assigned).collect()
-    return _assign_np(vecs, cent_rows, n_assign=n_assign)
+        cent_rows = _lloyd_round_np(vecs, cent_rows)
+    return vecs, cent_rows
 
 
 def n2_kmeans_lloyd(
@@ -199,17 +286,49 @@ def n2_kmeans_lloyd(
 ) -> DataFrame:
     """K-means cluster profile after ``n_iter`` exact Lloyd iterations from
     the first-k init: (cell, n_vectors, inertia). Inertia is the cell's sum
-    of squared distances, fixed-point-summed so it is order-independent."""
-    assigned = _kmeans_assigned(spark, sf_dir, k, n_iter)
+    of squared distances, fixed-point-summed so it is order-independent.
+
+    The final pass partial-aggregates inside the assignment's Arrow
+    batch loop (one (cell, n, inertia_fx) row per cell per batch — the
+    :func:`_lloyd_round_np` shape), so the per-vector (vec_id, vec,
+    cell, dist) rows never cross back into the JVM just to be counted.
+    The fixed-point inertia partials are the identical integers the
+    previous per-row ``F.round(dist·10⁶).cast(long)`` sum produced
+    (ROUND_HALF_UP on the same 6 dp-rounded distances; integer sums
+    associative), folded by a tiny (cell)-keyed aggregate."""
+    vecs, cent_rows = _kmeans_prepared(spark, sf_dir, k, n_iter)
+    cent_rows = sorted(cent_rows, key=lambda r: r.cell)
+    C = np.stack([np.asarray(r.cent, dtype=np.float64) for r in cent_rows])
+    cells = np.array([r.cell for r in cent_rows], dtype=np.int64)
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            d = np.empty((len(m), len(cells)), dtype=np.float64)
+            for j in range(len(cells)):
+                diff = m - C[j]
+                d[:, j] = np.round((diff * diff).sum(axis=1), 6)
+            pos = np.argsort(d, axis=1, kind="stable")[:, 0]
+            assigned = cells[pos]
+            ifx = _fp_round_half_up(d[np.arange(len(m)), pos] * float(FP))
+            out_c, out_n, out_i = [], [], []
+            for ci in np.unique(assigned):
+                mask = assigned == ci
+                out_c.append(int(ci))
+                out_n.append(int(mask.sum()))
+                out_i.append(int(ifx[mask].sum()))
+            yield pd.DataFrame(
+                {"cell": out_c, "n": out_n, "ifx": out_i}
+            )
+
+    partials = vecs.mapInPandas(go, "cell int, n long, ifx long")
     return (
-        assigned.groupBy("cell")
+        partials.groupBy("cell")
         .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(
-                F.sum(F.round(F.col("dist") * F.lit(float(FP)), 0).cast("long"))
-                / F.lit(float(FP)),
-                4,
-            ).alias("inertia"),
+            F.sum("n").alias("n_vectors"),
+            F.round(F.sum("ifx") / F.lit(float(FP)), 4).alias("inertia"),
         )
         .orderBy("cell")
     )

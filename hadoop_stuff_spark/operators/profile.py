@@ -634,7 +634,22 @@ def _poisson_boot_ci(base: DataFrame, keys: list, salt_col, b_reps: int) -> Data
     the weight ladder, the degenerate rules and the rank arithmetic
     cannot drift between the two operators (the r10 factoring rule).
 
-    ``base`` must carry: the key columns, event_id, in_a, ok, v_fp."""
+    ``base`` must carry: the key columns, event_id, in_a, ok, v_fp.
+
+    v_fp is a LONG micro-unit fixed-point (r12 optimization): the
+    replicate aggregate runs over 64× exploded rows, and DECIMAL(19,0)
+    arithmetic measured ~1.8× slower than int64 on that path (noop-sink
+    min-of-4 at sf0.1: replicate aggregate 7.0 s vs 3.9 s; whole
+    operator 7.6 s vs 5.0 s — decimal multiply + decimal sum per row)
+    for NO extra range (decimal(19) caps at 1e19 vs int64's 9.2e18;
+    only the widened decimal SUM added headroom). Range bound, stated
+    not hidden: |Σ w·v_fp| per (key, replicate, arm) needs < 2^63,
+    i.e. with the w <= 7 tail cap about 1.3e12 of summed |value| mass
+    per stratum — ~2.6e9 events per stratum at |value|~500. Past that,
+    ANSI mode (on engine-wide) raises loudly rather than corrupting;
+    the fallback is cast the PRODUCT to decimal(38,0) at the sum
+    (measured 5.8 s — still faster than decimal-everywhere). DuckDB's
+    HUGEINT oracle is unchanged — identical integers either way."""
     from pyspark.sql import Window
 
     pt = base.groupBy(*keys).agg(
@@ -777,13 +792,13 @@ def ab_value_bootstrap_ci(
         F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 6
     ) < F.lit("800000")
     ok = F.col("value").isNotNull()
-    v_fp = F.round(F.col("value") * 1000000.0, 0).cast("decimal(19,0)")
+    v_fp = F.round(F.col("value") * 1000000.0, 0).cast("long")
     base = ev.select(
         "event_type",
         "event_id",
         in_a.alias("in_a"),
         ok.alias("ok"),
-        F.when(ok, v_fp).otherwise(F.lit(0).cast("decimal(19,0)")).alias("v_fp"),
+        F.when(ok, v_fp).otherwise(F.lit(0).cast("long")).alias("v_fp"),
     )
 
     return _poisson_boot_ci(
@@ -919,13 +934,13 @@ def ab_value_bootstrap_ci_by_nation(
         F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 6
     ) < F.lit("800000")
     ok = F.col("value").isNotNull()
-    v_fp = F.round(F.col("value") * 1000000.0, 0).cast("decimal(19,0)")
+    v_fp = F.round(F.col("value") * 1000000.0, 0).cast("long")
     base = ev.join(dim, "user_id").select(
         "n_name",
         "event_id",
         in_a.alias("in_a"),
         ok.alias("ok"),
-        F.when(ok, v_fp).otherwise(F.lit(0).cast("decimal(19,0)")).alias("v_fp"),
+        F.when(ok, v_fp).otherwise(F.lit(0).cast("long")).alias("v_fp"),
     )
     salt = F.concat(
         F.lit("abstrat1:"), F.col("n_name").cast("string"), F.lit(":")
@@ -989,7 +1004,7 @@ def ab_purchase_rate_bootstrap_ci(
         "event_id",
         in_a.alias("in_a"),
         F.lit(True).alias("ok"),
-        (hit * F.lit(1000000)).cast("decimal(19,0)").alias("v_fp"),
+        (hit * F.lit(1000000)).cast("long").alias("v_fp"),
     )
     return _poisson_boot_ci(base, ["metric"], F.lit("abrate1:"), b_reps).orderBy(
         "metric"
