@@ -486,6 +486,15 @@ class Engine:
                 docs.withColumn(text_col, clean_text(text_col)), text_col
             ),
         )
+        if qlog is None:
+            # fan-out barrier (r12): `exact` feeds BOTH the minhash
+            # signature pass and the survivor anti-join; fused-lazily,
+            # Catalyst re-executes the scan + clean + exact-dedup
+            # subtree per reference (the r12 plan audit counted 8
+            # documents scans in the one fused plan). In qlog mode the
+            # stage wrapper has already checkpointed. Results unchanged
+            # — the barrier only cuts lineage.
+            exact = exact.localCheckpoint(eager=True)
 
         def build_near_dedup() -> DataFrame:
             pairs = minhash_candidates(exact, id_col, text_col).filter(
@@ -499,6 +508,10 @@ class Engine:
             return exact.join(losers, id_col, "left_anti")
 
         survivors = stage("near_dedup", build_near_dedup)
+        if qlog is None and holdout is not None:
+            # same fan-out rule: survivors feed the contamination
+            # report AND the post-filter anti-join
+            survivors = survivors.localCheckpoint(eager=True)
         if holdout is not None:
             skip_contamination = False
             if prescreen:

@@ -1589,11 +1589,20 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     binning floors identical doubles, capped into the top bin.
 
     Scale shape: the sample bounds everything — one embeddings scan
-    keeps ~20% of rows, the projection is a broadcast 1024-row grid
-    join folding to |sample|·16 components, and the pair join is the
-    allowlisted all-pairs-over-a-sample diagnostic shape (at corpus
-    scale, tighten the sample fraction — the histogram is an estimate
-    of the distortion DISTRIBUTION, not a per-vector report)."""
+    keeps ~20% of rows, and the all-pairs scoring runs as ONE
+    Arrow-batched numpy pass over the bounded sample (the semdedup
+    row-blocked matmul pattern: block × n, never n² resident), with
+    the ±1 grid built driver-side from the same 1024 md5 strings. The
+    declarative explode + broadcast-grid join + pair self-join this
+    replaced evaluated ~6.4M interpreted HOF fold lambdas (dot/norm
+    per pair) — measured 3.1 s vs 0.7 s at sf0.1; outputs verified
+    identical at sf0.001/0.01/0.1 (numpy's pairwise summation ulps vs
+    the sequential fold are erased by the 6 dp cosine round — the
+    semdedup precedent). At corpus scale, tighten the sample fraction
+    — the histogram is an estimate of the distortion DISTRIBUTION,
+    not a per-vector report."""
+    import hashlib
+
     from hadoop_stuff_spark.operators.sampling import deterministic_keep
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
@@ -1602,82 +1611,66 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = s.filter(l2_norm("v") > 0)
 
-    grid = (
-        spark.range(1)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("i"))
-        .select(
-            "i", F.explode(F.sequence(F.lit(0), F.lit(_JL_DIM - 1))).alias("j")
+    # the deterministic Rademacher grid, driver-built from the identical
+    # md5 string compares the SQL mirror uses (1024 hashes — control
+    # plane), shipped in the closure
+    S = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0] < "8"
+                else -1.0
+                for j in range(_JL_DIM)
+            ]
+            for i in range(DIM)
+        ],
+        dtype=np.float64,
+    )
+
+    def hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        p = m @ S
+        # zero-norm projected vectors have no direction (ANSI rule);
+        # the original-space norms were filtered > 0 upstream
+        keep = (p * p).sum(axis=1) > 0
+        m, p = m[keep], p[keep]
+        nm = np.sqrt((m * m).sum(axis=1))
+        npn = np.sqrt((p * p).sum(axis=1))
+        n = len(m)
+        counts = np.zeros(20, dtype=np.int64)
+        block = 1024
+        cols = np.arange(n)[None, :]
+
+        def round6(x):
+            # ROUND_HALF_UP at 6 dp — the numpy twin of F.round(x, 6)
+            sc = x * 1e6
+            return np.where(sc >= 0, np.floor(sc + 0.5), np.ceil(sc - 0.5)) / 1e6
+
+        for s0 in range(0, n, block):
+            e0 = min(s0 + block, n)
+            c1 = round6((m[s0:e0] @ m.T) / np.outer(nm[s0:e0], nm))
+            c2 = round6((p[s0:e0] @ p.T) / np.outer(npn[s0:e0], npn))
+            # unordered distinct pairs = strict upper triangle; |Δcos|
+            # is symmetric, so index order ≡ the vec_id < vec_id join
+            mask = cols > np.arange(s0, e0)[:, None]
+            d = np.abs(c1 - c2)[mask]
+            bins = np.minimum(np.floor(d / 0.05), 19).astype(np.int64)
+            counts += np.bincount(bins, minlength=20)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {"bin": nz.astype(np.int64), "n_pairs": counts[nz]}
         )
-        .select(
-            "i",
-            "j",
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("jl:"),
-                            F.col("i").cast("string"),
-                            F.lit(":"),
-                            F.col("j").cast("string"),
-                        )
-                    ),
-                    1,
-                    1,
-                )
-                < "8",
-                F.lit(1.0),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("sg"),
-        )
+
+    binned = (
+        s.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda _k, pdf: hist(pdf), "bin long, n_pairs long")
     )
-    e = s.select("vec_id", F.posexplode("v").alias("i", "vv"))
-    proj = (
-        e.join(F.broadcast(grid), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("vv") * F.col("sg")).alias("pv"))
-    )
-    parr = proj.groupBy("vec_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("j", "pv"))).alias("m")
-    )
-    sp = (
-        s.join(parr, "vec_id")
-        .select(
-            "vec_id",
-            "v",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_JL_DIM - 1)),
-                lambda j: F.element_at(F.col("m"), j),
-            ).alias("p"),
-        )
-        .filter(l2_norm("p") > 0)
-    )
-    a, b = sp.alias("a"), sp.alias("b")
-    sims = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.round(
-            dot("a.v", "b.v") / (l2_norm("a.v") * l2_norm("b.v")), 6
-        ).alias("c_orig"),
-        F.round(
-            dot("a.p", "b.p") / (l2_norm("a.p") * l2_norm("b.p")), 6
-        ).alias("c_proj"),
-    )
-    binned = sims.select(
-        F.least(
-            F.floor(F.abs(F.col("c_orig") - F.col("c_proj")) / 0.05), F.lit(19)
-        )
-        .cast("long")
-        .alias("bin")
-    )
-    return (
-        binned.groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .select(
-            "bin",
-            F.round(F.col("bin") * 0.05, 2).cast("double").alias("bin_lo"),
-            "n_pairs",
-        )
-        .orderBy("bin")
-    )
+    return binned.select(
+        "bin",
+        F.round(F.col("bin") * 0.05, 2).cast("double").alias("bin_lo"),
+        "n_pairs",
+    ).orderBy("bin")
 
 
 JL_DISTORTION_SQL = f"""

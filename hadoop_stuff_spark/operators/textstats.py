@@ -1328,13 +1328,16 @@ def source_js_divergence_matrix(
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(T.tokens("text")).alias("word"))
     counts = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
-    w_src = Window.partitionBy("source")
-    probs = counts.select(
+    # per-source totals as a |sources|-row aggregate broadcast back onto
+    # the counts relation — the Window.partitionBy("source") form this
+    # replaces re-exchanged AND sorted the whole vocab×sources relation
+    # by source just to attach one scalar per source (r12: one Exchange
+    # + one Sort removed from the plan); same integers, same ratios.
+    totals = counts.groupBy("source").agg(F.sum("n").alias("n_src"))
+    probs = counts.join(F.broadcast(totals), "source").select(
         "word",
         "source",
-        (F.col("n").cast("double") / F.sum("n").over(w_src).cast("double")).alias(
-            "p"
-        ),
+        (F.col("n").cast("double") / F.col("n_src").cast("double")).alias("p"),
     )
     # limit BEFORE collect: the guard must protect the driver too — a
     # pathological corpus with millions of sources must not ship them
