@@ -1916,7 +1916,11 @@ def benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BENFORD_VALUES = ", ".join(f"({d}, {s!r})" for d, s in _BENFORD_SHARES)
 
-BENFORD_SQL = f"""
+# NOTE: named distinctly from the r5-era BENFORD_SQL above — the r12 build
+# wave originally reused the name, silently clobbering the older
+# benford_first_digit_audit oracle at module level (schema-mismatch found
+# by the r12 full-suite gate).
+BENFORD_ORDER_VALUES_SQL = f"""
 WITH c AS (
   SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                         1, 1) AS INT) AS digit,

@@ -871,7 +871,7 @@ _CATALOG_B: dict[str, QuerySpec] = {
     # EXTRA_QUERIES/test_oracle_parity this round and queue for the r13
     # round-robin window) ----
     "benford_order_values": QuerySpec(
-        profile.benford_order_values, profile.BENFORD_SQL
+        profile.benford_order_values, profile.BENFORD_ORDER_VALUES_SQL
     ),
     "fd_violation_audit": QuerySpec(
         profile.fd_violation_audit, profile.FD_AUDIT_SQL
