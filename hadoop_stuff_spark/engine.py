@@ -519,13 +519,10 @@ class Engine:
                     shingle_overlap_gate,
                 )
 
-                if prescreen_corpus_blob is None and qlog is None:
-                    # the gate's sketch scan would otherwise execute the
-                    # whole upstream pipeline once for the sketch and
-                    # AGAIN for every downstream stage (in qlog mode the
-                    # stage wrapper has already checkpointed survivors;
-                    # with a maintained blob nothing scans at all)
-                    survivors = survivors.localCheckpoint(eager=True)
+                # survivors is already materialized at this point in
+                # every mode (the fused-mode fan-out barrier above, or
+                # qlog's stage checkpoint), so the gate's sketch scan
+                # never re-executes the upstream pipeline
                 gate = shingle_overlap_gate(
                     survivors,
                     holdout,
