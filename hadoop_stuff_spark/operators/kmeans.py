@@ -165,12 +165,17 @@ def _assign_np(vecs: DataFrame, cent_rows: list, n_assign: int = 1) -> DataFrame
 def _fp_round_half_up(s: "np.ndarray") -> "np.ndarray":
     """Vectorized ROUND_HALF_UP to int64 — the numpy twin of Spark's
     ``F.round(x, 0).cast("long")`` (and DuckDB's round()): half away
-    from zero, NOT numpy's default banker's rounding. Applied to
-    fixed-point products (x·10⁶) whose true values essentially never
-    sit on an exact .5 boundary (a 53-bit dyadic times 10⁶ lands on
-    k+0.5 with probability ~2⁻⁴⁶); outputs verified identical to the
-    JVM expression at sf0.001/0.01/0.1."""
-    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+    from zero, NOT numpy's default banker's rounding. Implemented as
+    an exact trunc/fraction compare, not floor(x+0.5): for |x| < 2^53
+    the subtraction x − trunc(x) is exact in IEEE, so the |frac| ≥ 0.5
+    test reproduces BigDecimal HALF_UP bit-for-bit, whereas the
+    +0.5-then-floor idiom itself rounds (floor(0.49999999999999994 +
+    0.5) is 1 — caught by test_fp_round_half_up_matches_spark_round).
+    Outputs verified identical to the JVM expression at
+    sf0.001/0.01/0.1."""
+    t = np.trunc(s)
+    bump = np.where(np.abs(s - t) >= 0.5, np.sign(s), 0.0)
+    return (t + bump).astype(np.int64)
 
 
 def _lloyd_round_np(vecs: DataFrame, cent_rows: list, dim: int = DIM) -> list:

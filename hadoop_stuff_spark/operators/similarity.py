@@ -1642,9 +1642,15 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = np.arange(n)[None, :]
 
         def round6(x):
-            # ROUND_HALF_UP at 6 dp — the numpy twin of F.round(x, 6)
-            sc = x * 1e6
-            return np.where(sc >= 0, np.floor(sc + 0.5), np.ceil(sc - 0.5)) / 1e6
+            # ROUND_HALF_UP at 6 dp via the exact trunc/frac compare
+            # (kmeans._fp_round_half_up — floor(x+0.5) itself rounds at
+            # the ulp below a half); the ×10⁶ product matches the house
+            # fixed-point convention, and any last-ulp divergence from
+            # BigDecimal's scale-6 view of the raw double is erased by
+            # the 6 dp grid (parity proven at 3 SFs)
+            from hadoop_stuff_spark.operators.kmeans import _fp_round_half_up
+
+            return _fp_round_half_up(x * 1e6) / 1e6
 
         for s0 in range(0, n, block):
             e0 = min(s0 + block, n)

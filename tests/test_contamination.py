@@ -62,3 +62,31 @@ def test_repetition_helpers_known_values(spark):
     assert row["n_big"] == 5
     single = spark.createDataFrame([("solo",)], "t: string")
     assert single.select(F.size(bigrams("t")).alias("n")).collect()[0]["n"] == 0
+
+
+def test_overlap_report_zero_shingle_doc_behavior_unchanged(spark):
+    """r12 single-pass shape: a doc too short to form one 3-gram is
+    KEPT by the explode_outer (one NULL-shingle row, counts 0-and-0) —
+    the same row the old sizes-side left join carried — and therefore
+    still hits the same ANSI 0/0 divide on contam_frac the old
+    two-branch shape raised. Pinning the crash proves the rewrite
+    preserved the edge-case behavior exactly rather than silently
+    dropping short docs (a plain explode would have vanished them)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "too short"),  # 2 tokens -> zero trigrams
+            (2, "the quick brown fox jumps"),  # overlaps the holdout
+        ],
+    )
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        overlap_report(corpus, _docs(spark, HOLDOUT)).collect()
+    # without the degenerate doc the counts are exact
+    rep = overlap_report(
+        _docs(spark, [(2, "the quick brown fox jumps")]),
+        _docs(spark, HOLDOUT),
+    ).collect()
+    assert rep[0]["n_sh"] == 3 and rep[0]["n_contaminated"] == 3

@@ -119,3 +119,31 @@ def test_semantic_dedup_oversized_cell_fails_loudly(spark, sf_dir):
         n1_semantic_dedup_pairs(
             spark, sf_dir, k=1, n_assign=1, max_cell_rows=10
         ).collect()
+
+
+def test_fp_round_half_up_matches_spark_round(spark):
+    """r12: the fused Lloyd round computes fixed points in numpy via
+    _fp_round_half_up, which must reproduce Spark's F.round(x, 0) —
+    ROUND_HALF_UP, half away from zero for BOTH signs (numpy's default
+    np.round is banker's and would disagree at every exact .5)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_stuff_spark.operators.kmeans import _fp_round_half_up
+
+    vals = [
+        0.5, 1.5, 2.5, -0.5, -1.5, -2.5,          # exact halves, both signs
+        0.49999999999999994, -0.49999999999999994,  # just under a half
+        1234567.4999999999, -1234567.4999999999,
+        3.0000000000000004, -7.999999999999999,
+        0.0, -0.0, 12345678.5, -12345678.5,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x: double")
+    jvm = [
+        r[0]
+        for r in df.select(
+            F.round(F.col("x"), 0).cast("long").alias("r")
+        ).collect()
+    ]
+    ours = _fp_round_half_up(np.array(vals, dtype=np.float64)).tolist()
+    assert ours == jvm, list(zip(vals, ours, jvm))
