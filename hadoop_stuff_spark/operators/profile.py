@@ -671,16 +671,35 @@ def _poisson_boot_ci(base: DataFrame, keys: list, salt_col, b_reps: int) -> Data
         1,
         6,
     )
-    w = F.when(h < F.lit(_POIS1_HEX[0]), 0)
+    hc = F.col("_h")
+    w = F.when(hc < F.lit(_POIS1_HEX[0]), 0)
     for k in range(1, _BOOT_MAX_W):
-        w = w.when(h < F.lit(_POIS1_HEX[k]), k)
+        w = w.when(hc < F.lit(_POIS1_HEX[k]), k)
     w = w.otherwise(F.lit(_BOOT_MAX_W))
 
+    # Fan the ×B explode source across every core BEFORE the replicate
+    # projection (r13 optimization, guide §2.2/§2.6): the ladder md5 over
+    # B×N (row, replicate) draws is ~all of this operator's CPU, but the
+    # pre-explode relation arrives narrow — a single-row-group parquet
+    # scan is ONE partition, and a post-join exchange is AQE-coalesced on
+    # its PRE-explode bytes — so without the fan-out the whole ladder runs
+    # in one task. The round-robin exchange ships each narrow base row
+    # once and is repaid B-fold in distributed hashing; defaultParallelism
+    # = total cores = one wave for a CPU-bound stage. Row placement does
+    # not affect results: every aggregate downstream is an exact-integer
+    # sum (order-independent) keyed by (keys, b), never by partition.
+    sc = base.sparkSession.sparkContext
     reps = (
-        base.withColumn(
+        base.repartition(sc.defaultParallelism)
+        .withColumn(
             "b", F.explode(F.sequence(F.lit(1), F.lit(int(b_reps))))
         )
+        # hoist the ladder hash into a materialized column: ONE md5 per
+        # (row, replicate) by construction, rather than trusting codegen
+        # subexpression elimination across the 7 CASE branches
+        .withColumn("_h", h)
         .withColumn("w", w)
+        .drop("_h")
         .groupBy(*keys, "b")
         .agg(
             F.sum(
