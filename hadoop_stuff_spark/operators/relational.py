@@ -1121,7 +1121,23 @@ def copurchase_pairs(
     any pair is formed — the same monotonicity argument as A-priori's
     candidate pruning. Pairs themselves aggregate map-side partial."""
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # r13: pin the basket relation to an explicit orderkey-hash
+    # partitioning wide enough for every core (same rationale as
+    # part_neighbor_jaccard — AQE coalesces the tiny pre-pair exchange to
+    # one partition because it sizes on PRE-fan-out bytes, serializing
+    # the pair generation + aggregate; interleaved noop ~2.3 -> ~1.5 s).
+    # The distinct, the frequency aggregate's map side, the semi-join and
+    # both pair-join sides all cluster by l_orderkey or a superset, so
+    # one exchange serves the whole chain.
+    n_b = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(n_b, "l_orderkey")
+        .distinct()
+    )
     freq = (
         baskets.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -1499,6 +1515,13 @@ def basket_affinity_lift(
             return df.persist(StorageLevel.MEMORY_AND_DISK)
         return df
 
+    # r13 probe, NEGATIVE: the copurchase_pairs wide orderkey-hash
+    # repartition was tried here too and regressed (interleaved noop min
+    # 1.87 -> 2.22 s): the eager checkpoint pays the extra exchange plus
+    # 32-task scheduling for each of the five consumers, and this pair
+    # stage (~2M pairs) is too small to repay it at bench scale. At
+    # production scale the distinct's output exceeds AQE's advisory size,
+    # so the narrow-coalesce problem this guards against does not arise.
     baskets = _pin(li.select("l_orderkey", "l_partkey").distinct())
     n_baskets = baskets.agg(
         F.countDistinct("l_orderkey").alias("n_baskets")
@@ -1799,9 +1822,26 @@ def part_neighbor_jaccard(
     sort."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r13 optimization (guide §2.2/§2.4): pin the index to an explicit
+    # cust-hash partitioning ONCE, wide enough for every core. Everything
+    # downstream — the distinct, the whale aggregate, the anti-join and
+    # both sides of the pair self-join — clusters by cust (or a superset),
+    # so it all rides this single exchange with no further shuffle of the
+    # index. Without the explicit width, AQE coalesces the tiny pre-pair
+    # exchanges to ONE partition (it sizes on pre-fan-out bytes) and the
+    # quadratic pair generation + 12.7M-group partial aggregate run
+    # single-task (interleaved noop min: 6.6 s -> 3.0 s). The whale cut
+    # bounds per-cust fan-out (<= max_parts² pairs), so cust-hash skew is
+    # bounded too. A numpy sort-unique pair pipeline was probed against
+    # this shape per VERDICT r12 and lost (4.4 s) or tied (2.9 s).
+    n_idx = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     idx = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .repartition(n_idx, "cust")
         .distinct()
     )
     whales = (
