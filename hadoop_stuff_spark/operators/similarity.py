@@ -1563,6 +1563,15 @@ ORDER BY source_a, source_b
 # JL_DISTORTION_SQL (source dimensionality is the module DIM)
 _JL_DIM = 16
 
+# block-pair fan-out of the JL pair scorer: B blocks -> B(B+1)/2 Arrow
+# tasks, each holding <= ~2·sample/B rows; per-task rows loudly guarded
+# (the max_cell_rows pattern). 8 blocks = 36 tasks — enough to saturate
+# the local core count and a cluster's task granularity alike; raise for
+# bigger samples (parallelism grows quadratically, shuffle volume
+# linearly in B).
+_JL_BLOCKS = 8
+_JL_MAX_BLOCK_ROWS = 2_000_000
+
 
 def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss sign-projection distortion report — the
@@ -1589,18 +1598,29 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     binning floors identical doubles, capped into the top bin.
 
     Scale shape: the sample bounds everything — one embeddings scan
-    keeps ~20% of rows, and the all-pairs scoring runs as ONE
-    Arrow-batched numpy pass over the bounded sample (the semdedup
-    row-blocked matmul pattern: block × n, never n² resident), with
-    the ±1 grid built driver-side from the same 1024 md5 strings. The
-    declarative explode + broadcast-grid join + pair self-join this
-    replaced evaluated ~6.4M interpreted HOF fold lambdas (dot/norm
-    per pair) — measured 3.1 s vs 0.7 s at sf0.1; outputs verified
-    identical at sf0.001/0.01/0.1 (numpy's pairwise summation ulps vs
-    the sequential fold are erased by the 6 dp cosine round — the
-    semdedup precedent). At corpus scale, tighten the sample fraction
-    — the histogram is an estimate of the distortion DISTRIBUTION,
-    not a per-vector report."""
+    keeps ~20% of rows, and the all-pairs scoring runs as a
+    BLOCK-PAIR-distributed numpy stage (r13, VERDICT r12 #3: the single
+    ``groupBy(lit(1))`` Arrow task this replaces held the whole sample
+    in one Python worker — zero parallelism and an unguarded memory
+    cliff): each vector gets a deterministic block id in [0, B) from
+    xxhash64, is fanned out B ways, and every unordered block pair
+    (i <= j) scores its cross (or in-block upper-triangle) pairs in its
+    own Arrow task with the semdedup row-blocked matmul (block × n,
+    never n² resident), emitting a partial 20-bin histogram; the bins
+    sum JVM-side. Every unordered vector pair lands in exactly one
+    block-pair group, so the summed integers are identical to the
+    single-pass histogram. The ±1 grid is driver-built from the same
+    1024 md5 strings. Per-task memory is bounded by the two blocks
+    (~2·n/B rows), loudly guarded at ``_JL_MAX_BLOCK_ROWS`` (the
+    max_cell_rows pattern); parallelism scales as B(B+1)/2 tasks.
+    The declarative explode + broadcast-grid join + pair self-join
+    replaced in r12 evaluated ~6.4M interpreted HOF fold lambdas —
+    measured 3.1 s vs 0.7 s at sf0.1; outputs verified identical at
+    sf0.001/0.01/0.1 (numpy's pairwise summation ulps vs the
+    sequential fold are erased by the 6 dp cosine round — the semdedup
+    precedent). At corpus scale, tighten the sample fraction — the
+    histogram is an estimate of the distortion DISTRIBUTION, not a
+    per-vector report."""
     import hashlib
 
     from hadoop_stuff_spark.operators.sampling import deterministic_keep
@@ -1627,50 +1647,102 @@ def n2_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
 
-    def hist(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    def _prep(vs):
+        """Stack one side's vectors, apply the projected-zero-norm filter
+        and return (m, p, nm, np_norm)."""
+        m = np.stack(vs.to_numpy()).astype(np.float64)
         p = m @ S
         # zero-norm projected vectors have no direction (ANSI rule);
-        # the original-space norms were filtered > 0 upstream
+        # the original-space norms were filtered > 0 upstream. The keep
+        # decision depends only on the vector, so every fanned-out copy
+        # of a vector filters identically.
         keep = (p * p).sum(axis=1) > 0
         m, p = m[keep], p[keep]
         nm = np.sqrt((m * m).sum(axis=1))
         npn = np.sqrt((p * p).sum(axis=1))
-        n = len(m)
+        return m, p, nm, npn
+
+    def round6(x):
+        # ROUND_HALF_UP at 6 dp via the exact trunc/frac compare
+        # (kmeans._fp_round_half_up — floor(x+0.5) itself rounds at
+        # the ulp below a half); the ×10⁶ product matches the house
+        # fixed-point convention, and any last-ulp divergence from
+        # BigDecimal's scale-6 view of the raw double is erased by
+        # the 6 dp grid (parity proven at 3 SFs)
+        from hadoop_stuff_spark.operators.kmeans import _fp_round_half_up
+
+        return _fp_round_half_up(x * 1e6) / 1e6
+
+    def hist(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        if len(pdf) > _JL_MAX_BLOCK_ROWS:
+            raise ValueError(
+                f"jl block pair ({gi},{gj}) holds {len(pdf)} rows "
+                f"> _JL_MAX_BLOCK_ROWS={_JL_MAX_BLOCK_ROWS}: tighten the "
+                "sample fraction or raise _JL_BLOCKS so each block-pair "
+                "task fits in one Python worker"
+            )
         counts = np.zeros(20, dtype=np.int64)
         block = 1024
-        cols = np.arange(n)[None, :]
-
-        def round6(x):
-            # ROUND_HALF_UP at 6 dp via the exact trunc/frac compare
-            # (kmeans._fp_round_half_up — floor(x+0.5) itself rounds at
-            # the ulp below a half); the ×10⁶ product matches the house
-            # fixed-point convention, and any last-ulp divergence from
-            # BigDecimal's scale-6 view of the raw double is erased by
-            # the 6 dp grid (parity proven at 3 SFs)
-            from hadoop_stuff_spark.operators.kmeans import _fp_round_half_up
-
-            return _fp_round_half_up(x * 1e6) / 1e6
-
-        for s0 in range(0, n, block):
-            e0 = min(s0 + block, n)
-            c1 = round6((m[s0:e0] @ m.T) / np.outer(nm[s0:e0], nm))
-            c2 = round6((p[s0:e0] @ p.T) / np.outer(npn[s0:e0], npn))
-            # unordered distinct pairs = strict upper triangle; |Δcos|
-            # is symmetric, so index order ≡ the vec_id < vec_id join
-            mask = cols > np.arange(s0, e0)[:, None]
-            d = np.abs(c1 - c2)[mask]
-            bins = np.minimum(np.floor(d / 0.05), 19).astype(np.int64)
-            counts += np.bincount(bins, minlength=20)
+        if gi == gj:
+            # in-block pairs: strict upper triangle; |Δcos| is
+            # symmetric, so index order ≡ the vec_id < vec_id join
+            m, p, nm, npn = _prep(pdf["v"])
+            n = len(m)
+            cols = np.arange(n)[None, :]
+            for s0 in range(0, n, block):
+                e0 = min(s0 + block, n)
+                c1 = round6((m[s0:e0] @ m.T) / np.outer(nm[s0:e0], nm))
+                c2 = round6((p[s0:e0] @ p.T) / np.outer(npn[s0:e0], npn))
+                mask = cols > np.arange(s0, e0)[:, None]
+                d = np.abs(c1 - c2)[mask]
+                bins = np.minimum(np.floor(d / 0.05), 19).astype(np.int64)
+                counts += np.bincount(bins, minlength=20)
+        else:
+            # cross-block pairs: every (a in block gi, b in block gj)
+            # unordered pair meets exactly once, in this group
+            side = pdf["_blk"].to_numpy()
+            pa, pb = pdf["v"][side == gi], pdf["v"][side == gj]
+            if len(pa) and len(pb):
+                ma, paj, nma, npa = _prep(pa)
+                mb, pbj, nmb, npb = _prep(pb)
+                for s0 in range(0, len(ma), block):
+                    e0 = min(s0 + block, len(ma))
+                    c1 = round6((ma[s0:e0] @ mb.T) / np.outer(nma[s0:e0], nmb))
+                    c2 = round6(
+                        (paj[s0:e0] @ pbj.T) / np.outer(npa[s0:e0], npb)
+                    )
+                    d = np.abs(c1 - c2).ravel()
+                    bins = np.minimum(np.floor(d / 0.05), 19).astype(np.int64)
+                    counts += np.bincount(bins, minlength=20)
         nz = np.nonzero(counts)[0]
         return pd.DataFrame(
             {"bin": nz.astype(np.int64), "n_pairs": counts[nz]}
         )
 
+    # deterministic block id + B-way fan-out: vector u (block b_u) meets
+    # vector w (block b_w) exactly once, in group (min, max) — u's copy
+    # tagged with other-block o = b_w and w's with o = b_u (o = b for the
+    # in-block group, emitted once per vector)
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(_JL_BLOCKS)).cast("int")
+    fan = s.select(
+        "v",
+        blk.alias("_blk"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_JL_BLOCKS - 1))
+        ).alias("_o"),
+    )
     binned = (
-        s.withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandas(lambda _k, pdf: hist(pdf), "bin long, n_pairs long")
+        fan.select(
+            "v",
+            "_blk",
+            F.least("_blk", "_o").alias("_gi"),
+            F.greatest("_blk", "_o").alias("_gj"),
+        )
+        .groupBy("_gi", "_gj")
+        .applyInPandas(hist, "bin long, n_pairs long")
+        .groupBy("bin")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
     )
     return binned.select(
         "bin",
