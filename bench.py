@@ -185,11 +185,23 @@ def main() -> None:
     # attributable. Interleaving would randomize cache effects further but
     # keeping per-query runs adjacent keeps the log readable.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # r13 (VERDICT r12 #4, guide §1.4): the historical count()/collect()
+    # action provably under-measures — count() lets Catalyst prune final
+    # projections and even cardinality-preserving joins (the r12
+    # contamination case timed a bare doc count). The noop sink computes
+    # every column of every row and cannot be pruned. ADDITIONS ONLY:
+    # `queries` keeps the count/collect methodology and _EXTRA_RUNS
+    # byte-for-byte so the round-over-round series stays comparable;
+    # `queries_noop` starts the un-prunable series alongside it
+    # (median-of-N, same per-run fresh-plan discipline).
+    n_noop_runs = int(os.environ.get("SPARK_GRAFT_NOOP_RUNS", "3"))
     noise_floor = {"before": _noise_probe(spark)}
     timings: dict[str, float] = {}
+    timings_noop: dict[str, float] = {}
     t_min: dict[str, float] = {}
     t_max: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    all_noop_runs: dict[str, list[float]] = {}
     row_counts: dict[str, int] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES[name].fn
@@ -205,9 +217,17 @@ def main() -> None:
         t_max[name] = runs_sorted[-1]
         all_runs[name] = runs
         row_counts[name] = n
+        nruns = []
+        for _ in range(n_noop_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            nruns.append(round(time.perf_counter() - t0, 3))
+        timings_noop[name] = sorted(nruns)[len(nruns) // 2]
+        all_noop_runs[name] = nruns
         print(
             f"# {name}: median {timings[name]:.3f}s "
-            f"(min {t_min[name]:.3f} max {t_max[name]:.3f}, {n} rows)",
+            f"(min {t_min[name]:.3f} max {t_max[name]:.3f}, {n} rows) "
+            f"noop {timings_noop[name]:.3f}s",
             file=sys.stderr,
         )
 
@@ -293,10 +313,13 @@ def main() -> None:
         "r11_widening": _R11_WIDENING,
         "r12_widening": _R12_WIDENING,
         "queries": timings,
+        "queries_noop": timings_noop,
         "queries_min": t_min,
         "queries_max": t_max,
         "runs": all_runs,
+        "noop_runs": all_noop_runs,
         "n_runs": n_runs,
+        "n_noop_runs": n_noop_runs,
         "extra_runs": _EXTRA_RUNS,
         "rows": row_counts,
         "noise_floor": noise_floor,
@@ -315,6 +338,10 @@ def main() -> None:
         with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1)
     print(f"# full detail -> {detail_path}", file=sys.stderr)
+    # `queries_noop` joins the contract line (VERDICT r12 #4) so the
+    # driver artifact carries both actions; the map is medians-only
+    # (compact — the r4 stdout-capture overflow came from runs arrays
+    # and the ingest matrix, which stay in the detail file).
     print(
         json.dumps(
             {
@@ -322,6 +349,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_noop": timings_noop,
                 "sf": sf,
             }
         )

@@ -448,7 +448,20 @@ class Engine:
         seconds, exchanges, lint findings), so the pipeline's cost
         decomposes stage by stage. The barriers change scheduling, not
         results (every stage is deterministic); leave it None for the
-        fully-fused lazy plan."""
+        fully-fused lazy plan.
+
+        Eager side effect (ADVICE r12): in fused mode (``qlog=None``)
+        the two fan-out points (exact dedup, near-dup survivors) are
+        pinned with EAGER localCheckpoints at pipeline-CONSTRUCTION
+        time, so merely calling ``curate()`` runs the clean/dedup Spark
+        jobs even if the caller never triggers an action on the result
+        — a plan-only/explain-only caller pays them. The checkpointed
+        blocks are also executor-local and non-replicated: on a real
+        cluster a lost executor fails the query instead of recomputing
+        (the basket_affinity ``materialize="persist"`` trade-off,
+        accepted here because the barrier is what stops Catalyst
+        re-executing the scan+clean+dedup subtree per fan-out consumer
+        — 8 documents scans in the fused plan without it)."""
         from pyspark.sql import functions as F
 
         from hadoop_stuff_spark.functions import text as T

@@ -230,6 +230,16 @@ def pagerank_copurchase_parts(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(iters):
+        # ADVICE r12 #4, examined and deliberately left as a double sum:
+        # the contribution aggregate's accumulation order depends on
+        # partitioning, unlike the house fixed-point convention — but
+        # converting to round(rank/d·10⁶) long partials would QUANTIZE
+        # each term (a real value change the certified oracle does not
+        # mirror), not just reorder it, and the final 6 dp round has
+        # absorbed the reordering ulps at every certified SF. The
+        # results-frozen optimization rounds are the wrong place to
+        # re-derive both engines' convention; revisit only if a driver
+        # run ever shows a boundary digit flip.
         contrib = (
             ew.join(ranks, ew["src"] == ranks["node"])
             .groupBy("dst")

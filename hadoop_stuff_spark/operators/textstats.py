@@ -1328,16 +1328,26 @@ def source_js_divergence_matrix(
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(T.tokens("text")).alias("word"))
     counts = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
-    # per-source totals as a |sources|-row aggregate broadcast back onto
-    # the counts relation — the Window.partitionBy("source") form this
-    # replaces re-exchanged AND sorted the whole vocab×sources relation
-    # by source just to attach one scalar per source (r12: one Exchange
-    # + one Sort removed from the plan); same integers, same ratios.
-    totals = counts.groupBy("source").agg(F.sum("n").alias("n_src"))
-    probs = counts.join(F.broadcast(totals), "source").select(
+    # r13 REVERT of the r12 aggregate+broadcast totals experiment
+    # (VERDICT r12 #6): interleaved sf0.5 AND sf1.0 noop probes (6
+    # adjacent pairs, 10× bench vocab) split 3–3 — the shapes are
+    # measurably EQUAL and produce identical rows, while the r12 static
+    # plan carried two extra exchanges (the totals branch re-derives the
+    # counts subtree and leans on AQE exchange reuse at runtime). With
+    # no provable win the simpler certified shape stays. At-scale
+    # reservation, recorded for a future round: partitionBy("source")
+    # hash-partitions the whole vocab×sources relation into <=|sources|
+    # partitions and sorts it — with a guarded source count that is a
+    # bounded sort, but a |sources|-row aggregate broadcast back onto
+    # counts avoids it entirely if a real cluster ever shows the skew.
+    w = Window.partitionBy("source")
+    probs = counts.select(
         "word",
         "source",
-        (F.col("n").cast("double") / F.col("n_src").cast("double")).alias("p"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w).cast("double")
+        ).alias("p"),
     )
     # limit BEFORE collect: the guard must protect the driver too — a
     # pathological corpus with millions of sources must not ship them
