@@ -15,6 +15,10 @@ from hadoop_stuff_spark.operators.dedup import (
     shingles,
 )
 
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
+
 DOC_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("text", StringType())]
 )

@@ -5,6 +5,11 @@ import os
 
 from hadoop_stuff_spark.engine import Engine
 from hadoop_stuff_spark.__main__ import build_parser
+import pytest
+
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
 
 
 def test_ingest_count_grep_roundtrip(spark, tmp_path):

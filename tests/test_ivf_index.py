@@ -13,6 +13,11 @@ from hadoop_stuff_spark.operators.similarity import (
     topk_cosine_ivf_index,
 )
 
+import pytest
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
+
 
 def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "ivf")

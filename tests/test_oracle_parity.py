@@ -6,6 +6,10 @@ import pytest
 from hadoop_stuff_spark.plans.registry import EXTRA_QUERIES, QUERIES
 from tests.oracle_harness import compare_query
 
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
+
 ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 ORACLE_QUERIES = sorted(name for name, spec in ALL_QUERIES.items() if spec.oracle)
 ROWS_ONLY_QUERIES = sorted(name for name, spec in ALL_QUERIES.items() if not spec.oracle)

@@ -14,6 +14,10 @@ from hadoop_stuff_spark.operators.dedup import source_overlap_matrix
 from hadoop_stuff_spark.operators.profile import gini_doc_length_by_source
 from hadoop_stuff_spark.operators.similarity import cosine_pair_histogram
 
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
+
 
 def _docs_fixture(tmp_path, rows):
     """rows: list of (doc_id, text, source)."""

@@ -7,6 +7,11 @@ import os
 from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.streaming.dedup import streaming_dedup_ingest_sink
+import pytest
+
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
 
 BASE = [
     (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

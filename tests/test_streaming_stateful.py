@@ -8,6 +8,11 @@ from pyspark.sql import functions as F
 
 from hadoop_stuff_spark.streaming.stateful import dedup_first_seen, running_counts
 from hadoop_stuff_spark.streaming.tail import tail_stream
+import pytest
+
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
 
 
 def _write_log(directory: str, name: str, lines: list[str]) -> None:

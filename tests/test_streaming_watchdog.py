@@ -12,6 +12,11 @@ from hadoop_stuff_spark.streaming.stateful import (
     inactivity_alerts,
 )
 from hadoop_stuff_spark.streaming.tail import tail_stream
+import pytest
+
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
 
 
 def _write_log(directory: str, name: str, lines: list[str]) -> None:

@@ -8,6 +8,11 @@ import os
 import pyspark.sql.functions as F
 
 from hadoop_stuff_spark.sources.upsert import upsert_by_key
+import pytest
+
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
 
 
 def _table_state(spark, path):

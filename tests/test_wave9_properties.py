@@ -11,6 +11,11 @@ import tempfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 from hypothesis import given, settings, strategies as st
+import pytest
+
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
 
 
 def _orders_sf(day_counts, priority="1-URGENT"):

@@ -9,6 +9,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest  # noqa: F401
 
+# full-sweep suite (see pytest.ini): deselected from the default
+# driver-facing run, executed via `pytest tests/ -m "" -q`
+pytestmark = pytest.mark.slow
+
 
 def _events_typed_fixture(tmp_path, rows, name="sf_evt"):
     """(user_id, event_type, second-offset) rows, base epoch + offset s."""
