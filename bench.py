@@ -742,27 +742,27 @@ def _ingest_benchmarks(spark):
 # real regression from co-tenant load (unchanged-code queries drifted up
 # to +24% in r7) — the median of 5 keeps one hot and one cold outlier
 # out, and queries_min is recorded alongside for the adjudication
-# min-of-5 adjudication for every query that crossed ~2 s in the r11
+# min-of-5 adjudication for every query that crossed ~2 s in the r12
 # DRIVER run (standing gate per VERDICT r10 "what's wrong" #1: recompute
 # this set at EVERY round start from the previous driver run, never carry
-# the prior round's set). Set = exactly the BENCH_r11.json (driver
+# the prior round's set). Set = exactly the BENCH_r12.json (driver
 # session) queries with median >= 2.0 s — RE-DERIVED from the artifact,
-# never edited from the prior map (the never-quote-counts rule; the r11
-# review caught a miscounted "adds N to the carried-over M" phrasing
-# here). Verify with:
+# never edited from the prior map (the never-quote-counts rule). Verify:
 #   python -c "import json; print(sorted(k for k, v in json.load(open(
-#       'BENCH_r11.json'))['parsed']['queries'].items() if v >= 2))"
+#       'BENCH_r12.json'))['parsed']['queries'].items() if v >= 2))"
 _EXTRA_RUNS = {
-    "n1_curate_pipeline": 2,
-    "part_neighbor_jaccard": 2,
+    "ab_bootstrap_ci_by_nation": 2,
     "ab_value_bootstrap_ci": 2,
-    "n2_kmeans_lloyd": 2,
-    "pagerank_copurchase_parts": 2,
-    "n1_semantic_dedup_pairs": 2,
-    "source_js_divergence_matrix": 2,
-    "n1_containment_pairs": 2,
-    "copurchase_pairs": 2,
     "basket_affinity_lift": 2,
+    "copurchase_pairs": 2,
+    "n1_containment_pairs": 2,
+    "n1_curate_pipeline": 2,
+    "n2_kmeans_lloyd": 2,
+    "n2_label_silhouette": 2,
+    "pagerank_copurchase_parts": 2,
+    "part_neighbor_jaccard": 2,
+    "referential_integrity_report": 2,
+    "source_js_divergence_matrix": 2,
 }
 
 # queries whose result is the deliverable (collect it); others just count
