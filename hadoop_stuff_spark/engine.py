@@ -476,6 +476,20 @@ class Engine:
 
         import time as _time
 
+        # r13 (guide §2.2): spread a narrow input scan across the cores
+        # BEFORE the CPU-heavy clean/fingerprint projection — the bench
+        # corpus arrives as one single-row-group parquet partition, and
+        # without this the regex clean + md5 fingerprinting runs
+        # single-task. spread() is a no-op whenever the scan already
+        # yields >= cores partitions (production shape).
+        from hadoop_stuff_spark.catalog import spread as _spread
+
+        docs = _spread(docs)
+        _wide = max(
+            self.spark.sparkContext.defaultParallelism,
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+
         def stage(name: str, build) -> DataFrame:
             # Attribution must cover CONSTRUCTION too: iterative operators
             # (dedup_clusters' pointer-jumping rounds, minhash_candidates'
@@ -506,8 +520,12 @@ class Engine:
             # subtree per reference (the r12 plan audit counted 8
             # documents scans in the one fused plan). In qlog mode the
             # stage wrapper has already checkpointed. Results unchanged
-            # — the barrier only cuts lineage.
-            exact = exact.localCheckpoint(eager=True)
+            # — the barrier only cuts lineage. r13: the checkpoint is
+            # WIDENED first — localCheckpoint preserves partitioning,
+            # and the exact-dedup exchange AQE-coalesces to ~1
+            # partition at bench scale, which would serialize the
+            # expensive MinHash HOF signature pass reading it.
+            exact = exact.repartition(_wide).localCheckpoint(eager=True)
 
         def build_near_dedup() -> DataFrame:
             pairs = minhash_candidates(exact, id_col, text_col).filter(
@@ -523,8 +541,10 @@ class Engine:
         survivors = stage("near_dedup", build_near_dedup)
         if qlog is None and holdout is not None:
             # same fan-out rule: survivors feed the contamination
-            # report AND the post-filter anti-join
-            survivors = survivors.localCheckpoint(eager=True)
+            # report AND the post-filter anti-join; widened for the
+            # same reason as `exact` (the shingle explode + probe join
+            # reading this checkpoint is CPU-heavy per row)
+            survivors = survivors.repartition(_wide).localCheckpoint(eager=True)
         if holdout is not None:
             skip_contamination = False
             if prescreen:
