@@ -213,6 +213,12 @@ def pagerank_copurchase_parts(
     # per iteration), and the (node, d, n) grid the rank rebuild needs
     # is hoisted out of the loop the same way.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # r13 probe, NEGATIVE: widening these checkpoints to core width
+    # (repartition(P, "src")) lost narrowly in 3 of 4 same-session
+    # interleaved noop pairs (4.20-5.37 s narrow vs 4.49-5.62 s wide):
+    # the per-iteration join/agg relations are small enough here that
+    # the two wider materialization exchanges cost more than the
+    # iteration stages save. Kept at the r12-certified shape.
     ew = (
         edges.join(deg, "src")
         .repartition("src")
